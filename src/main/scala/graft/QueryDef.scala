@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** One named engine capability: a Spark plan plus (optionally) the ANSI-SQL
+  * oracle that DuckDB runs over the same parquet tables. Keeping the pair
+  * together keeps column aliases in sync — the driver's compare sorts
+  * columns by name before hashing.
+  */
+final case class QueryDef(
+    name: String,
+    spark: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object QueryDef {
+  /** Deterministic double aggregation: route sums through an exact decimal
+    * so partial-aggregation order (Spark) vs sequential order (DuckDB)
+    * cannot change the result, then return a plain double column.
+    * Oracle twin: CAST(SUM(CAST(x AS DECIMAL(18,s)) AS DOUBLE).
+    */
+  def dsum(c: Column, scale: Int = 4): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  /** Deterministic mean at 6 dp: exact decimal sum / count in double space. */
+  def davg(c: Column, scale: Int = 4): Column =
+    round(dsum(c, scale) / count(lit(1)), 6)
+}

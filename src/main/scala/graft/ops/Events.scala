@@ -1,0 +1,128 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import graft.QueryDef.dsum
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream batch operators: sessionization, as-of join, tumbling
+  * windows. These are the batch twins of the Structured Streaming path
+  * (graft.streaming); both compute identical results so the streaming
+  * specs assert equality against these plans.
+  *
+  * Timestamps are surfaced as epoch-microsecond BIGINTs at the oracle
+  * boundary — integer-exact across engines and parquet timestamp units.
+  */
+object Events {
+
+  val SessionGapUs: Long = 30L * 60 * 1000 * 1000 // 30 min
+
+  /** Gap-based sessionization: lag → new-session flag → running count.
+    * One shuffle on user_id; both windows share the exchange+sort.
+    */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    Tables.loadEventsUs(s, dir)
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("is_start",
+        when(col("prev_us").isNull ||
+             col("ts_us") - col("prev_us") > SessionGapUs, 1).otherwise(0))
+      .withColumn("session_id", sum(col("is_start")).over(byUser))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+           min(col("ts_us")).as("session_start_us"),
+           max(col("ts_us")).as("session_end_us"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val sessionizeSql: String = s"""
+    WITH flagged AS (
+      SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+          (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS prev_us
+      FROM events),
+    marked AS (
+      SELECT user_id, event_id, ts_us,
+        CASE WHEN prev_us IS NULL OR ts_us - prev_us > ${SessionGapUs}
+             THEN 1 ELSE 0 END AS is_start
+      FROM flagged),
+    sess AS (
+      SELECT user_id, ts_us,
+        CAST(SUM(is_start) OVER (PARTITION BY user_id
+                                 ORDER BY ts_us, event_id) AS BIGINT) AS session_id
+      FROM marked)
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us
+    FROM sess
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id"""
+
+  /** As-of join events→orders (most recent order at or before each event,
+    * per user). Orders deduped to one per (custkey, orderdate) first —
+    * as-of ties are undefined. Oracle uses DuckDB's native ASOF JOIN.
+    */
+  def asof(s: SparkSession, dir: String): DataFrame = {
+    val dedupW = Window.partitionBy("o_custkey", "o_orderdate")
+      .orderBy(col("o_orderkey").desc)
+    val od = Tables.load(s, dir, "orders")
+      .withColumn("rn", row_number().over(dedupW))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"),
+        // o_orderdate arrives as TIMESTAMP_NTZ; session TZ is UTC so the
+        // cast is a unit reinterpretation, not an instant shift.
+        unix_micros(col("o_orderdate").cast("timestamp")).as("o_us"),
+        col("o_orderkey"), col("o_totalprice"))
+    val e = Tables.loadEventsUs(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    AsofJoin.leftAsof(e, od,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts_us", rightTime = "o_us",
+        payload = Seq("o_orderkey", "o_totalprice"))
+      .select(col("event_id"), col("user_id"),
+        col("_match.o_orderkey").as("matched_order"),
+        col("_match.o_totalprice").as("matched_price"))
+      .orderBy("event_id")
+  }
+
+  val asofSql: String = """
+    WITH od AS (
+      SELECT o_custkey, epoch_us(o_orderdate) AS o_us, o_orderkey, o_totalprice
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                                         ORDER BY o_orderkey DESC) AS rn
+            FROM orders)
+      WHERE rn = 1),
+    e AS (
+      SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      FROM events)
+    SELECT e.event_id, e.user_id,
+           od.o_orderkey AS matched_order, od.o_totalprice AS matched_price
+    FROM e ASOF LEFT JOIN od
+      ON e.user_id = od.o_custkey AND e.ts_us >= od.o_us
+    ORDER BY e.event_id"""
+
+  /** Tumbling 1-hour windows per event type — the batch twin of the
+    * streaming windowed aggregation.
+    */
+  def tumbling(s: SparkSession, dir: String): DataFrame = {
+    Tables.loadEventsUs(s, dir)
+      .groupBy(expr("ts_us - ts_us % 3600000000").as("hour_us"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           dsum(col("value"), 6).as("total_value"))
+      .orderBy("hour_us", "event_type")
+  }
+
+  val tumblingSql: String = """
+    SELECT epoch_us(CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)) AS hour_us,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY hour_us, event_type"""
+
+  def all: Seq[QueryDef] = Seq(
+    QueryDef("q_sessionize", sessionize, Some(sessionizeSql)),
+    QueryDef("q_asof_join", asof, Some(asofSql)),
+    QueryDef("q_tumbling", tumbling, Some(tumblingSql)))
+}
