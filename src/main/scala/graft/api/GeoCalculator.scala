@@ -1,0 +1,129 @@
+package graft.api
+
+import graft.geo.{BufferStats, Geo, NearestDistance, Proj, RelativeElevation}
+import graft.ops.LongWide
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fluent pipeline façade — the graft equivalent of the reference's
+  * `Calculator` chain (duckpipe/core.py: add_point_with_table →
+  * chunk_* → calculate_* → get_result). Each calculate_* appends
+  * long-form rows (id, varname, year, value); `resultWide` pivots to
+  * one column per varname, like get_result(pivot=True).
+  *
+  * Differences by design (SURVEY.md §5): no chunking methods — Spark
+  * partitioning replaces driver-side chunk lists (use
+  * geo.SpatialCurve.partitionBySpace when locality matters); feature
+  * sets are DataFrames, not data_dir paths, so any source Spark reads
+  * can feed a calculator. Everything stays lazy until the caller acts.
+  *
+  * Varname formats follow the reference macros, e.g. 'D_Airport'
+  * (AirportDistanceCalculator.py:13), 'Road_L_0500'
+  * (RoadLLWCalculator.py:12), 'LS2_0500_a' (LanduseCalculator.py:13).
+  */
+final class GeoCalculator private (
+    points: DataFrame,
+    acc: Vector[DataFrame]) {
+
+  private def append(df: DataFrame): GeoCalculator =
+    new GeoCalculator(points, acc :+ df)
+
+  private def longForm(df: DataFrame, varname: Column, year: Option[Int],
+                       value: Column): DataFrame =
+    df.select(col("id"), varname.as("varname"),
+      year.map(y => lit(y)).getOrElse(lit(null)).cast("int").as("year"),
+      value.cast("double").as("value"))
+
+  /** Min distance to a feature set; broadcast when small, grid-join when
+    * `gridCell` is given. */
+  def nearestDistance(features: DataFrame, varname: String,
+                      year: Option[Int] = None,
+                      gridCell: Option[Double] = None): GeoCalculator = {
+    val d = gridCell match {
+      case Some(cell) => NearestDistance.gridNearest(points, features, cell)
+      case None       => NearestDistance.broadcastNearest(points, features)
+    }
+    append(longForm(d, lit(varname), year, col("distance")))
+  }
+
+  /** L / LL / LLW sums within each radius (reference Road LLW). */
+  def bufferLineStats(features: DataFrame, radii: Seq[Double],
+                      prefix: String = "Road",
+                      year: Option[Int] = None): GeoCalculator = {
+    val stats = Seq(
+      "L" -> col("weight"),
+      "LL" -> (col("weight") * col("lanes")),
+      "LLW" -> (col("weight") * col("lanes") * col("width")))
+    val wide = BufferStats.lineStats(points, features, radii, stats)
+    val long = Seq("L", "LL", "LLW").map { st =>
+      longForm(wide,
+        concat(lit(s"${prefix}_${st}_"), lpad(col("radius").cast("int").cast("string"), 4, "0")),
+        year, col(st))
+    }.reduce(_ unionByName _)
+    append(long)
+  }
+
+  /** Per-landuse-code area + proportion within each radius. */
+  def landuseAreaRatio(features: DataFrame, radii: Seq[Double],
+                       year: Option[Int] = None): GeoCalculator = {
+    val ar = BufferStats.areaRatio(points, features, radii)
+    val long = Seq("a" -> col("a"), "p" -> col("p")).map { case (st, c) =>
+      longForm(ar,
+        concat(lit("LS"), col("code").cast("string"), lit("_"),
+          lpad(col("radius").cast("int").cast("string"), 4, "0"), lit(s"_$st")),
+        year, c)
+    }.reduce(_ unionByName _)
+    append(long)
+  }
+
+  /** Donut-ring relative elevation + reference elevation. */
+  def relativeElevation(cells: DataFrame, refRadius: Double,
+                        radii: Seq[Double], thickness: Double = 30.0,
+                        prefix: String = "Alt_k"): GeoCalculator = {
+    val re = RelativeElevation.compute(points, cells, refRadius, radii, thickness)
+    val stats = radii.flatMap(r => Seq(
+      s"above20_${r.toInt}", s"below20_${r.toInt}",
+      s"above50_${r.toInt}", s"below50_${r.toInt}"))
+    val long = (stats.map(stc =>
+      longForm(re, lit(s"${prefix}_$stc"), None, col(stc))) :+
+      longForm(re, lit(s"${prefix}_ref"), None, col("ref_elev")))
+      .reduce(_ unionByName _)
+    append(long)
+  }
+
+  /** Projected + geographic coordinates of each point (points assumed
+    * already in the projected CRS, like the reference post-ingest). */
+  def coordinates(): GeoCalculator = {
+    val inv = points.withColumn("_g", Proj.inverse(col("x"), col("y")))
+    val long = Seq(
+      ("TM_X", col("x")), ("TM_Y", col("y")),
+      ("WGS_X", col("_g.lon")), ("WGS_Y", col("_g.lat")))
+      .map { case (n, c) => longForm(inv, lit(n), None, c) }
+      .reduce(_ unionByName _)
+    append(long)
+  }
+
+  /** Long-form result (id, varname, year, value). */
+  def resultLong: DataFrame = acc.reduce(_ unionByName _)
+
+  /** Wide result: one column per varname, merged back onto the
+    * original point attributes (reference get_result pivot=True). */
+  def resultWide(varnames: Seq[String]): DataFrame =
+    points.join(LongWide.pivotWide(resultLong, varnames), Seq("id"), "left")
+}
+
+object GeoCalculator {
+  /** Entry point — reference add_point_with_table. `points` must carry
+    * (id, x, y); extra columns ride along into resultWide. */
+  def apply(points: DataFrame): GeoCalculator =
+    new GeoCalculator(points, Vector.empty)
+
+  /** Ingest lon/lat in WGS84 and project to the working CRS — the
+    * reference's ST_Transform-on-ingest (core.py:140-152). */
+  def fromWgs84(df: DataFrame, lonCol: String, latCol: String): GeoCalculator = {
+    val p = df.withColumn("_p", Proj.forward(col(lonCol), col(latCol)))
+      .withColumn("x", col("_p.x")).withColumn("y", col("_p.y"))
+      .drop("_p")
+    new GeoCalculator(p, Vector.empty)
+  }
+}

@@ -1,0 +1,79 @@
+package graft.geo
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic planar test geometries derived from the TPC-H-ish
+  * tables (the test data carries no geometry columns). Pure int64
+  * arithmetic, identical in Spark and in the DuckDB oracle SQL —
+  * both sides derive bit-equal coordinates. The geo operators
+  * themselves are generic over any (id, x, y[, …]) DataFrame; these
+  * are just the test bindings.
+  *
+  * Coordinates land in a 10 km × 10 km square at 0.1 m resolution.
+  */
+object Derive {
+
+  /** ~N points from customer keys. */
+  def points(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "customer").select(
+      col("c_custkey").as("id"),
+      ((col("c_custkey") * 7919) % 100000).cast("double") / 10.0 as "x",
+      ((col("c_custkey") * 104729) % 100000).cast("double") / 10.0 as "y")
+
+  val pointsSql: String = """
+    SELECT c_custkey AS id,
+           CAST((c_custkey * 7919) % 100000 AS DOUBLE) / 10.0 AS x,
+           CAST((c_custkey * 104729) % 100000 AS DOUBLE) / 10.0 AS y
+    FROM customer"""
+
+  /** Small site set (airports/ports analogue) from supplier keys. */
+  def sites(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "supplier").select(
+      col("s_suppkey").as("id"),
+      ((col("s_suppkey") * 7907 + 131) % 100000).cast("double") / 10.0 as "x",
+      ((col("s_suppkey") * 104717 + 77) % 100000).cast("double") / 10.0 as "y")
+
+  val sitesSql: String = """
+    SELECT s_suppkey AS id,
+           CAST((s_suppkey * 7907 + 131) % 100000 AS DOUBLE) / 10.0 AS x,
+           CAST((s_suppkey * 104717 + 77) % 100000 AS DOUBLE) / 10.0 AS y
+    FROM supplier"""
+
+  /** Large feature set (roads/landuse/raster analogue) from part keys:
+    * carries weight (length analogue), lanes, width, landuse code,
+    * cell area, elevation, and an output-area key. */
+  def feats(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "part").select(
+      col("p_partkey").as("fid"),
+      ((col("p_partkey") * 7927 + 31) % 100000).cast("double") / 10.0 as "x",
+      ((col("p_partkey") * 104723 + 997) % 100000).cast("double") / 10.0 as "y",
+      (col("p_partkey") % 97 + 1).cast("double").as("weight"),
+      (col("p_partkey") % 4 + 1).cast("double").as("lanes"),
+      (col("p_partkey") % 7 + 1).cast("double").as("width"),
+      (col("p_partkey") % 5).cast("int").as("code"),
+      ((col("p_partkey") % 97 + 1) * 10).cast("double").as("area"),
+      ((col("p_partkey") * 31) % 500).cast("double").as("elev"),
+      (col("p_partkey") % 40).cast("long").as("key"))
+
+  val featsSql: String = """
+    SELECT p_partkey AS fid,
+           CAST((p_partkey * 7927 + 31) % 100000 AS DOUBLE) / 10.0 AS x,
+           CAST((p_partkey * 104723 + 997) % 100000 AS DOUBLE) / 10.0 AS y,
+           CAST(p_partkey % 97 + 1 AS DOUBLE) AS weight,
+           CAST(p_partkey % 4 + 1 AS DOUBLE) AS lanes,
+           CAST(p_partkey % 7 + 1 AS DOUBLE) AS width,
+           CAST(p_partkey % 5 AS INTEGER) AS code,
+           CAST((p_partkey % 97 + 1) * 10 AS DOUBLE) AS area,
+           CAST((p_partkey * 31) % 500 AS DOUBLE) AS elev,
+           CAST(p_partkey % 40 AS BIGINT) AS key
+    FROM part"""
+
+  /** WGS84 lon/lat in a Korea-sized window for projection tests. */
+  def wgsPoints(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "customer").select(
+      col("c_custkey").as("id"),
+      (lit(126.0) + (col("c_custkey") % 1000).cast("double") / 250.0).as("lon"),
+      (lit(34.0) + ((col("c_custkey") * 7) % 1000).cast("double") / 250.0).as("lat"))
+}

@@ -1,0 +1,32 @@
+package graft.geo
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Planar-geometry column helpers shared by the geo operators.
+  *
+  * graft's geometry model (SURVEY.md §3): points/features are rows with
+  * `x`,`y` DOUBLE columns in a projected CRS (meters), mirroring the
+  * reference's use of EPSG:5179 planar coordinates for every
+  * ST_Distance/ST_Area computation (reference duckpipe/common.py:6).
+  * Everything here stays inside whole-stage codegen — plain column
+  * arithmetic, no UDFs.
+  */
+object Geo {
+  /** Squared euclidean distance — comparisons use d² against r² so the
+    * hot path never pays a sqrt (and stays FP-exact cross-engine). */
+  def dist2(px: Column, py: Column, fx: Column, fy: Column): Column =
+    (px - fx) * (px - fx) + (py - fy) * (py - fy)
+
+  def dist(px: Column, py: Column, fx: Column, fy: Column): Column =
+    sqrt(dist2(px, py, fx, fy))
+
+  /** Grid-cell id for spatial bucketing at `cellSize` meters. */
+  def cellOf(x: Column, cellSize: Double): Column =
+    floor(x / lit(cellSize)).cast("long")
+
+  /** Pack a (cx, cy) cell pair into one join key. Cells are offset so
+    * negative coordinates stay distinct; 2^21 cells per axis. */
+  def cellKey(cx: Column, cy: Column): Column =
+    (cx + lit(1L << 20)) * lit(1L << 21) + (cy + lit(1L << 20))
+}

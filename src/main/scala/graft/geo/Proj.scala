@@ -1,0 +1,99 @@
+package graft.geo
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Transverse-Mercator projection as pure column expressions — the
+  * engine-native replacement for the reference's ST_Transform calls
+  * (duckpipe/core.py:140-152 transforms input EPSG:xxxx →
+  * EPSG:5179 on ingest; CoordinateCalculator.py emits both CRS).
+  *
+  * Implements the standard TM series (Snyder, "Map Projections — A
+  * Working Manual", USGS PP 1395, eqs. 8-9…8-17 and 3-21) on GRS80.
+  * Everything is plain arithmetic on Columns → whole-stage codegen,
+  * fully distributed, no UDF boundary.
+  *
+  * Default parameters are EPSG:5179 (Korea 2000 / Unified CS):
+  * lat0=38°, lon0=127.5°, k0=0.9996, FE=1 000 000, FN=2 000 000.
+  */
+object Proj {
+  final case class Tm(
+      a: Double = 6378137.0,            // GRS80 semi-major
+      f: Double = 1.0 / 298.257222101,  // GRS80 flattening
+      lat0Deg: Double = 38.0,
+      lon0Deg: Double = 127.5,
+      k0: Double = 0.9996,
+      fe: Double = 1000000.0,
+      fn: Double = 2000000.0) {
+    val e2: Double = 2 * f - f * f
+    val ep2: Double = e2 / (1 - e2)
+    val c0: Double = 1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * math.pow(e2, 3) / 256
+    val c2: Double = 3 * e2 / 8 + 3 * e2 * e2 / 32 + 45 * math.pow(e2, 3) / 1024
+    val c4: Double = 15 * e2 * e2 / 256 + 45 * math.pow(e2, 3) / 1024
+    val c6: Double = 35 * math.pow(e2, 3) / 3072
+    def mOf(phi: Double): Double =
+      a * (c0 * phi - c2 * math.sin(2 * phi) + c4 * math.sin(4 * phi) -
+        c6 * math.sin(6 * phi))
+    val m0: Double = mOf(math.toRadians(lat0Deg))
+    val e1: Double = {
+      val s = math.sqrt(1 - e2); (1 - s) / (1 + s)
+    }
+  }
+  val Epsg5179: Tm = Tm()
+
+  private def mCol(p: Tm, phi: Column): Column =
+    lit(p.a) * (lit(p.c0) * phi - lit(p.c2) * sin(phi * 2) +
+      lit(p.c4) * sin(phi * 4) - lit(p.c6) * sin(phi * 6))
+
+  /** (lonDeg, latDeg) → struct(x, y) projected meters. */
+  def forward(lonDeg: Column, latDeg: Column, p: Tm = Epsg5179): Column = {
+    val phi = radians(latDeg)
+    val lam = radians(lonDeg)
+    val sinP = sin(phi); val cosP = cos(phi); val tanP = sinP / cosP
+    val n = lit(p.a) / sqrt(lit(1.0) - lit(p.e2) * sinP * sinP)
+    val t = tanP * tanP
+    val c = lit(p.ep2) * cosP * cosP
+    val aa = (lam - lit(math.toRadians(p.lon0Deg))) * cosP
+    val aa2 = aa * aa; val aa3 = aa2 * aa; val aa4 = aa3 * aa
+    val aa5 = aa4 * aa; val aa6 = aa5 * aa
+    val x = lit(p.fe) + lit(p.k0) * n * (aa +
+      (lit(1.0) - t + c) * aa3 / 6 +
+      (lit(5.0) - t * 18 + t * t + c * 72 - lit(58 * p.ep2)) * aa5 / 120)
+    val y = lit(p.fn) + lit(p.k0) * (mCol(p, phi) - lit(p.m0) + n * tanP * (
+      aa2 / 2 +
+      (lit(5.0) - t + c * 9 + c * c * 4) * aa4 / 24 +
+      (lit(61.0) - t * 58 + t * t + c * 600 - lit(330 * p.ep2)) * aa6 / 720))
+    struct(x.as("x"), y.as("y"))
+  }
+
+  /** (x, y) projected meters → struct(lon, lat) degrees. */
+  def inverse(x: Column, y: Column, p: Tm = Epsg5179): Column = {
+    val m = lit(p.m0) + (y - lit(p.fn)) / lit(p.k0)
+    val mu = m / lit(p.a * p.c0)
+    val e1 = p.e1
+    val phi1 = mu +
+      lit(3 * e1 / 2 - 27 * math.pow(e1, 3) / 32) * sin(mu * 2) +
+      lit(21 * e1 * e1 / 16 - 55 * math.pow(e1, 4) / 32) * sin(mu * 4) +
+      lit(151 * math.pow(e1, 3) / 96) * sin(mu * 6) +
+      lit(1097 * math.pow(e1, 4) / 512) * sin(mu * 8)
+    val sinP1 = sin(phi1); val cosP1 = cos(phi1); val tanP1 = sinP1 / cosP1
+    val c1 = lit(p.ep2) * cosP1 * cosP1
+    val t1 = tanP1 * tanP1
+    val oneMinusE2Sin2 = lit(1.0) - lit(p.e2) * sinP1 * sinP1
+    val n1 = lit(p.a) / sqrt(oneMinusE2Sin2)
+    val r1 = lit(p.a * (1 - p.e2)) / pow(oneMinusE2Sin2, 1.5)
+    val d = (x - lit(p.fe)) / (n1 * lit(p.k0))
+    val d2 = d * d; val d3 = d2 * d; val d4 = d3 * d
+    val d5 = d4 * d; val d6 = d5 * d
+    val phi = phi1 - (n1 * tanP1 / r1) * (
+      d2 / 2 -
+      (lit(5.0) + t1 * 3 + c1 * 10 - c1 * c1 * 4 - lit(9 * p.ep2)) * d4 / 24 +
+      (lit(61.0) + t1 * 90 + c1 * 298 + t1 * t1 * 45 - lit(252 * p.ep2) -
+        c1 * c1 * 3) * d6 / 720)
+    val lam = lit(math.toRadians(p.lon0Deg)) + (d -
+      (lit(1.0) + t1 * 2 + c1) * d3 / 6 +
+      (lit(5.0) - c1 * 2 + t1 * 28 - c1 * c1 * 3 + lit(8 * p.ep2) +
+        t1 * t1 * 24) * d5 / 120) / cosP1
+    struct(degrees(lam).as("lon"), degrees(phi).as("lat"))
+  }
+}

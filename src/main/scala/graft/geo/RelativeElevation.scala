@@ -1,0 +1,61 @@
+package graft.geo
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Relative elevation: for each point, (1) a reference elevation — the
+  * mean of raster cells near the point — and (2), per buffer radius, the
+  * share of cells in the donut ring (r, r+thickness] whose elevation is
+  * more than ±20/±50 m away from the reference. Mirrors the reference's
+  * RelativeElevationCalculator (duckpipe/calculator/
+  * RelativeElevationCalculator.py:100-151: ref = mean of intersecting
+  * cells, ring = ST_Difference of two buffers, AVG of CAST(cond AS INT)).
+  *
+  * Cells: (x, y, elev). One grid join at the largest reach covers the
+  * reference pass and every donut — a single scan of the raster table.
+  */
+object RelativeElevation {
+
+  def compute(points: DataFrame, cells: DataFrame, refRadius: Double,
+              radii: Seq[Double], thickness: Double = 30.0): DataFrame = {
+    val reach = radii.max + thickness
+    val f = cells
+      .withColumn("ck", Geo.cellKey(
+        Geo.cellOf(col("x"), reach), Geo.cellOf(col("y"), reach)))
+      .select(col("ck"), col("x").as("fx"), col("y").as("fy"), col("elev"))
+    val spark = points.sparkSession
+    import spark.implicits._
+    val offsets = Seq(-1L, 0L, 1L)
+      .flatMap(dx => Seq(-1L, 0L, 1L).map(dy => (dx, dy))).toDF("dx", "dy")
+    val joined = points
+      .join(broadcast(offsets))
+      .withColumn("ck", Geo.cellKey(
+        Geo.cellOf(col("x"), reach) + col("dx"),
+        Geo.cellOf(col("y"), reach) + col("dy")))
+      .join(f, Seq("ck"))
+      .withColumn("_d2", Geo.dist2(col("x"), col("y"), col("fx"), col("fy")))
+
+    val ref = joined
+      .filter(col("_d2") < lit(refRadius * refRadius))
+      .groupBy("id")
+      .agg((sum(col("elev")) / count(lit(1))).as("ref_elev"))
+
+    val ringAggs = radii.flatMap { r =>
+      val inRing = col("_d2") >= lit(r * r) &&
+        col("_d2") < lit((r + thickness) * (r + thickness))
+      def share(cond: org.apache.spark.sql.Column, n: String) =
+        // try_divide: empty ring → NULL (ANSI mode would throw on 0/0),
+        // mirroring the oracle's NULLIF(denominator, 0)
+        try_divide(sum(when(inRing && cond, 1).otherwise(0)),
+          sum(when(inRing, 1).otherwise(0))).as(s"${n}_${r.toInt}")
+      Seq(
+        share(col("elev") - col("ref_elev") > 20.0, "above20"),
+        share(col("elev") - col("ref_elev") < -20.0, "below20"),
+        share(col("elev") - col("ref_elev") > 50.0, "above50"),
+        share(col("elev") - col("ref_elev") < -50.0, "below50"))
+    }
+    joined.join(ref, Seq("id"))
+      .groupBy("id")
+      .agg(first(col("ref_elev")).as("ref_elev"), ringAggs: _*)
+  }
+}

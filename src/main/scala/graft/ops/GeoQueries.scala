@@ -1,0 +1,208 @@
+package graft.ops
+
+import graft.QueryDef
+import graft.geo._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked bindings of the geo operator library (SURVEY.md §2,
+  * "Core pipeline" rows) to the deterministic derived geometries.
+  * Every double that reaches the oracle boundary is either exact
+  * (integer-valued sums, min of identical expressions) or a single
+  * deterministic IEEE operation — no rounding needed anywhere.
+  */
+object GeoQueries {
+
+  private val pts = s"pts AS (${Derive.pointsSql})"
+  private val st = s"st AS (${Derive.sitesSql})"
+  private val f = s"f AS (${Derive.featsSql})"
+  private def d2(p: String, q: String) =
+    s"(($p.x-$q.x)*($p.x-$q.x)+($p.y-$q.y)*($p.y-$q.y))"
+
+  // ---- nearest distance (broadcast strategy) -------------------------
+  def nearest(s: SparkSession, dir: String): DataFrame =
+    NearestDistance.broadcastNearest(Derive.points(s, dir), Derive.sites(s, dir))
+      .orderBy("id")
+
+  val nearestSql: String = s"""
+    WITH $pts, $st
+    SELECT p.id, MIN(sqrt(${d2("p", "s")})) AS distance
+    FROM pts p CROSS JOIN st s
+    GROUP BY p.id ORDER BY p.id"""
+
+  // ---- nearest distance (grid strategy, same semantics) --------------
+  def nearestGrid(s: SparkSession, dir: String): DataFrame =
+    NearestDistance.gridNearest(
+      Derive.points(s, dir),
+      Derive.feats(s, dir).select("x", "y"), cellSize = 500.0)
+      .orderBy("id")
+
+  val nearestGridSql: String = s"""
+    WITH $pts, $f
+    SELECT p.id, MIN(sqrt(${d2("p", "f")})) AS distance
+    FROM pts p CROSS JOIN f
+    GROUP BY p.id ORDER BY p.id"""
+
+  // ---- buffer line stats (Road L/LL/LLW) -----------------------------
+  def bufferLine(s: SparkSession, dir: String): DataFrame =
+    BufferStats.lineStats(
+      Derive.points(s, dir), Derive.feats(s, dir), Seq(500.0, 1500.0),
+      Seq("L" -> col("weight"),
+          "LL" -> (col("weight") * col("lanes")),
+          "LLW" -> (col("weight") * col("lanes") * col("width"))))
+      .orderBy("id", "radius")
+
+  val bufferLineSql: String = s"""
+    WITH $pts, $f,
+    radii AS (SELECT * FROM (VALUES (500.0), (1500.0)) t(radius))
+    SELECT p.id, r.radius,
+      SUM(CASE WHEN ${d2("p", "f")} < r.radius*r.radius THEN f.weight ELSE 0.0 END) AS L,
+      SUM(CASE WHEN ${d2("p", "f")} < r.radius*r.radius THEN f.weight*f.lanes ELSE 0.0 END) AS LL,
+      SUM(CASE WHEN ${d2("p", "f")} < r.radius*r.radius THEN f.weight*f.lanes*f.width ELSE 0.0 END) AS LLW
+    FROM pts p CROSS JOIN radii r CROSS JOIN f
+    GROUP BY p.id, r.radius ORDER BY p.id, r.radius"""
+
+  // ---- landuse area/proportion per code ------------------------------
+  def areaRatio(s: SparkSession, dir: String): DataFrame =
+    BufferStats.areaRatio(
+      Derive.points(s, dir), Derive.feats(s, dir), Seq(500.0, 1500.0))
+      .orderBy("id", "code", "radius")
+
+  val areaRatioSql: String = s"""
+    WITH $pts, $f,
+    radii AS (SELECT * FROM (VALUES (500.0), (1500.0)) t(radius))
+    SELECT p.id, f.code, r.radius,
+      SUM(CASE WHEN ${d2("p", "f")} < r.radius*r.radius THEN f.area ELSE 0.0 END) AS a,
+      SUM(CASE WHEN ${d2("p", "f")} < r.radius*r.radius THEN f.area ELSE 0.0 END)
+        / (pi() * r.radius * r.radius) AS p
+    FROM pts p CROSS JOIN radii r CROSS JOIN f
+    GROUP BY p.id, f.code, r.radius ORDER BY p.id, f.code, r.radius"""
+
+  // ---- output-area intersection ratio --------------------------------
+  def intersectOa(s: SparkSession, dir: String): DataFrame =
+    BufferStats.intersectRatio(
+      Derive.points(s, dir), Derive.feats(s, dir), Seq(800.0))
+      .orderBy("id", "key", "radius")
+
+  val intersectOaSql: String = s"""
+    WITH $pts, $f,
+    radii AS (SELECT * FROM (VALUES (800.0)) t(radius)),
+    pairs AS (
+      SELECT p.id, f.key, r.radius,
+        SUM(CASE WHEN ${d2("p", "f")} < r.radius*r.radius THEN f.area ELSE 0.0 END) AS a
+      FROM pts p CROSS JOIN radii r CROSS JOIN f
+      GROUP BY p.id, f.key, r.radius),
+    tot AS (SELECT key, SUM(area) AS total_area FROM f GROUP BY key)
+    SELECT pairs.id, pairs.key, pairs.radius, pairs.a / tot.total_area AS ratio
+    FROM pairs JOIN tot ON pairs.key = tot.key
+    WHERE pairs.a > 0
+    ORDER BY pairs.id, pairs.key, pairs.radius"""
+
+  // ---- relative elevation (donut rings) ------------------------------
+  def relElev(s: SparkSession, dir: String): DataFrame =
+    RelativeElevation.compute(
+      Derive.points(s, dir),
+      Derive.feats(s, dir).select("x", "y", "elev"),
+      refRadius = 600.0, radii = Seq(1000.0), thickness = 300.0)
+      .orderBy("id")
+
+  val relElevSql: String = s"""
+    WITH $pts, $f,
+    cj AS (
+      SELECT p.id, f.elev, ${d2("p", "f")} AS dd
+      FROM pts p CROSS JOIN f),
+    ref AS (
+      SELECT id, SUM(elev)/COUNT(*) AS ref_elev
+      FROM cj WHERE dd < 360000.0 GROUP BY id)
+    SELECT cj.id,
+      SUM(CASE WHEN dd >= 1000000.0 AND dd < 1690000.0 AND elev - ref_elev > 20.0 THEN 1 ELSE 0 END)
+        / NULLIF(SUM(CASE WHEN dd >= 1000000.0 AND dd < 1690000.0 THEN 1 ELSE 0 END), 0) AS above20_1000,
+      SUM(CASE WHEN dd >= 1000000.0 AND dd < 1690000.0 AND elev - ref_elev < -20.0 THEN 1 ELSE 0 END)
+        / NULLIF(SUM(CASE WHEN dd >= 1000000.0 AND dd < 1690000.0 THEN 1 ELSE 0 END), 0) AS below20_1000,
+      SUM(CASE WHEN dd >= 1000000.0 AND dd < 1690000.0 AND elev - ref_elev > 50.0 THEN 1 ELSE 0 END)
+        / NULLIF(SUM(CASE WHEN dd >= 1000000.0 AND dd < 1690000.0 THEN 1 ELSE 0 END), 0) AS above50_1000,
+      SUM(CASE WHEN dd >= 1000000.0 AND dd < 1690000.0 AND elev - ref_elev < -50.0 THEN 1 ELSE 0 END)
+        / NULLIF(SUM(CASE WHEN dd >= 1000000.0 AND dd < 1690000.0 THEN 1 ELSE 0 END), 0) AS below50_1000,
+      FIRST(ref_elev) AS ref_elev
+    FROM cj JOIN ref ON cj.id = ref.id
+    GROUP BY cj.id ORDER BY cj.id"""
+
+  // ---- Z-order key (chunking replacement) ----------------------------
+  def zorder(s: SparkSession, dir: String): DataFrame = {
+    val c = graft.Tables.load(s, dir, "customer")
+    c.select(col("c_custkey").as("id"),
+        SpatialCurve.zKey(
+          ((col("c_custkey") * 7919) % 100000) % 1024,
+          ((col("c_custkey") * 104729) % 100000) % 1024).as("zkey"))
+      .orderBy("id")
+  }
+
+  val zorderSql: String = """
+    WITH base AS (
+      SELECT c_custkey AS id,
+             ((c_custkey * 7919) % 100000) % 1024 AS ix,
+             ((c_custkey * 104729) % 100000) % 1024 AS iy
+      FROM customer),
+    s1 AS (SELECT id, ((ix | (ix << 8)) & 16711935) AS ax,
+                      ((iy | (iy << 8)) & 16711935) AS ay FROM base),
+    s2 AS (SELECT id, ((ax | (ax << 4)) & 252645135) AS ax,
+                      ((ay | (ay << 4)) & 252645135) AS ay FROM s1),
+    s3 AS (SELECT id, ((ax | (ax << 2)) & 858993459) AS ax,
+                      ((ay | (ay << 2)) & 858993459) AS ay FROM s2),
+    s4 AS (SELECT id, ((ax | (ax << 1)) & 1431655765) AS ax,
+                      ((ay | (ay << 1)) & 1431655765) AS ay FROM s3)
+    SELECT id, (ax | (ay << 1)) AS zkey FROM s4 ORDER BY id"""
+
+  // ---- long→wide pivot (get_result) ----------------------------------
+  def pivot(s: SparkSession, dir: String): DataFrame = {
+    val p = Derive.points(s, dir)
+    val feats = Derive.feats(s, dir)
+    val sites = Derive.sites(s, dir)
+    val nearestLong = NearestDistance.broadcastNearest(p, sites)
+      .select(col("id"), lit("D_Supp").as("varname"),
+        lit(null).cast("int").as("year"), col("distance").as("value"))
+    val lineLong = BufferStats.lineStats(p, feats, Seq(500.0),
+        Seq("L" -> col("weight")))
+      .select(col("id"), lit("Road_L_0500").as("varname"),
+        lit(null).cast("int").as("year"), col("L").as("value"))
+    LongWide.pivotWide(nearestLong.unionByName(lineLong),
+        Seq("D_Supp", "Road_L_0500"))
+      .orderBy("id")
+  }
+
+  val pivotSql: String = s"""
+    WITH $pts, $st, $f,
+    n AS (
+      SELECT p.id, MIN(sqrt(${d2("p", "s")})) AS distance
+      FROM pts p CROSS JOIN st s GROUP BY p.id),
+    l AS (
+      SELECT p.id,
+        SUM(CASE WHEN ${d2("p", "f")} < 250000.0 THEN f.weight ELSE 0.0 END) AS L
+      FROM pts p CROSS JOIN f GROUP BY p.id)
+    SELECT p.id, CAST(NULL AS INTEGER) AS year,
+           n.distance AS "D_Supp", l.L AS "Road_L_0500"
+    FROM pts p JOIN n ON p.id = n.id JOIN l ON p.id = l.id
+    ORDER BY p.id"""
+
+  // ---- coordinate transform (rows-only: no ANSI-SQL oracle) ----------
+  def coordinate(s: SparkSession, dir: String): DataFrame = {
+    val w = Derive.wgsPoints(s, dir)
+    val proj = w.withColumn("_p", Proj.forward(col("lon"), col("lat")))
+    proj.withColumn("_g", Proj.inverse(col("_p.x"), col("_p.y")))
+      .select(col("id"),
+        col("_p.x").as("tm_x"), col("_p.y").as("tm_y"),
+        col("_g.lon").as("wgs_x"), col("_g.lat").as("wgs_y"))
+      .orderBy("id")
+  }
+
+  def all: Seq[QueryDef] = Seq(
+    QueryDef("geo_nearest", nearest, Some(nearestSql)),
+    QueryDef("geo_nearest_grid", nearestGrid, Some(nearestGridSql)),
+    QueryDef("geo_buffer_line", bufferLine, Some(bufferLineSql)),
+    QueryDef("geo_area_ratio", areaRatio, Some(areaRatioSql)),
+    QueryDef("geo_intersect_oa", intersectOa, Some(intersectOaSql)),
+    QueryDef("geo_relative_elevation", relElev, Some(relElevSql)),
+    QueryDef("geo_zorder", zorder, Some(zorderSql)),
+    QueryDef("geo_pivot", pivot, Some(pivotSql)),
+    QueryDef("geo_coordinate", coordinate, None))
+}

@@ -1,0 +1,29 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Long-form ⇄ wide-form result assembly — the reference's
+  * get_result(pivot=True) (duckpipe/core.py:168-214: pivot_table on
+  * (id, year) × varname with aggfunc "first").
+  *
+  * The varname list is passed explicitly so the pivot is a single
+  * conditional-aggregation shuffle — no driver-side collect of distinct
+  * varnames, which would stall a 100 TB run. (Spark's pivot(col, values)
+  * compiles to exactly that.) When the caller genuinely doesn't know
+  * the set, `pivotWideDiscover` pays one extra job to fetch it.
+  */
+object LongWide {
+
+  /** long (id, varname, year, value) → wide (id, year, <varname…>). */
+  def pivotWide(long: DataFrame, varnames: Seq[String]): DataFrame =
+    long.groupBy("id", "year")
+      .pivot("varname", varnames)
+      .agg(first("value"))
+
+  def pivotWideDiscover(long: DataFrame): DataFrame = {
+    val names = long.select("varname").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    pivotWide(long, names)
+  }
+}

@@ -1,0 +1,76 @@
+package graft.geo
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GeoOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("gridNearest equals broadcastNearest (exhaustive) on derived data") {
+    val pts = Derive.points(spark, sfDir)
+    val feats = Derive.feats(spark, sfDir).select("x", "y")
+    val brute = NearestDistance.broadcastNearest(pts, feats)
+      .withColumnRenamed("distance", "d_brute")
+    val grid = NearestDistance.gridNearest(pts, feats, cellSize = 500.0)
+    val diff = brute.join(grid, Seq("id"))
+      .select(max(abs(col("d_brute") - col("distance"))).as("err")).head()
+    assert(diff.getDouble(0) == 0.0)
+    assert(grid.count() == pts.count())
+  }
+
+  test("zKey interleaves bits (scala reference impl)") {
+    def spreadRef(v: Long): Long = {
+      var x = v & 0xFFFF
+      x = (x | (x << 8)) & 0x00FF00FFL
+      x = (x | (x << 4)) & 0x0F0F0F0FL
+      x = (x | (x << 2)) & 0x33333333L
+      (x | (x << 1)) & 0x55555555L
+    }
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1023L, 511L), (777L, 333L))
+    val df = cases.toDF("ix", "iy")
+      .select(col("ix"), col("iy"),
+        SpatialCurve.zKey(col("ix"), col("iy")).as("z"))
+    df.collect().foreach { r =>
+      val expected = spreadRef(r.getLong(0)) | (spreadRef(r.getLong(1)) << 1)
+      assert(r.getLong(2) == expected, s"(${r.getLong(0)},${r.getLong(1)})")
+    }
+  }
+
+  test("partitionBySpace keeps row count and reduces per-partition spread") {
+    val pts = Derive.points(spark, sfDir)
+    val parted = SpatialCurve.partitionBySpace(pts, cellSize = 100.0, numPartitions = 8)
+    assert(parted.count() == pts.count())
+  }
+
+  test("GeoCalculator fluent pipeline produces expected wide columns") {
+    val pts = Derive.points(spark, sfDir)
+    val wide = graft.api.GeoCalculator(pts)
+      .nearestDistance(Derive.sites(spark, sfDir), "D_Supp")
+      .bufferLineStats(Derive.feats(spark, sfDir), Seq(500.0))
+      .coordinates()
+      .resultWide(Seq("D_Supp", "Road_L_0500", "Road_LL_0500",
+        "Road_LLW_0500", "TM_X", "TM_Y", "WGS_X", "WGS_Y"))
+    assert(wide.columns.toSet.contains("D_Supp"))
+    assert(wide.columns.toSet.contains("Road_LLW_0500"))
+    val row = wide.orderBy("id").head()
+    assert(!row.isNullAt(row.fieldIndex("D_Supp")))
+    assert(wide.count() == pts.count())
+    // TM_X equals raw x (points are already in the projected CRS)
+    val err = wide.select(max(abs(col("TM_X") - col("x")))).head().getDouble(0)
+    assert(err == 0.0)
+  }
+
+  test("asof join matches a hand-computed case") {
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 205L), (3L, 11L, 50L))
+      .toDF("event_id", "k", "t")
+    val right = Seq((10L, 100L, "a"), (10L, 200L, "b"), (11L, 60L, "c"))
+      .toDF("k", "t", "v")
+    val out = graft.ops.AsofJoin.leftAsof(left, right,
+        "k", "k", "t", "t", Seq("v"))
+      .select(col("event_id"), col("_match.v").as("v"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out(1L) == Some("a"))   // exact-time match (>= semantics)
+    assert(out(2L) == Some("b"))   // most recent of two
+    assert(out(3L) == None)        // nothing at or before t=50
+  }
+}
