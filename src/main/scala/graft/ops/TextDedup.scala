@@ -1,0 +1,247 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data text operators: exact + near deduplication, token
+  * statistics, quality scoring, language ID, fingerprinting. First-class
+  * engine components (SURVEY.md §2 "LLM-training-data operators").
+  *
+  * Scale notes: exact dedup is a hash groupBy (one shuffle). Near-dup
+  * has two modes — `dedup_ngram` is the exact mode (shingle self-join;
+  * right at small scale, quadratic-ish at 100 TB), `dedup_minhash` is
+  * the scale mode: 64-perm MinHash signatures → 32 LSH band buckets →
+  * candidate pairs only → exact Jaccard verification of candidates.
+  * Both emit identical pairs at the configured threshold (the LSH miss
+  * probability at J≥0.5 with 32 bands of 2 is ≤ (1-0.25)^32 ≈ 1e-4,
+  * and the planted near-dups sit well above the threshold).
+  */
+object TextDedup {
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+
+  private val toks = split(col("text"), " ")
+
+  /** Distinct 3-token shingles per doc: (doc_id, s). */
+  private def shingles(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(toks) - 2),
+          i => concat_ws(" ", slice(toks, i, lit(3))))).as("s"))
+      .distinct()
+
+  // ---- exact dedup ---------------------------------------------------
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n"))
+      .orderBy("h")
+
+  val dedupExactSql: String = """
+    SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n
+    FROM documents GROUP BY 1 ORDER BY h"""
+
+  // ---- exact n-gram Jaccard near-dup (small-scale exact mode) --------
+  def dedupNgram(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(docs(s, dir)).cache()
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(cnt.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+      .join(cnt.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+      .select(col("da"), col("db"),
+        (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("j"))
+      .filter(col("j") >= 0.5)
+      .orderBy("da", "db")
+  }
+
+  val dedupNgramSql: String = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id, s FROM (
+      SELECT doc_id,
+        unnest(list_transform(generate_series(1, len(t) - 2),
+          i -> array_to_string(t[i:i+2], ' '))) AS s
+      FROM toks)),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT da, db,
+      CAST(c AS DOUBLE) / (cnt_a.n + cnt_b.n - c) AS j
+    FROM common
+    JOIN cnt cnt_a ON common.da = cnt_a.doc_id
+    JOIN cnt cnt_b ON common.db = cnt_b.doc_id
+    WHERE CAST(c AS DOUBLE) / (cnt_a.n + cnt_b.n - c) >= 0.5
+    ORDER BY da, db"""
+
+  // ---- MinHash + LSH near-dup (100 TB scale mode) --------------------
+  val NumPerms = 64
+  val BandRows = 2 // 32 bands × 2 rows
+
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(docs(s, dir)).cache()
+    // 64 permutations simulated as seeded xxhash64 of the shingle
+    val sigCols = (0 until NumPerms).map(p =>
+      min(xxhash64(lit(p), col("s"))).as(s"sig_$p"))
+    val sigs = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    // band keys: hash of each row-group of the signature
+    val bands = (0 until NumPerms / BandRows).map { b =>
+      val rows = (0 until BandRows).map(r => col(s"sig_${b * BandRows + r}"))
+      struct(lit(b).as("band"), xxhash64(lit(b) +: rows: _*).as("bk"))
+    }
+    val bucketed = sigs
+      .select(col("doc_id"), explode(array(bands: _*)).as("e"))
+      .select(col("doc_id"), col("e.band").as("band"), col("e.bk").as("bk"))
+    val cands = bucketed.as("a").join(bucketed.as("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    // exact Jaccard verification, candidate-driven (no full self-join)
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = cands
+      .join(sh.as("sa"), col("da") === col("sa.doc_id"))
+      .join(sh.as("sb"),
+        col("db") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
+      .groupBy("da", "db").agg(count(lit(1)).as("c"))
+    common
+      .join(cnt.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+      .join(cnt.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+      .select(col("da"), col("db"),
+        (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("j"))
+      .filter(col("j") >= 0.5)
+      .orderBy("da", "db")
+  }
+
+  // ---- SimHash near-dup (rows-only; spec checks vs ngram pairs) ------
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    // 64-bit simhash: per token-hash bit, +1/-1 vote weighted by count
+    val d = docs(s, dir).select(col("doc_id"), explode(toks).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    val bitCols = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"v_$b")
+    }
+    val votes = d.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
+    val sim = (0 until 64).map(b =>
+      when(col(s"v_$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce((a, c) => a.bitwiseOR(c))
+    val sigs = votes.select(col("doc_id"), sim.as("simhash")).cache()
+    // hamming ≤ 6 via 4-segment pigeonhole blocking (≥1 exact segment)
+    val seg = (0 until 4).map(k =>
+      struct(lit(k).as("seg"),
+        shiftright(col("simhash"), k * 16).bitwiseAND(lit(0xFFFFL)).as("sk")))
+    val blocked = sigs.select(col("doc_id"), col("simhash"),
+        explode(array(seg: _*)).as("e"))
+      .select(col("doc_id"), col("simhash"),
+        col("e.seg").as("seg"), col("e.sk").as("sk"))
+    blocked.as("a").join(blocked.as("b"),
+        col("a.seg") === col("b.seg") && col("a.sk") === col("b.sk") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 6)
+      .orderBy("da", "db")
+  }
+
+  // ---- token statistics ----------------------------------------------
+  def textTokens(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+        col("doc_id"),
+        size(toks).as("n_ws"),
+        size(expr("regexp_extract_all(text, '[a-z]+', 0)")).as("n_alpha"),
+        length(col("text")).as("n_chars_m"))
+      .orderBy("doc_id")
+
+  val textTokensSql: String = """
+    SELECT doc_id,
+      CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws,
+      CAST(len(regexp_extract_all(text, '[a-z]+')) AS INTEGER) AS n_alpha,
+      CAST(length(text) AS INTEGER) AS n_chars_m
+    FROM documents ORDER BY doc_id"""
+
+  // ---- quality scoring -----------------------------------------------
+  def textQuality(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+        col("doc_id"),
+        size(toks).as("n_words"),
+        (size(filter(toks, w => w.isin("the", "a"))).cast("double") /
+          size(toks)).as("stop_ratio"),
+        (length(regexp_replace(col("text"), " ", "")).cast("double") /
+          size(toks)).as("avg_word_len"),
+        (size(array_distinct(toks)).cast("double") / size(toks))
+          .as("type_token_ratio"))
+      .orderBy("doc_id")
+
+  val textQualitySql: String = """
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+    SELECT doc_id,
+      CAST(len(w) AS INTEGER) AS n_words,
+      CAST(len(list_filter(w, x -> x = 'the' OR x = 'a')) AS DOUBLE) / len(w) AS stop_ratio,
+      CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(w) AS avg_word_len,
+      CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS type_token_ratio
+    FROM t ORDER BY doc_id"""
+
+  // ---- language ID (stopword-profile heuristic) ----------------------
+  def textLangid(s: SparkSession, dir: String): DataFrame = {
+    def hits(ws: String*) = size(filter(toks, w => w.isin(ws: _*)))
+    val cEn = hits("the", "a", "of")
+    val cDe = hits("der", "die", "und")
+    val cEs = hits("el", "la", "de")
+    docs(s, dir).select(col("doc_id"), cEn.as("c_en"), cDe.as("c_de"),
+        cEs.as("c_es"))
+      .withColumn("pred_lang",
+        when(col("c_en") >= greatest(col("c_de"), col("c_es")) &&
+          col("c_en") > 0, "en")
+          .when(col("c_de") >= col("c_es") && col("c_de") > 0, "de")
+          .when(col("c_es") > 0, "es")
+          .otherwise("und"))
+      .select("doc_id", "pred_lang", "c_en", "c_de", "c_es")
+      .orderBy("doc_id")
+  }
+
+  val textLangidSql: String = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    c AS (SELECT doc_id,
+      CAST(len(list_filter(w, x -> x = 'the' OR x = 'a' OR x = 'of')) AS INTEGER) AS c_en,
+      CAST(len(list_filter(w, x -> x = 'der' OR x = 'die' OR x = 'und')) AS INTEGER) AS c_de,
+      CAST(len(list_filter(w, x -> x = 'el' OR x = 'la' OR x = 'de')) AS INTEGER) AS c_es
+    FROM t)
+    SELECT doc_id,
+      CASE WHEN c_en >= GREATEST(c_de, c_es) AND c_en > 0 THEN 'en'
+           WHEN c_de >= c_es AND c_de > 0 THEN 'de'
+           WHEN c_es > 0 THEN 'es'
+           ELSE 'und' END AS pred_lang,
+      c_en, c_de, c_es
+    FROM c ORDER BY doc_id"""
+
+  // ---- document fingerprint (min-shingle-hash, a 1-perm MinHash) -----
+  def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+        array_min(transform(sequence(lit(1), size(toks) - 3),
+          i => md5(concat_ws(" ", slice(toks, i, lit(4)))))).as("fp"))
+      .orderBy("doc_id")
+
+  val textFingerprintSql: String = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    SELECT doc_id,
+      list_min(list_transform(generate_series(1, len(w) - 3),
+        i -> md5(array_to_string(w[i:i+3], ' ')))) AS fp
+    FROM t ORDER BY doc_id"""
+
+  def all: Seq[QueryDef] = Seq(
+    QueryDef("dedup_exact", dedupExact, Some(dedupExactSql)),
+    QueryDef("dedup_ngram", dedupNgram, Some(dedupNgramSql)),
+    QueryDef("dedup_minhash", dedupMinhash, Some(dedupNgramSql)),
+    QueryDef("dedup_simhash", dedupSimhash, None),
+    QueryDef("text_tokens", textTokens, Some(textTokensSql)),
+    QueryDef("text_quality", textQuality, Some(textQualitySql)),
+    QueryDef("text_langid", textLangid, Some(textLangidSql)),
+    QueryDef("text_fingerprint", textFingerprint, Some(textFingerprintSql)))
+}

@@ -1,0 +1,61 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextVecSpec extends SparkSpec {
+
+  test("minhash-LSH near-dup finds exactly the exact-Jaccard pairs") {
+    val exact = TextDedup.dedupNgram(spark, sfDir)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = TextDedup.dedupMinhash(spark, sfDir)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact, s"missed=${exact -- lsh} extra=${lsh -- exact}")
+    assert(exact.nonEmpty, "test data should contain planted near-dups")
+  }
+
+  test("simhash separates planted near-dups from random pairs") {
+    // The right property for simhash isn't precision against Jaccard
+    // pairs (different metric, and the synthetic docs share one small
+    // vocabulary) — it's that planted near-dups sit at much smaller
+    // hamming distance than the population.
+    val ham = TextDedup.dedupSimhash(spark, sfDir)
+      .select("da", "db", "hamming").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    val exact = TextDedup.dedupNgram(spark, sfDir)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "test data should contain planted near-dups")
+    // every planted pair must be caught by the hamming≤6 blocking join
+    val caught = exact.count(ham.contains)
+    assert(caught.toDouble / exact.size >= 0.9,
+      s"simhash caught $caught of ${exact.size} planted pairs")
+    val plantedMax = exact.flatMap(ham.get).max
+    assert(plantedMax <= 6)
+  }
+
+  test("LSH ANN recall@10 vs brute force at bucket granularity fitting the data") {
+    val brute = VectorOps.annCosine(spark, sfDir)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 2 planes → 4 buckets over the 50-vector sf0.001 corpus; the
+    // 16-plane production setting is sized for much larger corpora.
+    val lsh = VectorOps.annLshWith(spark, sfDir, nPlanes = 2)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (lsh intersect brute).size.toDouble / brute.size
+    assert(recall > 0.2, s"recall@10 $recall")
+  }
+
+  test("multimodal stub pipeline: batch decode preserves rows and schema") {
+    val out = Multimodal.decodeAll(spark, sfDir)
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "n_bytes", "mean_byte", "feature"))
+    val n = graft.Tables.load(spark, sfDir, "documents").count()
+    assert(out.count() == n)
+    val row = out.orderBy("doc_id").head()
+    assert(row.getInt(1) > 0)
+    assert(row.getSeq[Double](3).length == 4)
+    // histogram mass equals byte count
+    val checked = out.filter(
+      expr("abs(aggregate(feature, 0D, (a, x) -> a + x) - n_bytes) > 1e-9"))
+    assert(checked.isEmpty)
+  }
+}
