@@ -1,0 +1,63 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ops.Events
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+class EventStreamSpec extends SparkSpec {
+
+  test("streaming tumbling agg equals the batch plan") {
+    val q = EventStream.tumbling(spark, sfDir)
+      .writeStream.format("memory").queryName("tumbling_out")
+      .outputMode(OutputMode.Complete()).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("tumbling_out")
+      .select("hour_us", "event_type", "n", "total_value")
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val batch = Events.tumbling(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("streaming sessionization emits exactly the batch sessions closed in-stream") {
+    val q = EventStream.sessions(spark, sfDir)
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("sessions_out")
+      .select("user_id", "session_start_us", "session_end_us", "n_events")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+    val all = Events.sessionize(spark, sfDir)
+      .select("user_id", "session_start_us", "session_end_us", "n_events")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // Bounded run: non-final sessions are closed inline by the next
+    // event; each user's final session stays in state UNLESS its
+    // event-time timeout (end + gap) fell behind the final watermark
+    // (max event time - 1h), in which case the timeout batch emitted it.
+    val lastPerUser = Events.sessionize(spark, sfDir)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy(col("session_id").desc)))
+      .filter(col("rn") === 1)
+      .select("user_id", "session_start_us", "session_end_us", "n_events")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val maxTsUs = graft.Tables.loadEventsUs(spark, sfDir)
+      .agg(max("ts_us")).head().getLong(0)
+    val watermarkMs = maxTsUs / 1000 - 3600 * 1000
+    val stillOpen = lastPerUser.filter { case (_, _, endUs, _) =>
+      endUs / 1000 + EventStream.GapUs / 1000 >= watermarkMs
+    }
+    val expected = all -- stillOpen
+    assert(streamed == expected,
+      s"missing=${(expected -- streamed).take(3)} extra=${(streamed -- expected).take(3)}")
+    assert(expected.nonEmpty)
+  }
+}
