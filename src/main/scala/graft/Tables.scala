@@ -33,6 +33,30 @@ object Tables {
     }
   }
 
+  /** Spread a compact input across the cluster BEFORE a fan-out stage
+    * (offset explode, shingle explode, multi-plane folds). Scans of
+    * small files arrive as one partition; exploding 9–64× inside that
+    * one task serializes the whole operator. Shuffling the compact rows
+    * first is cheap and restores full parallelism; at scale, inputs
+    * with many splits pay one small shuffle of the pre-explosion rows.
+    */
+  def fanout(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  /** Materialize a reused intermediate NOW and truncate its lineage.
+    *
+    * A lazy .cache() that several concurrent AQE stages hit before the
+    * first materialization makes each stage recompute the full subtree
+    * (no sharing until blocks exist) — a ~6× CPU storm observed on the
+    * dedup pipelines. An eager localCheckpoint stores the partitions
+    * once and every downstream stage reads the blocks; there is no
+    * cache-manager plan matching and no lineage left to recompute.
+    * (On a real cluster with lineage-failure concerns, swap for
+    * checkpoint() to reliable storage — same call shape.)
+    */
+  def hot(df: DataFrame): DataFrame =
+    df.localCheckpoint(true)
+
   /** Register every table as a temp view so spark.sql(...) works too. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))

@@ -13,6 +13,10 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // 64-column self-join plans (minhash/simhash signatures) send the
+      // optimizer's constraint propagation into a combinatorial blowup
+      // re-run at every AQE re-optimization — 30x wall-clock on dedup
+      .config("spark.sql.constraintPropagation.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -31,7 +31,7 @@ object BufferStats {
       .withColumn("ck", Geo.cellKey(
         Geo.cellOf(col("x"), cellSize), Geo.cellOf(col("y"), cellSize)))
       .withColumnRenamed("x", "fx").withColumnRenamed("y", "fy")
-    points
+    Geo.fanout(points)
       .join(broadcast(offsets))
       .withColumn("ck", Geo.cellKey(
         Geo.cellOf(col("x"), cellSize) + col("dx"),

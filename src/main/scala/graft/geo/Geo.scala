@@ -21,6 +21,16 @@ object Geo {
   def dist(px: Column, py: Column, fx: Column, fy: Column): Column =
     sqrt(dist2(px, py, fx, fy))
 
+  /** Spread a compact input across the cluster BEFORE a fan-out stage
+    * (offset explode, shingle explode, multi-plane folds). Scans of
+    * small files arrive as one partition; exploding 9–64× inside that
+    * one task serializes the whole operator. Shuffling the compact rows
+    * first is cheap and restores full parallelism — at scale, inputs
+    * with many splits are unaffected in spirit (the shuffle is of the
+    * pre-explosion, small representation).
+    */
+  def fanout(df: DataFrame): DataFrame = graft.Tables.fanout(df)
+
   /** Grid-cell id for spatial bucketing at `cellSize` meters. */
   def cellOf(x: Column, cellSize: Double): Column =
     floor(x / lit(cellSize)).cast("long")

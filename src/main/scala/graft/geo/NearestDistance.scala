@@ -51,7 +51,7 @@ object NearestDistance {
       .withColumn("fcy", Geo.cellOf(col("fy"), cellSize))
       .cache()
 
-    var pending = points.select("id", "x", "y")
+    var pending = Geo.fanout(points.select("id", "x", "y"))
       .withColumn("cx", Geo.cellOf(col("x"), cellSize))
       .withColumn("cy", Geo.cellOf(col("y"), cellSize))
       .cache()

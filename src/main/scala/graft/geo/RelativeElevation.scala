@@ -27,7 +27,7 @@ object RelativeElevation {
     import spark.implicits._
     val offsets = Seq(-1L, 0L, 1L)
       .flatMap(dx => Seq(-1L, 0L, 1L).map(dy => (dx, dy))).toDF("dx", "dy")
-    val joined = points
+    val joined = Geo.fanout(points)
       .join(broadcast(offsets))
       .withColumn("ck", Geo.cellKey(
         Geo.cellOf(col("x"), reach) + col("dx"),

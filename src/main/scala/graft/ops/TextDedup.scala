@@ -26,10 +26,47 @@ object TextDedup {
 
   /** Distinct 3-token shingles per doc: (doc_id, s). */
   private def shingles(d: DataFrame): DataFrame =
-    d.select(col("doc_id"),
+    Tables.fanout(d)
+      .select(col("doc_id"),
         explode(transform(sequence(lit(1), size(toks) - 2),
           i => concat_ws(" ", slice(toks, i, lit(3))))).as("s"))
       .distinct()
+
+  /** Distinct hashed shingles: (doc_id, hs). All self-joins run on the
+    * 8-byte hash, not the string — same pairs (64-bit collisions are
+    * ~1e-11 at this vocabulary), far smaller shuffles. */
+  private def shinglesHashed(d: DataFrame): DataFrame =
+    Tables.fanout(d)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(toks) - 2),
+          i => xxhash64(concat_ws(" ", slice(toks, i, lit(3)))))).as("hs"))
+      .distinct()
+
+  /** Exact-Jaccard pairs ≥ `minJ` from a hashed-shingle table, either
+    * over all co-occurring pairs (cands = None) or candidate-driven. */
+  private def jaccardPairs(sh: DataFrame, minJ: Double,
+                           cands: Option[DataFrame]): DataFrame = {
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = cands match {
+      case None =>
+        sh.as("a").join(sh.as("b"),
+            col("a.hs") === col("b.hs") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          .agg(count(lit(1)).as("c"))
+      case Some(cs) =>
+        cs.join(sh.as("sa"), col("da") === col("sa.doc_id"))
+          .join(sh.as("sb"),
+            col("db") === col("sb.doc_id") && col("sa.hs") === col("sb.hs"))
+          .groupBy("da", "db").agg(count(lit(1)).as("c"))
+    }
+    common
+      .join(cnt.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+      .join(cnt.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+      .select(col("da"), col("db"),
+        (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("j"))
+      .filter(col("j") >= minJ)
+      .orderBy("da", "db")
+  }
 
   // ---- exact dedup ---------------------------------------------------
   def dedupExact(s: SparkSession, dir: String): DataFrame =
@@ -43,21 +80,8 @@ object TextDedup {
     FROM documents GROUP BY 1 ORDER BY h"""
 
   // ---- exact n-gram Jaccard near-dup (small-scale exact mode) --------
-  def dedupNgram(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(docs(s, dir)).cache()
-    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val common = sh.as("a").join(sh.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .agg(count(lit(1)).as("c"))
-    common
-      .join(cnt.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
-      .join(cnt.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
-      .select(col("da"), col("db"),
-        (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("j"))
-      .filter(col("j") >= 0.5)
-      .orderBy("da", "db")
-  }
+  def dedupNgram(s: SparkSession, dir: String): DataFrame =
+    jaccardPairs(Tables.hot(shinglesHashed(docs(s, dir))), 0.5, None)
 
   val dedupNgramSql: String = """
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -84,11 +108,13 @@ object TextDedup {
   val BandRows = 2 // 32 bands × 2 rows
 
   def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(docs(s, dir)).cache()
-    // 64 permutations simulated as seeded xxhash64 of the shingle
+    val sh = Tables.hot(shinglesHashed(docs(s, dir)))
+    // 64 permutations derived by re-hashing the 8-byte shingle hash —
+    // never re-hashing the string
     val sigCols = (0 until NumPerms).map(p =>
-      min(xxhash64(lit(p), col("s"))).as(s"sig_$p"))
-    val sigs = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      min(xxhash64(lit(p), col("hs"))).as(s"sig_$p"))
+    val sigs = Tables.hot(
+      sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*))
     // band keys: hash of each row-group of the signature
     val bands = (0 until NumPerms / BandRows).map { b =>
       val rows = (0 until BandRows).map(r => col(s"sig_${b * BandRows + r}"))
@@ -103,25 +129,14 @@ object TextDedup {
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
     // exact Jaccard verification, candidate-driven (no full self-join)
-    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val common = cands
-      .join(sh.as("sa"), col("da") === col("sa.doc_id"))
-      .join(sh.as("sb"),
-        col("db") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
-      .groupBy("da", "db").agg(count(lit(1)).as("c"))
-    common
-      .join(cnt.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
-      .join(cnt.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
-      .select(col("da"), col("db"),
-        (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("j"))
-      .filter(col("j") >= 0.5)
-      .orderBy("da", "db")
+    jaccardPairs(sh, 0.5, Some(cands))
   }
 
   // ---- SimHash near-dup (rows-only; spec checks vs ngram pairs) ------
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
     // 64-bit simhash: per token-hash bit, +1/-1 vote weighted by count
-    val d = docs(s, dir).select(col("doc_id"), explode(toks).as("w"))
+    val d = Tables.fanout(docs(s, dir))
+      .select(col("doc_id"), explode(toks).as("w"))
       .withColumn("h", xxhash64(col("w")))
     val bitCols = (0 until 64).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
@@ -131,7 +146,7 @@ object TextDedup {
     val sim = (0 until 64).map(b =>
       when(col(s"v_$b") > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce((a, c) => a.bitwiseOR(c))
-    val sigs = votes.select(col("doc_id"), sim.as("simhash")).cache()
+    val sigs = Tables.hot(votes.select(col("doc_id"), sim.as("simhash")))
     // hamming ≤ 6 via 4-segment pigeonhole blocking (≥1 exact segment)
     val seg = (0 until 4).map(k =>
       struct(lit(k).as("seg"),

@@ -25,7 +25,7 @@ object VectorOps {
   private val QueryFilter = "vec_id % 100 = 0"
 
   private def emb(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "embeddings")
+    Tables.fanout(Tables.load(s, dir, "embeddings"))
       .select(col("vec_id"), Vec.asDouble(col("embedding")).as("v"))
 
   def annCosine(s: SparkSession, dir: String): DataFrame = {
