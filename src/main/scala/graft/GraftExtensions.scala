@@ -1,0 +1,36 @@
+package graft
+
+import graft.functions.ClippedSegmentLength
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL-surface registration of graft's native expressions.
+  *
+  * Two entry points:
+  *  - config: `spark.sql.extensions=graft.GraftExtensions` (cluster-wide,
+  *    the SparkSessionExtensions route)
+  *  - programmatic: `GraftFunctions.register(spark)` on a live session.
+  *
+  * After either, `SELECT clipped_segment_length(cx,cy,r,x1,y1,x2,y2)`
+  * works from plain SQL.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftFunctions.clippedSegmentLengthFn)
+}
+
+object GraftFunctions {
+  val clippedSegmentLengthFn
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("clipped_segment_length"),
+    new ExpressionInfo(classOf[ClippedSegmentLength].getName,
+      "clipped_segment_length"),
+    (args: Seq[Expression]) => ClippedSegmentLength(args))
+
+  def register(spark: SparkSession): Unit = {
+    val (id, info, builder) = clippedSegmentLengthFn
+    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+  }
+}

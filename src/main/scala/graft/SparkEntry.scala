@@ -9,8 +9,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def registries: Seq[QueryDef] =
-    ops.Relational.all ++ ops.Events.all ++ ops.GeoQueries.all ++
-      ops.TextDedup.all ++ ops.VectorOps.all ++ ops.Multimodal.all
+    ops.Relational.all ++ ops.Relational2.all ++ ops.Events.all ++
+      ops.GeoQueries.all ++ ops.TextDedup.all ++ ops.VectorOps.all ++
+      ops.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -70,6 +70,21 @@ object Derive {
            CAST(p_partkey % 40 AS BIGINT) AS key
     FROM part"""
 
+  /** Road-segment analogue: endpoints up to ~28 m apart, anchored at
+    * the feats coordinates. */
+  def segments(s: SparkSession, dir: String): DataFrame =
+    feats(s, dir).select(
+      col("fid"),
+      col("x").as("x1"), col("y").as("y1"),
+      (col("x") + ((col("fid") * 53) % 200 - 100).cast("double") / 5.0).as("x2"),
+      (col("y") + ((col("fid") * 59) % 200 - 100).cast("double") / 5.0).as("y2"))
+
+  val segmentsSql: String = s"""
+    SELECT fid, x AS x1, y AS y1,
+           x + CAST((fid * 53) % 200 - 100 AS DOUBLE) / 5.0 AS x2,
+           y + CAST((fid * 59) % 200 - 100 AS DOUBLE) / 5.0 AS y2
+    FROM ($featsSql)"""
+
   /** WGS84 lon/lat in a Korea-sized window for projection tests. */
   def wgsPoints(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "customer").select(

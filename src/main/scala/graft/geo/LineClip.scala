@@ -1,0 +1,55 @@
+package graft.geo
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Exact buffer∩segment length statistics — the precise geometry of the
+  * reference's Road LLW (ST_Length(ST_Intersection(buffer, road))),
+  * computed by the native ClippedSegmentLength expression instead of
+  * the point-weight approximation in BufferStats.
+  *
+  * Segments: (x1, y1, x2, y2, …weights). Bucketed by midpoint into
+  * cells of (maxRadius + half the longest segment) so the 3×3
+  * neighborhood provably covers every intersecting segment.
+  */
+object LineClip {
+
+  def lineStatsExact(points: DataFrame, segments: DataFrame,
+                     radii: Seq[Double], maxSegLen: Double): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    // native expression reached through the function registry
+    graft.GraftFunctions.register(spark)
+    val cell = radii.max + maxSegLen / 2
+    val offsets = Seq(-1L, 0L, 1L)
+      .flatMap(dx => Seq(-1L, 0L, 1L).map(dy => (dx, dy))).toDF("dx", "dy")
+    val segs = segments
+      .withColumn("mx", (col("x1") + col("x2")) / 2)
+      .withColumn("my", (col("y1") + col("y2")) / 2)
+      .withColumn("ck", Geo.cellKey(
+        Geo.cellOf(col("mx"), cell), Geo.cellOf(col("my"), cell)))
+    val joined = Geo.fanout(points)
+      .join(broadcast(offsets))
+      .withColumn("ck", Geo.cellKey(
+        Geo.cellOf(col("x"), cell) + col("dx"),
+        Geo.cellOf(col("y"), cell) + col("dy")))
+      .join(segs, Seq("ck"))
+    val aggs = radii.map { r =>
+      val clip = call_function("clipped_segment_length",
+        col("x"), col("y"), lit(r),
+        col("x1"), col("y1"), col("x2"), col("y2"))
+      // decimal-routed sum: clipped lengths are irrational doubles, the
+      // 1e-9 quantization makes cross-engine accumulation order moot
+      sum(clip.cast(DecimalType(18, 9))).cast("double").as(s"L_${r.toInt}")
+    }
+    val agged = joined.groupBy("id").agg(aggs.head, aggs.tail: _*)
+    val perRadius = radii.map(r =>
+      struct(lit(r).as("radius"),
+        coalesce(col(s"L_${r.toInt}"), lit(0.0)).as("L")))
+    points.select("id")
+      .join(agged, Seq("id"), "left")
+      .select(col("id"), explode(array(perRadius: _*)).as("s"))
+      .select(col("id"), col("s.radius").as("radius"), col("s.L").as("L"))
+  }
+}

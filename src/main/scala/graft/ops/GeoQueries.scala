@@ -184,6 +184,40 @@ object GeoQueries {
     FROM pts p JOIN n ON p.id = n.id JOIN l ON p.id = l.id
     ORDER BY p.id"""
 
+  // ---- exact clipped segment length (native Catalyst expression) -----
+  def lineClip(s: SparkSession, dir: String): DataFrame =
+    LineClip.lineStatsExact(
+      Derive.points(s, dir), Derive.segments(s, dir),
+      radii = Seq(500.0), maxSegLen = 30.0)
+      .orderBy("id", "radius")
+
+  /** The oracle mirrors GeoMath.clippedSegmentLength operation-for-
+    * operation so both engines produce bit-identical doubles; per-term
+    * DECIMAL(18,9) quantization neutralizes summation order. */
+  val lineClipSql: String = s"""
+    WITH $pts, segs AS (${Derive.segmentsSql}),
+    base AS (
+      SELECT p.id, 500.0 AS radius, p.x AS cx, p.y AS cy,
+             s.x1, s.y1, s.x2, s.y2
+      FROM pts p CROSS JOIN segs s),
+    c1 AS (SELECT *, x2 - x1 AS dx, y2 - y1 AS dy,
+                  x1 - cx AS fx, y1 - cy AS fy FROM base),
+    c2 AS (SELECT *, dx*dx + dy*dy AS a, 2.0*(dx*fx + dy*fy) AS b,
+                  fx*fx + fy*fy - radius*radius AS c FROM c1),
+    c3 AS (SELECT *, b*b - 4.0*a*c AS disc FROM c2),
+    c4 AS (SELECT id, radius,
+      CASE WHEN a = 0.0 OR disc <= 0.0 THEN 0.0
+           ELSE CASE
+             WHEN LEAST((-b + sqrt(disc)) / (2.0*a), 1.0) <=
+                  GREATEST((-b - sqrt(disc)) / (2.0*a), 0.0) THEN 0.0
+             ELSE (LEAST((-b + sqrt(disc)) / (2.0*a), 1.0) -
+                   GREATEST((-b - sqrt(disc)) / (2.0*a), 0.0)) * sqrt(a)
+           END END AS clip
+      FROM c3)
+    SELECT id, radius,
+           CAST(SUM(CAST(clip AS DECIMAL(18,9))) AS DOUBLE) AS L
+    FROM c4 GROUP BY id, radius ORDER BY id, radius"""
+
   // ---- coordinate transform (rows-only: no ANSI-SQL oracle) ----------
   def coordinate(s: SparkSession, dir: String): DataFrame = {
     val w = Derive.wgsPoints(s, dir)
@@ -204,5 +238,6 @@ object GeoQueries {
     QueryDef("geo_relative_elevation", relElev, Some(relElevSql)),
     QueryDef("geo_zorder", zorder, Some(zorderSql)),
     QueryDef("geo_pivot", pivot, Some(pivotSql)),
+    QueryDef("geo_line_clip", lineClip, Some(lineClipSql)),
     QueryDef("geo_coordinate", coordinate, None))
 }
