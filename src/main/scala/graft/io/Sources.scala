@@ -1,0 +1,41 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink surface of the engine. The reference reads parquet
+  * tables and CSV point files (duckpipe/test/example.py reads
+  * data/sample_point_korea.csv) and targets cloud object storage
+  * (core.py connect_cloud_storage) — in graft all of that is Spark's
+  * datasource layer: same API against local FS, HDFS or s3a/gs/abfs
+  * URIs, so "cloud support" is a path scheme, not a code path.
+  */
+object Sources {
+
+  /** Schema-applied CSV ingest (header, typed columns — the reference's
+    * point-table CSV shape). Explicit schema keeps the read one-pass
+    * (no inference scan) — mandatory at 100 TB. */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("header", "true").csv(path)
+
+  /** JSON-lines ingest with explicit schema. */
+  def readJsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** Hive-style partitioned parquet sink. Partition columns become
+    * directories → readers prune partitions from WHERE clauses without
+    * touching data files. */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+                       mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
+
+  /** Co-locate + order rows for downstream merge-friendly reads:
+    * repartition on the join key and sort within partitions (the
+    * save-path analogue of bucketing, without a metastore). */
+  def writeClustered(df: DataFrame, path: String, key: String,
+                     numPartitions: Int): Unit =
+    df.repartition(numPartitions, col(key))
+      .sortWithinPartitions(key)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+}

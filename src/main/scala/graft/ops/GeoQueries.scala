@@ -218,6 +218,59 @@ object GeoQueries {
            CAST(SUM(CAST(clip AS DECIMAL(18,9))) AS DOUBLE) AS L
     FROM c4 GROUP BY id, radius ORDER BY id, radius"""
 
+  // ---- fluent GeoCalculator pipeline, wide + long results ------------
+  private val pipelineVarnames: Seq[String] =
+    Seq("D_Supp", "Road_L_0500", "Road_LL_0500", "Road_LLW_0500") ++
+      (0 until 5).flatMap(c => Seq(s"LS${c}_0500_a", s"LS${c}_0500_p"))
+
+  private def pipelineCalc(s: SparkSession, dir: String) =
+    graft.api.GeoCalculator(Derive.points(s, dir))
+      .nearestDistance(Derive.sites(s, dir), "D_Supp")
+      .bufferLineStats(Derive.feats(s, dir), Seq(500.0))
+      .landuseAreaRatio(Derive.feats(s, dir), Seq(500.0))
+
+  def pipelineWide(s: SparkSession, dir: String): DataFrame =
+    pipelineCalc(s, dir)
+      .resultWide(pipelineVarnames)
+      .orderBy("id")
+
+  def pipelineLong(s: SparkSession, dir: String): DataFrame =
+    pipelineCalc(s, dir).resultLong.orderBy("id", "varname")
+
+  private val pipelineWideInnerSql: String = s"""
+    SELECT p.id, p.x, p.y, CAST(NULL AS INTEGER) AS year,
+      n.distance AS "D_Supp",
+      l."Road_L_0500", l."Road_LL_0500", l."Road_LLW_0500",
+      ${(0 until 5).map(c =>
+        s"""a."LS${c}_0500_a", a."LS${c}_0500_p"""").mkString(", ")}
+    FROM pts p
+    JOIN (SELECT p.id, MIN(sqrt(${d2("p", "s")})) AS distance
+          FROM pts p CROSS JOIN st s GROUP BY p.id) n ON p.id = n.id
+    JOIN (SELECT p.id,
+            SUM(CASE WHEN ${d2("p", "f")} < 250000.0 THEN f.weight ELSE 0.0 END) AS "Road_L_0500",
+            SUM(CASE WHEN ${d2("p", "f")} < 250000.0 THEN f.weight*f.lanes ELSE 0.0 END) AS "Road_LL_0500",
+            SUM(CASE WHEN ${d2("p", "f")} < 250000.0 THEN f.weight*f.lanes*f.width ELSE 0.0 END) AS "Road_LLW_0500"
+          FROM pts p CROSS JOIN f GROUP BY p.id) l ON p.id = l.id
+    JOIN (SELECT p.id,
+            ${(0 until 5).map(c =>
+              s"""SUM(CASE WHEN ${d2("p", "f")} < 250000.0 AND f.code = $c THEN f.area ELSE 0.0 END) AS "LS${c}_0500_a",
+                  SUM(CASE WHEN ${d2("p", "f")} < 250000.0 AND f.code = $c THEN f.area ELSE 0.0 END) / (pi() * 500.0 * 500.0) AS "LS${c}_0500_p"""")
+              .mkString(", ")}
+          FROM pts p CROSS JOIN f GROUP BY p.id) a ON p.id = a.id"""
+
+  val pipelineWideSql: String = s"""
+    WITH $pts, $st, $f
+    $pipelineWideInnerSql
+    ORDER BY p.id"""
+
+  val pipelineLongSql: String = s"""
+    WITH $pts, $st, $f,
+    wide AS ($pipelineWideInnerSql)
+    SELECT id, varname, CAST(NULL AS INTEGER) AS year, value
+    FROM (SELECT * EXCLUDE (x, y, year) FROM wide)
+    UNPIVOT (value FOR varname IN (${pipelineVarnames.map(v => s""""$v"""").mkString(", ")}))
+    ORDER BY id, varname"""
+
   // ---- coordinate transform (rows-only: no ANSI-SQL oracle) ----------
   def coordinate(s: SparkSession, dir: String): DataFrame = {
     val w = Derive.wgsPoints(s, dir)
@@ -239,5 +292,7 @@ object GeoQueries {
     QueryDef("geo_zorder", zorder, Some(zorderSql)),
     QueryDef("geo_pivot", pivot, Some(pivotSql)),
     QueryDef("geo_line_clip", lineClip, Some(lineClipSql)),
+    QueryDef("geo_pipeline_wide", pipelineWide, Some(pipelineWideSql)),
+    QueryDef("geo_pipeline_long", pipelineLong, Some(pipelineLongSql)),
     QueryDef("geo_coordinate", coordinate, None))
 }

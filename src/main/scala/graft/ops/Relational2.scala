@@ -194,7 +194,24 @@ object Relational2 {
            COUNT(*) AS users
     FROM s3 GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
 
+  // ---- semi-structured JSON column processing ------------------------
+  def qJson(s: SparkSession, dir: String): DataFrame = {
+    Tables.loadEventsUs(s, dir)
+      .select(from_json(col("props"), lit("k INT")).getField("k").as("k"),
+        col("value"))
+      .groupBy((col("k") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("total_value"))
+      .orderBy("k_mod")
+  }
+
+  val qJsonSql: String = """
+    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1 ORDER BY 1"""
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("q_json", qJson, Some(qJsonSql)),
     QueryDef("q_semi_anti", qSemiAnti, Some(qSemiAntiSql)),
     QueryDef("q_setops", qSetOps, Some(qSetOpsSql)),
     QueryDef("q_stats", qStats, Some(qStatsSql)),

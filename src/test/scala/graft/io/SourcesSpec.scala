@@ -1,0 +1,70 @@
+package graft.io
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+class SourcesSpec extends SparkSpec {
+
+  test("CSV round-trip preserves schema and values") {
+    val dir = Files.createTempDirectory("graft_csv").toString
+    val src = Tables.load(spark, sfDir, "customer")
+      .select("c_custkey", "c_name", "c_acctbal")
+    src.write.option("header", "true").mode("overwrite").csv(dir)
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_name", StringType),
+      StructField("c_acctbal", DoubleType)))
+    val back = Sources.readCsv(spark, dir, schema)
+    assert(back.count() == src.count())
+    val diff = src.exceptAll(back).count() + back.exceptAll(src).count()
+    assert(diff == 0)
+  }
+
+  test("partitioned write prunes partitions on read") {
+    val dir = Files.createTempDirectory("graft_part").toString
+    val o = Tables.load(spark, sfDir, "orders")
+      .withColumn("order_year", year(col("o_orderdate")))
+    Sources.writePartitioned(o, dir, Seq("order_year"))
+    val all = spark.read.parquet(dir)
+    val years = all.select("order_year").distinct().count()
+    assert(years > 3)
+    val pruned = spark.read.parquet(dir).filter(col("order_year") === 1996)
+    val expected = o.filter(col("order_year") === 1996).count()
+    assert(pruned.count() == expected)
+    // partition pruning: the scan selects exactly the 1996 directory
+    // (inputFiles reports the unpruned listing, so inspect the scan node)
+    val scans = pruned.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    val parts = scans.head.selectedPartitions
+    assert(parts.partitionCount == 1)
+  }
+
+  test("clustered write co-locates keys and orders within partitions") {
+    val dir = Files.createTempDirectory("graft_clus").toString
+    val l = Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_extendedprice")
+    Sources.writeClustered(l, dir, "l_orderkey", numPartitions = 4)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == l.count())
+    // each key's rows land in exactly one file (co-location)
+    import spark.implicits._
+    val spread = back
+      .select(col("l_orderkey"), input_file_name().as("f"))
+      .groupBy("l_orderkey").agg(countDistinct("f").as("nf"))
+      .agg(max("nf")).head().getLong(0)
+    assert(spread == 1L)
+  }
+
+  test("JSON props parsing matches engine JSON path semantics") {
+    val e = Tables.load(spark, sfDir, "events")
+      .select(from_json(col("props"), lit("k INT")).getField("k").as("k"))
+    assert(e.filter(col("k").isNull).count() == 0)
+    val viaGet = Tables.load(spark, sfDir, "events")
+      .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
+    assert(e.exceptAll(viaGet).count() == 0)
+  }
+}
