@@ -9,7 +9,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def registries: Seq[QueryDef] =
-    ops.Relational.all ++ ops.Relational2.all ++ ops.Events.all ++
+    ops.Relational.all ++ ops.Relational2.all ++ ops.Relational3.all ++
+      ops.Events.all ++
       ops.GeoQueries.all ++ ops.TextDedup.all ++ ops.VectorOps.all ++
       ops.Multimodal.all
 
