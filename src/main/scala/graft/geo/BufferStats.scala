@@ -21,21 +21,31 @@ import org.apache.spark.sql.functions._
   */
 object BufferStats {
 
-  private def neighborJoin(points: DataFrame, features: DataFrame,
-                           cellSize: Double): DataFrame = {
+  /** Hash-join each point to every feature within `reach`, using grid
+    * cells of `cellSize` and a (2k+1)² offset ring, k = ceil(reach /
+    * cellSize). Smaller cells cost more probe rows (points × offsets)
+    * but shrink the candidate box toward (2·reach)² — for reach=1500,
+    * cell=500 the box area drops 1.65× vs cell=reach. `cellSize`
+    * defaults to reach/3, capping offsets at 9×9.
+    */
+  private[geo] def neighborJoin(points: DataFrame, features: DataFrame,
+                                reach: Double,
+                                cellSize: Double = 0.0): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
-    val offsets = Seq(-1L, 0L, 1L)
-      .flatMap(dx => Seq(-1L, 0L, 1L).map(dy => (dx, dy))).toDF("dx", "dy")
+    val cell = if (cellSize > 0) cellSize else reach / 3
+    val k = math.ceil(reach / cell).toLong
+    val offsets = (-k to k)
+      .flatMap(dx => (-k to k).map(dy => (dx, dy))).toDF("dx", "dy")
     val f = features
       .withColumn("ck", Geo.cellKey(
-        Geo.cellOf(col("x"), cellSize), Geo.cellOf(col("y"), cellSize)))
+        Geo.cellOf(col("x"), cell), Geo.cellOf(col("y"), cell)))
       .withColumnRenamed("x", "fx").withColumnRenamed("y", "fy")
     Geo.fanout(points)
       .join(broadcast(offsets))
       .withColumn("ck", Geo.cellKey(
-        Geo.cellOf(col("x"), cellSize) + col("dx"),
-        Geo.cellOf(col("y"), cellSize) + col("dy")))
+        Geo.cellOf(col("x"), cell) + col("dx"),
+        Geo.cellOf(col("y"), cell) + col("dy")))
       .join(f, Seq("ck"))
       .withColumn("_d2", Geo.dist2(col("x"), col("y"), col("fx"), col("fy")))
   }

@@ -19,21 +19,7 @@ object RelativeElevation {
   def compute(points: DataFrame, cells: DataFrame, refRadius: Double,
               radii: Seq[Double], thickness: Double = 30.0): DataFrame = {
     val reach = radii.max + thickness
-    val f = cells
-      .withColumn("ck", Geo.cellKey(
-        Geo.cellOf(col("x"), reach), Geo.cellOf(col("y"), reach)))
-      .select(col("ck"), col("x").as("fx"), col("y").as("fy"), col("elev"))
-    val spark = points.sparkSession
-    import spark.implicits._
-    val offsets = Seq(-1L, 0L, 1L)
-      .flatMap(dx => Seq(-1L, 0L, 1L).map(dy => (dx, dy))).toDF("dx", "dy")
-    val joined = Geo.fanout(points)
-      .join(broadcast(offsets))
-      .withColumn("ck", Geo.cellKey(
-        Geo.cellOf(col("x"), reach) + col("dx"),
-        Geo.cellOf(col("y"), reach) + col("dy")))
-      .join(f, Seq("ck"))
-      .withColumn("_d2", Geo.dist2(col("x"), col("y"), col("fx"), col("fy")))
+    val joined = BufferStats.neighborJoin(points, cells, reach)
 
     val ref = joined
       .filter(col("_d2") < lit(refRadius * refRadius))
