@@ -39,6 +39,23 @@ object NearestDistance {
       .agg(min(Geo.dist(col("x"), col("y"), col("fx"), col("fy"))).as(outCol))
   }
 
+  /** k nearest features per point (id, rank, fid, distance) — the k-NN
+    * extension of the distance family. Broadcast strategy: per-point
+    * top-k via row_number over the broadcast candidates; use a grid
+    * candidate set first when the feature table is huge. */
+  def broadcastKnn(points: DataFrame, features: DataFrame, k: Int): DataFrame = {
+    val f = broadcast(features.select(
+      col("id").as("fid"), col("x").as("fx"), col("y").as("fy")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("distance"), col("fid"))
+    points.join(f)
+      .select(col("id"), col("fid"),
+        Geo.dist(col("x"), col("y"), col("fx"), col("fy")).as("distance"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("id", "rank", "fid", "distance")
+  }
+
   def gridNearest(points: DataFrame, features: DataFrame,
                   cellSize: Double, outCol: String = "distance",
                   maxRounds: Int = 12): DataFrame = {

@@ -43,6 +43,21 @@ object GeoQueries {
     FROM pts p CROSS JOIN f
     GROUP BY p.id ORDER BY p.id"""
 
+  // ---- k nearest neighbors (duckpipe-plus) ---------------------------
+  def knn(s: SparkSession, dir: String): DataFrame =
+    NearestDistance.broadcastKnn(Derive.points(s, dir), Derive.sites(s, dir), 3)
+      .orderBy("id", "rank")
+
+  val knnSql: String = s"""
+    WITH $pts, $st,
+    ranked AS (
+      SELECT p.id, s.id AS fid, sqrt(${d2("p", "s")}) AS distance,
+        ROW_NUMBER() OVER (PARTITION BY p.id
+                           ORDER BY sqrt(${d2("p", "s")}), s.id) AS rank
+      FROM pts p CROSS JOIN st s)
+    SELECT id, rank, fid, distance
+    FROM ranked WHERE rank <= 3 ORDER BY id, rank"""
+
   // ---- buffer line stats (Road L/LL/LLW) -----------------------------
   def bufferLine(s: SparkSession, dir: String): DataFrame =
     BufferStats.lineStats(
@@ -285,6 +300,7 @@ object GeoQueries {
   def all: Seq[QueryDef] = Seq(
     QueryDef("geo_nearest", nearest, Some(nearestSql)),
     QueryDef("geo_nearest_grid", nearestGrid, Some(nearestGridSql)),
+    QueryDef("geo_knn", knn, Some(knnSql)),
     QueryDef("geo_buffer_line", bufferLine, Some(bufferLineSql)),
     QueryDef("geo_area_ratio", areaRatio, Some(areaRatioSql)),
     QueryDef("geo_intersect_oa", intersectOa, Some(intersectOaSql)),

@@ -76,8 +76,82 @@ object Relational3 {
       .orderBy("l_returnflag")
   }
 
+  /** Q4-style: orders with at least one late lineitem, counted per
+    * priority (EXISTS decorrelated to a semi join). */
+  def qExistsAgg(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val l = Tables.load(s, dir, "lineitem")
+      .filter(col("l_returnflag") === "R").select("l_orderkey")
+    o.join(l, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  val qExistsAggSql: String = """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  /** Q14-style: promo revenue share — conditional share of a decimal-
+    * exact revenue sum. */
+  def qCondShare(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-02-01").cast("timestamp"))
+    val p = Tables.load(s, dir, "part").select("p_partkey", "p_type")
+    val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast("decimal(18,6)")
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(round(
+        sum(when(col("p_type").startsWith("PROMO"), rev).otherwise(lit(0).cast("decimal(18,6)")))
+          .cast("double") * 100.0 /
+          sum(rev).cast("double"), 6).as("promo_share"))
+  }
+
+  val qCondShareSql: String = """
+    SELECT ROUND(
+      CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+               THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))
+               ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) * 100.0 /
+      CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE),
+      6) AS promo_share
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-02-01'"""
+
+  /** Q12-style: shipmode-ish buckets via CASE over two tables. */
+  def qCaseBuckets(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(s, dir, "lineitem")
+    val o = Tables.load(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+          .otherwise(0)).cast("long").as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+          .otherwise(0)).cast("long").as("low_line_count"))
+      .orderBy("l_linestatus")
+  }
+
+  val qCaseBucketsSql: String = """
+    SELECT l_linestatus,
+      CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY l_linestatus ORDER BY l_linestatus"""
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("q_range_frame", qRangeFrame, Some(qRangeFrameSql)),
     QueryDef("q_correlated", qCorrelated, Some(qCorrelatedSql)),
+    QueryDef("q_exists_agg", qExistsAgg, Some(qExistsAggSql)),
+    QueryDef("q_cond_share", qCondShare, Some(qCondShareSql)),
+    QueryDef("q_case_buckets", qCaseBuckets, Some(qCaseBucketsSql)),
     QueryDef("q_approx", qApprox, None))
 }
