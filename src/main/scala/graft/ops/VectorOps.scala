@@ -106,7 +106,83 @@ object VectorOps {
     SELECT qid, cid, ROUND(cos, 6) AS score, rn
     FROM ranked WHERE rn <= $K ORDER BY qid, rn"""
 
+  // ---- IVF-flat ANN ---------------------------------------------------
+  // Coarse quantizer: NCells fixed centroids (vectors with vec_id <
+  // NCells — deterministic; a production build would k-means these).
+  // Corpus vectors are assigned to their nearest centroid once
+  // (argmin over exact L2); queries probe the NProbe nearest cells and
+  // run exact cosine top-k inside them. At 100 TB the assignment is a
+  // broadcast pass and each query touches NProbe/NCells of the corpus.
+  val NCells = 16
+  val NProbe = 4
+
+  private def l2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0),
+      (acc, x) => acc + x)
+
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cents = broadcast(e.filter(col("vec_id") < NCells)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv")))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("cd"), col("cent_id"))
+    val assigned = e.join(cents)
+      .select(col("vec_id"), col("v"), col("cent_id"),
+        l2(col("v"), col("cv")).as("cd"))
+      .withColumn("crk", row_number().over(wAssign))
+      .filter(col("crk") <= 1)
+      .select("vec_id", "v", "cent_id")
+    val qProbes = e.filter(expr(QueryFilter)).join(cents)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("cent_id"),
+        l2(col("v"), col("cv")).as("cd"))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cd"), col("cent_id"))))
+      .filter(col("crk") <= NProbe)
+      .select("qid", "qv", "cent_id")
+    val wTop = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    assigned.join(broadcast(qProbes),
+        Seq("cent_id")).filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        Vec.cosine(col("qv"), col("v")).as("cos"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= K)
+      .select(col("qid"), col("cid"), round(col("cos"), 6).as("score"),
+        col("rn"))
+      .orderBy("qid", "rn")
+  }
+
+  val annIvfSql: String = s"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < $NCells),
+    assign_ranked AS (
+      SELECT e.vec_id, e.v, c.cent_id,
+        ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+          list_sum(list_transform(generate_series(1, len(e.v)),
+            i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))), c.cent_id) AS crk
+      FROM e CROSS JOIN cents c),
+    assigned AS (SELECT vec_id, v, cent_id FROM assign_ranked WHERE crk = 1),
+    qp_ranked AS (
+      SELECT e.vec_id AS qid, e.v AS qv, c.cent_id,
+        ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+          list_sum(list_transform(generate_series(1, len(e.v)),
+            i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))), c.cent_id) AS crk
+      FROM e CROSS JOIN cents c WHERE $QueryFilter),
+    qprobes AS (SELECT qid, qv, cent_id FROM qp_ranked WHERE crk <= $NProbe),
+    pairs AS (
+      SELECT q.qid, a.vec_id AS cid,
+        list_dot_product(q.qv, a.v) /
+          (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(a.v, a.v))) AS cos
+      FROM qprobes q JOIN assigned a ON a.cent_id = q.cent_id
+      WHERE a.vec_id != q.qid),
+    ranked AS (
+      SELECT qid, cid, cos,
+        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+      FROM pairs)
+    SELECT qid, cid, ROUND(cos, 6) AS score, rn
+    FROM ranked WHERE rn <= $K ORDER BY qid, rn"""
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("ann_cosine", annCosine, Some(annCosineSql)),
-    QueryDef("ann_lsh", annLsh, Some(annLshSql)))
+    QueryDef("ann_lsh", annLsh, Some(annLshSql)),
+    QueryDef("ann_ivf", annIvf, Some(annIvfSql)))
 }

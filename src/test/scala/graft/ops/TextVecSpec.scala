@@ -44,6 +44,17 @@ class TextVecSpec extends SparkSpec {
     assert(recall > 0.2, s"recall@10 $recall")
   }
 
+  test("IVF ANN recall@10 beats single-bucket LSH at matched probe cost") {
+    val brute = VectorOps.annCosine(spark, sfDir)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = VectorOps.annIvf(spark, sfDir)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivf intersect brute).size.toDouble / brute.size
+    // nprobe=4 of 16 cells scans ~25% of the corpus; recall should be
+    // well above that share for clustered neighbors
+    assert(recall > 0.3, s"IVF recall@10 $recall")
+  }
+
   test("multimodal stub pipeline: batch decode preserves rows and schema") {
     val out = Multimodal.decodeAll(spark, sfDir)
     assert(out.columns.toSeq ==

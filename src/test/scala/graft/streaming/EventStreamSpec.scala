@@ -23,6 +23,17 @@ class EventStreamSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("streaming dedup keeps one row per distinct content hash") {
+    val q = StreamDedup.distinctDocs(spark, sfDir)
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("dedup_out")
+    val expected = graft.ops.TextDedup.dedupExact(spark, sfDir).count()
+    assert(streamed.count() == expected)
+    assert(streamed.select("h").distinct().count() == expected)
+  }
+
   test("streaming sessionization emits exactly the batch sessions closed in-stream") {
     val q = EventStream.sessions(spark, sfDir)
       .writeStream.format("memory").queryName("sessions_out")
