@@ -18,19 +18,27 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction(GraftFunctions.clippedSegmentLengthFn)
+    GraftFunctions.all.foreach(ext.injectFunction)
 }
 
 object GraftFunctions {
-  val clippedSegmentLengthFn
-      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+  type Fn = (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  val clippedSegmentLengthFn: Fn = (
     FunctionIdentifier("clipped_segment_length"),
     new ExpressionInfo(classOf[ClippedSegmentLength].getName,
       "clipped_segment_length"),
     (args: Seq[Expression]) => ClippedSegmentLength(args))
 
-  def register(spark: SparkSession): Unit = {
-    val (id, info, builder) = clippedSegmentLengthFn
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
-  }
+  val hilbertIndexFn: Fn = (
+    FunctionIdentifier("hilbert_index"),
+    new ExpressionInfo(classOf[functions.HilbertIndex].getName, "hilbert_index"),
+    (args: Seq[Expression]) => functions.HilbertIndex(args))
+
+  val all: Seq[Fn] = Seq(clippedSegmentLengthFn, hilbertIndexFn)
+
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

@@ -168,6 +168,46 @@ object GeoQueries {
                       ((ay | (ay << 1)) & 1431655765) AS ay FROM s3)
     SELECT id, (ax | (ay << 1)) AS zkey FROM s4 ORDER BY id"""
 
+  // ---- Hilbert-curve key (native expression; reference hilbert chunking)
+  def hilbert(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(s)
+    graft.Tables.load(s, dir, "customer")
+      .select(col("c_custkey").as("id"),
+        call_function("hilbert_index",
+          ((col("c_custkey") * 7919) % 100000) % 1024,
+          ((col("c_custkey") * 104729) % 100000) % 1024,
+          lit(10L)).as("hkey"))
+      .orderBy("id")
+  }
+
+  /** Unrolled 10-step rot/reflect walk, mirroring HilbertMath.xy2d. */
+  val hilbertSql: String = {
+    val steps = (9 to 0 by -1).map { k =>
+      val sv = 1L << k
+      s"""SELECT id, d + ${sv * sv} * xor(3 * (CASE WHEN (x & $sv) > 0 THEN 1 ELSE 0 END),
+                                          (CASE WHEN (y & $sv) > 0 THEN 1 ELSE 0 END)) AS d,
+        CASE WHEN (y & $sv) = 0 THEN
+          (CASE WHEN (x & $sv) > 0 THEN $sv - 1 - y ELSE y END)
+        ELSE x END AS x,
+        CASE WHEN (y & $sv) = 0 THEN
+          (CASE WHEN (x & $sv) > 0 THEN $sv - 1 - x ELSE x END)
+        ELSE y END AS y"""
+    }
+    val ctes = steps.zipWithIndex.map { case (sel, i) =>
+      val src = if (i == 0) "base" else s"h${i - 1}"
+      s"h$i AS ($sel FROM $src)"
+    }.mkString(",\n    ")
+    s"""
+    WITH base AS (
+      SELECT c_custkey AS id,
+             ((c_custkey * 7919) % 100000) % 1024 AS x,
+             ((c_custkey * 104729) % 100000) % 1024 AS y,
+             CAST(0 AS BIGINT) AS d
+      FROM customer),
+    $ctes
+    SELECT id, d AS hkey FROM h9 ORDER BY id"""
+  }
+
   // ---- long→wide pivot (get_result) ----------------------------------
   def pivot(s: SparkSession, dir: String): DataFrame = {
     val p = Derive.points(s, dir)
@@ -306,6 +346,7 @@ object GeoQueries {
     QueryDef("geo_intersect_oa", intersectOa, Some(intersectOaSql)),
     QueryDef("geo_relative_elevation", relElev, Some(relElevSql)),
     QueryDef("geo_zorder", zorder, Some(zorderSql)),
+    QueryDef("geo_hilbert", hilbert, Some(hilbertSql)),
     QueryDef("geo_pivot", pivot, Some(pivotSql)),
     QueryDef("geo_line_clip", lineClip, Some(lineClipSql)),
     QueryDef("geo_pipeline_wide", pipelineWide, Some(pipelineWideSql)),

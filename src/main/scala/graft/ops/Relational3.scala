@@ -147,7 +147,81 @@ object Relational3 {
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY l_linestatus ORDER BY l_linestatus"""
 
+  /** Q7-style: shipping volume between two nation pairs per year. */
+  def qNationVolume(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.load(s, dir, "nation").select("n_nationkey", "n_name")
+    val sup = Tables.load(s, dir, "supplier")
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.load(s, dir, "customer")
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val o = Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
+    val l = Tables.load(s, dir, "lineitem")
+    val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast("decimal(18,6)")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation").isin("NATION_1", "NATION_2") &&
+              col("cust_nation").isin("NATION_1", "NATION_2") &&
+              col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(rev).cast("double").as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  val qNationVolumeSql: String = """
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INTEGER) AS l_year,
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+      AND cn.n_name IN ('NATION_1', 'NATION_2')
+      AND sn.n_name != cn.n_name
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+
+  /** Q10-style: top-20 customers by returned-item revenue. */
+  def qReturnedTop(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer")
+      .select("c_custkey", "c_name", "c_acctbal")
+    val o = Tables.load(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val l = Tables.load(s, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+    val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast("decimal(18,6)")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal")
+      .agg(sum(rev).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val qReturnedTopSql: String = """
+    SELECT c_custkey, c_name, c_acctbal,
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-07-01'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c_custkey LIMIT 20"""
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("q_nation_volume", qNationVolume, Some(qNationVolumeSql)),
+    QueryDef("q_returned_top", qReturnedTop, Some(qReturnedTopSql)),
     QueryDef("q_range_frame", qRangeFrame, Some(qRangeFrameSql)),
     QueryDef("q_correlated", qCorrelated, Some(qCorrelatedSql)),
     QueryDef("q_exists_agg", qExistsAgg, Some(qExistsAggSql)),
