@@ -181,6 +181,27 @@ object VectorOps {
     SELECT qid, cid, ROUND(cos, 6) AS score, rn
     FROM ranked WHERE rn <= $K ORDER BY qid, rn"""
 
+  /** One distributed Lloyd iteration: assign → per-cell mean. Use to
+    * refine the fixed IVF coarse centroids; returns (cent_id, cv).
+    * Fully shuffle-planned: one broadcast assign pass + one groupBy. */
+  def kmeansIterate(corpus: DataFrame, centroids: DataFrame,
+                    iters: Int, dim: Int = 64): DataFrame = {
+    var cents = centroids
+    (0 until iters).foreach { _ =>
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(col("cd"), col("cent_id"))
+      val assigned = corpus.join(broadcast(cents))
+        .select(col("vec_id"), col("v"), col("cent_id"),
+          l2(col("v"), col("cv")).as("cd"))
+        .withColumn("crk", row_number().over(wAssign))
+        .filter(col("crk") === 1)
+      cents = assigned.groupBy("cent_id")
+        .agg(array((0 until dim).map(i =>
+          avg(col("v")(i))): _*).as("cv"))
+    }
+    cents
+  }
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("ann_cosine", annCosine, Some(annCosineSql)),
     QueryDef("ann_lsh", annLsh, Some(annLshSql)),

@@ -55,6 +55,26 @@ class TextVecSpec extends SparkSpec {
     assert(recall > 0.3, s"IVF recall@10 $recall")
   }
 
+  test("one Lloyd iteration does not increase k-means inertia") {
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val init = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    def inertia(cents: org.apache.spark.sql.DataFrame): Double = {
+      val d2 = expr(
+        "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x)")
+      e.join(broadcast(cents))
+        .select(col("vec_id"), d2.as("d2"))
+        .groupBy("vec_id").agg(min("d2").as("m"))
+        .agg(sum("m")).head().getDouble(0)
+    }
+    val before = inertia(init)
+    val after = inertia(VectorOps.kmeansIterate(e, init, iters = 1, dim = 64))
+    assert(after <= before + 1e-9, s"inertia rose: $before -> $after")
+    assert(after < before, "iteration should strictly improve on this data")
+  }
+
   test("multimodal stub pipeline: batch decode preserves rows and schema") {
     val out = Multimodal.decodeAll(spark, sfDir)
     assert(out.columns.toSeq ==
