@@ -35,7 +35,14 @@ object GraftFunctions {
     new ExpressionInfo(classOf[functions.HilbertIndex].getName, "hilbert_index"),
     (args: Seq[Expression]) => functions.HilbertIndex(args))
 
-  val all: Seq[Fn] = Seq(clippedSegmentLengthFn, hilbertIndexFn)
+  val pointInPolygonFn: Fn = (
+    FunctionIdentifier("point_in_polygon"),
+    new ExpressionInfo(classOf[functions.PointInPolygon].getName,
+      "point_in_polygon"),
+    (args: Seq[Expression]) => functions.PointInPolygon(args))
+
+  val all: Seq[Fn] =
+    Seq(clippedSegmentLengthFn, hilbertIndexFn, pointInPolygonFn)
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (id, info, builder) =>

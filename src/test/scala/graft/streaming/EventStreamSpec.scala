@@ -23,6 +23,26 @@ class EventStreamSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("stream-static enrichment join matches the batch join") {
+    val dim = graft.Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val enriched = EventStream.readEvents(spark, sfDir)
+      .select("event_id", "user_id")
+      .join(dim, Seq("user_id"), "left")
+    val q = enriched.writeStream.format("memory").queryName("enrich_out")
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("enrich_out")
+      .select("event_id", "c_mktsegment").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val batch = graft.Tables.loadEventsUs(spark, sfDir)
+      .select("event_id", "user_id").join(dim, Seq("user_id"), "left")
+      .select("event_id", "c_mktsegment").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("streaming dedup keeps one row per distinct content hash") {
     val q = StreamDedup.distinctDocs(spark, sfDir)
       .writeStream.format("memory").queryName("dedup_out")
