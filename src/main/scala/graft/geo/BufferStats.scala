@@ -28,7 +28,7 @@ object BufferStats {
     * cell=500 the box area drops 1.65× vs cell=reach. `cellSize`
     * defaults to reach/3, capping offsets at 9×9.
     */
-  private[geo] def neighborJoin(points: DataFrame, features: DataFrame,
+  def neighborJoin(points: DataFrame, features: DataFrame,
                                 reach: Double,
                                 cellSize: Double = 0.0): DataFrame = {
     val spark = points.sparkSession

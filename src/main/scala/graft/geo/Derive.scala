@@ -85,6 +85,22 @@ object Derive {
            y + CAST((fid * 59) % 200 - 100 AS DOUBLE) / 5.0 AS y2
     FROM ($featsSql)"""
 
+  /** Triangle polygons (vertex arrays) anchored at feats coordinates —
+    * polygon analogue of the landuse/OA tables. */
+  def triangles(s: SparkSession, dir: String): DataFrame =
+    feats(s, dir).select(
+      col("fid").as("poly_id"),
+      array(col("x"), col("x") + 400.0, col("x") + ((col("fid") % 7) * 100).cast("double"))
+        .as("xs"),
+      array(col("y"), col("y") + ((col("fid") % 5) * 100).cast("double"), col("y") + 400.0)
+        .as("ys"))
+
+  val trianglesSql: String = s"""
+    SELECT fid AS poly_id,
+           [x, x + 400.0, x + CAST((fid % 7) * 100 AS DOUBLE)] AS xs,
+           [y, y + CAST((fid % 5) * 100 AS DOUBLE), y + 400.0] AS ys
+    FROM ($featsSql)"""
+
   /** WGS84 lon/lat in a Korea-sized window for projection tests. */
   def wgsPoints(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "customer").select(

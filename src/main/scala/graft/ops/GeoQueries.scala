@@ -208,6 +208,46 @@ object GeoQueries {
     SELECT id, d AS hkey FROM h9 ORDER BY id"""
   }
 
+  // ---- polygon containment tagging (native ray-cast expression) ------
+  /** Count of triangles containing each point. The ray-cast runs as the
+    * native point_in_polygon expression; candidate pruning uses the
+    * same grid cells as every other buffer operator (polygons bucketed
+    * by first vertex; triangles span ≤ 600×400 m from their anchor (diag ≈ 721), reach 800 covers).
+    */
+  def polyTag(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(s)
+    val tris = Derive.triangles(s, dir)
+      .select(col("poly_id"), col("xs"), col("ys"),
+        col("xs")(0).as("x"), col("ys")(0).as("y"))
+    val joined = BufferStats.neighborJoin(
+      Derive.points(s, dir), tris, reach = 800.0)
+    joined
+      .withColumn("inside",
+        call_function("point_in_polygon", col("x"), col("y"),
+          col("xs"), col("ys")))
+      .groupBy("id")
+      .agg(sum(when(col("inside"), 1).otherwise(0)).cast("long").as("n_poly"))
+      .filter(col("n_poly") > 0)
+      .orderBy("id")
+  }
+
+  /** Oracle mirrors PolyMath.contains edge-for-edge (even-odd rule). */
+  val polyTagSql: String = s"""
+    WITH $pts, tris AS (${Derive.trianglesSql}),
+    pairs AS (
+      SELECT p.id,
+        (len(list_filter(generate_series(1, len(t.xs)), i ->
+          ((t.ys[i] > p.y) != (t.ys[CASE WHEN i = 1 THEN len(t.ys) ELSE i - 1 END] > p.y))
+          AND p.x < (t.xs[CASE WHEN i = 1 THEN len(t.xs) ELSE i - 1 END] - t.xs[i])
+                    * (p.y - t.ys[i])
+                    / (t.ys[CASE WHEN i = 1 THEN len(t.ys) ELSE i - 1 END] - t.ys[i])
+                    + t.xs[i])) % 2) = 1 AS inside
+      FROM pts p CROSS JOIN tris t)
+    SELECT id, CAST(SUM(CASE WHEN inside THEN 1 ELSE 0 END) AS BIGINT) AS n_poly
+    FROM pairs GROUP BY id
+    HAVING SUM(CASE WHEN inside THEN 1 ELSE 0 END) > 0
+    ORDER BY id"""
+
   // ---- long→wide pivot (get_result) ----------------------------------
   def pivot(s: SparkSession, dir: String): DataFrame = {
     val p = Derive.points(s, dir)
@@ -347,6 +387,7 @@ object GeoQueries {
     QueryDef("geo_relative_elevation", relElev, Some(relElevSql)),
     QueryDef("geo_zorder", zorder, Some(zorderSql)),
     QueryDef("geo_hilbert", hilbert, Some(hilbertSql)),
+    QueryDef("geo_poly_tag", polyTag, Some(polyTagSql)),
     QueryDef("geo_pivot", pivot, Some(pivotSql)),
     QueryDef("geo_line_clip", lineClip, Some(lineClipSql)),
     QueryDef("geo_pipeline_wide", pipelineWide, Some(pipelineWideSql)),
