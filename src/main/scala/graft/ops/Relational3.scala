@@ -219,7 +219,99 @@ object Relational3 {
     GROUP BY 1, 2, 3
     ORDER BY revenue DESC, c_custkey LIMIT 20"""
 
+  /** Q15-style: suppliers achieving the maximum quarterly revenue
+    * (aggregate reused twice — Catalyst plans the "view" once per
+    * branch; the max is a broadcast scalar). */
+  def qTopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.load(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,6)")).cast("double").as("total_revenue"))
+    val maxRev = rev.agg(max("total_revenue").as("m"))
+    val sup = Tables.load(s, dir, "supplier").select("s_suppkey", "s_name")
+    rev.join(broadcast(maxRev))
+      .filter(col("total_revenue") === col("m"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  val qTopSupplierSql: String = """
+    WITH rev AS (
+      SELECT l_suppkey,
+        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    ORDER BY s_suppkey"""
+
+  /** Q18-style: customers with any large-quantity order (HAVING
+    * subquery → semi join on the aggregated key). */
+  def qLargeOrders(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.load(s, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(dsum(col("l_quantity"), 2).as("sum_qty"))
+      .filter(col("sum_qty") > 150)
+    val o = Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val c = Tables.load(s, dir, "customer").select("c_custkey", "c_name")
+    o.join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("sum_qty").desc, col("o_orderkey"))
+      .limit(50)
+  }
+
+  val qLargeOrdersSql: String = """
+    WITH big AS (
+      SELECT l_orderkey,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 150)
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
+    FROM orders
+    JOIN big ON o_orderkey = l_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    ORDER BY sum_qty DESC, o_orderkey LIMIT 50"""
+
+  /** Q19-style: disjunctive multi-clause predicate (OR of ANDs) — an
+    * optimizer CNF/pushdown exercise. */
+  def qDisjunctive(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(s, dir, "lineitem")
+    val p = Tables.load(s, dir, "part").select("p_partkey", "p_brand", "p_size")
+    val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast("decimal(18,6)")
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(10, 30) &&
+          col("l_quantity").between(10, 40)))
+      .agg(sum(rev).cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
+  val qDisjunctiveSql: String = """
+    SELECT
+      CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      COUNT(*) AS n
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 40)"""
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("q_top_supplier", qTopSupplier, Some(qTopSupplierSql)),
+    QueryDef("q_large_orders", qLargeOrders, Some(qLargeOrdersSql)),
+    QueryDef("q_disjunctive", qDisjunctive, Some(qDisjunctiveSql)),
     QueryDef("q_nation_volume", qNationVolume, Some(qNationVolumeSql)),
     QueryDef("q_returned_top", qReturnedTop, Some(qReturnedTopSql)),
     QueryDef("q_range_frame", qRangeFrame, Some(qRangeFrameSql)),
