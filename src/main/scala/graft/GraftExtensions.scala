@@ -41,8 +41,15 @@ object GraftFunctions {
       "point_in_polygon"),
     (args: Seq[Expression]) => functions.PointInPolygon(args))
 
+  val normalizeTextFn: Fn = (
+    FunctionIdentifier("normalize_text"),
+    new ExpressionInfo(classOf[functions.NormalizeText].getName,
+      "normalize_text"),
+    (args: Seq[Expression]) => functions.NormalizeText(args))
+
   val all: Seq[Fn] =
-    Seq(clippedSegmentLengthFn, hilbertIndexFn, pointInPolygonFn)
+    Seq(clippedSegmentLengthFn, hilbertIndexFn, pointInPolygonFn,
+      normalizeTextFn)
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (id, info, builder) =>

@@ -91,6 +91,16 @@ final class GeoCalculator private (
     append(long)
   }
 
+  /** Output-area intersection ratios, cached long-form under varname
+    * 'OA_<key>_<radius>' (reference calculate_intersecting_oa). */
+  def intersectingOa(features: DataFrame, radii: Seq[Double]): GeoCalculator = {
+    val ir = BufferStats.intersectRatio(points, features, radii)
+    append(longForm(ir,
+      concat(lit("OA_"), col("key").cast("string"), lit("_"),
+        lpad(col("radius").cast("int").cast("string"), 4, "0")),
+      None, col("ratio")))
+  }
+
   /** Projected + geographic coordinates of each point (points assumed
     * already in the projected CRS, like the reference post-ingest). */
   def coordinates(): GeoCalculator = {

@@ -121,7 +121,52 @@ object Events {
     GROUP BY 1, 2
     ORDER BY hour_us, event_type"""
 
+  /** Weekly retention cohorts: users bucketed by first-seen week,
+    * counted per (cohort, active-week) — the classic retention matrix
+    * in long form. Weeks are epoch-µs integer buckets (7-day). */
+  def retention(s: SparkSession, dir: String): DataFrame = {
+    val WeekUs = 7L * 86400 * 1000000
+    val e = Tables.loadEventsUs(s, dir)
+      .select(col("user_id"), (col("ts_us") - col("ts_us") % WeekUs).as("week_us"))
+    val firstSeen = e.groupBy("user_id").agg(min("week_us").as("cohort_us"))
+    e.join(firstSeen, Seq("user_id"))
+      .groupBy("cohort_us", "week_us")
+      .agg(countDistinct("user_id").as("active_users"))
+      .orderBy("cohort_us", "week_us")
+  }
+
+  val retentionSql: String = """
+    WITH e AS (
+      SELECT user_id,
+        epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(ts AS TIMESTAMP)) % 604800000000 AS week_us
+      FROM events),
+    first_seen AS (SELECT user_id, MIN(week_us) AS cohort_us FROM e GROUP BY user_id)
+    SELECT f.cohort_us, e.week_us, COUNT(DISTINCT e.user_id) AS active_users
+    FROM e JOIN first_seen f ON e.user_id = f.user_id
+    GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** Global top-25 token 3-grams across the corpus — vocabulary /
+    * phrase-frequency statistics for the text pipeline. */
+  def topNgrams(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    Tables.fanout(Tables.load(s, dir, "documents"))
+      .select(explode(transform(sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ", slice(toks, i, lit(3))))).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("ngram"))
+      .limit(25)
+  }
+
+  val topNgramsSql: String = """
+    WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+    g AS (SELECT unnest(list_transform(generate_series(1, len(w) - 2),
+            i -> array_to_string(w[i:i+2], ' '))) AS ngram FROM t)
+    SELECT ngram, COUNT(*) AS n FROM g
+    GROUP BY ngram ORDER BY n DESC, ngram LIMIT 25"""
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("q_retention", retention, Some(retentionSql)),
+    QueryDef("q_top_ngrams", topNgrams, Some(topNgramsSql)),
     QueryDef("q_sessionize", sessionize, Some(sessionizeSql)),
     QueryDef("q_asof_join", asof, Some(asofSql)),
     QueryDef("q_tumbling", tumbling, Some(tumblingSql)))
