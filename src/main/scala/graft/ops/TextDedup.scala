@@ -250,7 +250,23 @@ object TextDedup {
         i -> md5(array_to_string(w[i:i+3], ' ')))) AS fp
     FROM t ORDER BY doc_id"""
 
+  // ---- canonicalized dedup key (native normalize_text expression) ----
+  /** Dedup keys over canonicalized text. The corpus is pure ASCII so
+    * the oracle reduces to lower(); the Unicode path (NFKD, accent
+    * strip, ligatures) is covered by NormalizeTextSpec. */
+  def textNormalize(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(s)
+    docs(s, dir)
+      .selectExpr("doc_id", "md5(normalize_text(text)) AS nh")
+      .orderBy("doc_id")
+  }
+
+  val textNormalizeSql: String = """
+    SELECT doc_id, md5(lower(text)) AS nh
+    FROM documents ORDER BY doc_id"""
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("text_normalize", textNormalize, Some(textNormalizeSql)),
     QueryDef("dedup_exact", dedupExact, Some(dedupExactSql)),
     QueryDef("dedup_ngram", dedupNgram, Some(dedupNgramSql)),
     QueryDef("dedup_minhash", dedupMinhash, Some(dedupNgramSql)),
