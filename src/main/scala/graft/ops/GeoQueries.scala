@@ -58,6 +58,24 @@ object GeoQueries {
     SELECT id, rank, fid, distance
     FROM ranked WHERE rank <= 3 ORDER BY id, rank"""
 
+  // ---- feature counts within buffers ---------------------------------
+  /** The reference checklist's "Bus Stop Count / Hospital Count /
+    * Population Count" family (reference checklist.md) — count-within-
+    * radius is lineStats with unit weight. */
+  def bufferCount(s: SparkSession, dir: String): DataFrame =
+    BufferStats.lineStats(
+      Derive.points(s, dir), Derive.feats(s, dir), Seq(500.0, 1500.0),
+      Seq("n_sites" -> lit(1.0)))
+      .orderBy("id", "radius")
+
+  val bufferCountSql: String = s"""
+    WITH $pts, $f,
+    radii AS (SELECT * FROM (VALUES (500.0), (1500.0)) t(radius))
+    SELECT p.id, r.radius,
+      SUM(CASE WHEN ${d2("p", "f")} < r.radius*r.radius THEN 1.0 ELSE 0.0 END) AS n_sites
+    FROM pts p CROSS JOIN radii r CROSS JOIN f
+    GROUP BY p.id, r.radius ORDER BY p.id, r.radius"""
+
   // ---- buffer line stats (Road L/LL/LLW) -----------------------------
   def bufferLine(s: SparkSession, dir: String): DataFrame =
     BufferStats.lineStats(
@@ -382,6 +400,7 @@ object GeoQueries {
     QueryDef("geo_nearest_grid", nearestGrid, Some(nearestGridSql)),
     QueryDef("geo_knn", knn, Some(knnSql)),
     QueryDef("geo_buffer_line", bufferLine, Some(bufferLineSql)),
+    QueryDef("geo_buffer_count", bufferCount, Some(bufferCountSql)),
     QueryDef("geo_area_ratio", areaRatio, Some(areaRatioSql)),
     QueryDef("geo_intersect_oa", intersectOa, Some(intersectOaSql)),
     QueryDef("geo_relative_elevation", relElev, Some(relElevSql)),
