@@ -55,6 +55,34 @@ object AsofJoin {
       .select(leftCols.map(col) :+ col("_match"): _*)
   }
 
+  /** Alternative physical strategy: range join + per-row top-1. Right
+    * for small probe sides or when the right side is already bucketed;
+    * the union+window form wins when both sides are huge (no candidate
+    * blow-up). Results identical — AsofSpec asserts it.
+    */
+  def leftAsofRangeJoin(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(leftCols.map(col): _*)
+      .orderBy(col(s"_r_$rightTime").desc)
+    val r = right.select(
+      (Seq(col(rightKey).as(s"_r_$rightKey"),
+        col(rightTime).as(s"_r_$rightTime")) ++
+        payload.map(p => col(p).as(s"_p_$p"))): _*)
+    left.join(r,
+        col(leftKey) === col(s"_r_$rightKey") &&
+        col(s"_r_$rightTime") <= col(leftTime), "left")
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(leftCols.map(col) :+
+        when(col(s"_r_$rightKey").isNotNull,
+          struct(payload.map(p => col(s"_p_$p").as(p)): _*)).as("_match"): _*)
+  }
+
   private val meta = Seq(col("_k"), col("_t"), col("_side"), col("_payload"))
 
   private def structType(right: DataFrame, payload: Seq[String]) = {

@@ -60,6 +60,41 @@ class GeoOpsSpec extends SparkSpec {
     assert(err == 0.0)
   }
 
+  test("asof join: union+window and range-join strategies agree on real data") {
+    val dedupW = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey", "o_orderdate").orderBy(col("o_orderkey").desc)
+    val od = graft.Tables.load(spark, sfDir, "orders")
+      .withColumn("rn", row_number().over(dedupW)).filter(col("rn") === 1)
+      .select(col("o_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("o_us"),
+        col("o_orderkey"))
+    val e = graft.Tables.loadEventsUs(spark, sfDir)
+      .select("event_id", "user_id", "ts_us")
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("event_id"), col("_match.o_orderkey").as("mo"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val a = norm(graft.ops.AsofJoin.leftAsof(e, od,
+      "user_id", "o_custkey", "ts_us", "o_us", Seq("o_orderkey")))
+    val b = norm(graft.ops.AsofJoin.leftAsofRangeJoin(e, od,
+      "user_id", "o_custkey", "ts_us", "o_us", Seq("o_orderkey")))
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
+  test("GeoCalculator relativeElevation + intersectingOa emit reference-style varnames") {
+    val pts = Derive.points(spark, sfDir)
+    val long = graft.api.GeoCalculator(pts)
+      .relativeElevation(Derive.feats(spark, sfDir).select("x", "y", "elev"),
+        refRadius = 600.0, radii = Seq(1000.0), thickness = 300.0)
+      .intersectingOa(Derive.feats(spark, sfDir), Seq(800.0))
+      .resultLong
+    val names = long.select("varname").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(names.contains("Alt_k_above20_1000"))
+    assert(names.contains("Alt_k_ref"))
+    assert(names.exists(_.startsWith("OA_")))
+  }
+
   test("asof join matches a hand-computed case") {
     val left = Seq((1L, 10L, 100L), (2L, 10L, 205L), (3L, 11L, 50L))
       .toDF("event_id", "k", "t")
