@@ -186,6 +186,37 @@ object GeoQueries {
                       ((ay | (ay << 1)) & 1431655765) AS ay FROM s3)
     SELECT id, (ax | (ay << 1)) AS zkey FROM s4 ORDER BY id"""
 
+  // ---- spatial clustering (chunk_by_centroid analog) -----------------
+  /** Distributed stand-in for the reference's chunk_by_centroid
+    * (scipy complete-linkage with a distance threshold,
+    * Clustering.py:54-125): snap points to grid cells of the threshold
+    * width — every point pair in a cluster is within √2·threshold,
+    * the same coherence contract, with no driver-side linkage matrix.
+    * Emits per-cluster membership counts + centroid.
+    */
+  def cluster(s: SparkSession, dir: String): DataFrame =
+    Derive.points(s, dir)
+      .withColumn("cluster",
+        Geo.cellKey(Geo.cellOf(col("x"), 2000.0), Geo.cellOf(col("y"), 2000.0)))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"),
+        // coordinates are exact tenths — decimal-route the mean
+        (sum(col("x").cast("decimal(18,1)")).cast("double") / count(lit(1)))
+          .as("cx"),
+        (sum(col("y").cast("decimal(18,1)")).cast("double") / count(lit(1)))
+          .as("cy"))
+      .orderBy("cluster")
+
+  val clusterSql: String = s"""
+    WITH $pts
+    SELECT (CAST(floor(x / 2000.0) AS BIGINT) + 1048576) * 2097152
+             + (CAST(floor(y / 2000.0) AS BIGINT) + 1048576) AS cluster,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(x AS DECIMAL(18,1))) AS DOUBLE) / COUNT(*) AS cx,
+           CAST(SUM(CAST(y AS DECIMAL(18,1))) AS DOUBLE) / COUNT(*) AS cy
+    FROM pts
+    GROUP BY 1 ORDER BY 1"""
+
   // ---- Hilbert-curve key (native expression; reference hilbert chunking)
   def hilbert(s: SparkSession, dir: String): DataFrame = {
     graft.GraftFunctions.register(s)
@@ -406,6 +437,7 @@ object GeoQueries {
     QueryDef("geo_relative_elevation", relElev, Some(relElevSql)),
     QueryDef("geo_zorder", zorder, Some(zorderSql)),
     QueryDef("geo_hilbert", hilbert, Some(hilbertSql)),
+    QueryDef("geo_cluster", cluster, Some(clusterSql)),
     QueryDef("geo_poly_tag", polyTag, Some(polyTagSql)),
     QueryDef("geo_pivot", pivot, Some(pivotSql)),
     QueryDef("geo_line_clip", lineClip, Some(lineClipSql)),
