@@ -41,7 +41,7 @@ object Multimodal {
     * metadata struct carried alongside (as a real pipeline would carry
     * EXIF/container info). */
   def mediaTable(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents").select(
+    Tables.fanout(Tables.load(s, dir, "documents")).select(
       col("doc_id"),
       encode(col("text"), "UTF-8").as("payload"),
       col("n_chars").cast("int").as("width"),

@@ -20,26 +20,39 @@ import org.apache.spark.sql.functions._
   */
 object TextDedup {
 
-  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+  /** Documents scan, fanned out across the cluster at the source: the
+    * parquet file arrives as one split locally, and every operator in
+    * this family does per-doc work that must not serialize on one task
+    * (shingle explosion, regex extraction, md5 over every 4-gram). One
+    * cheap shuffle of the compact rows restores full parallelism. */
+  private def docs(s: SparkSession, dir: String) =
+    Tables.fanout(Tables.load(s, dir, "documents"))
 
   private val toks = split(col("text"), " ")
 
+  /** n-gram array over `toks`, guarded for short documents: Spark's
+    * sequence(1, b) counts DOWN when b < 1 (a <3-token doc would yield
+    * [1, 0] and slice() throws), while the DuckDB oracle's
+    * generate_series(1, 0) is empty — so emit an empty array for docs
+    * shorter than n tokens, which both engines then treat identically
+    * (explode drops the row; array_min yields NULL). */
+  private def grams(n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
   /** Distinct 3-token shingles per doc: (doc_id, s). */
   private def shingles(d: DataFrame): DataFrame =
-    Tables.fanout(d)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(toks) - 2),
-          i => concat_ws(" ", slice(toks, i, lit(3))))).as("s"))
+    d.select(col("doc_id"), explode(grams(3)).as("s"))
       .distinct()
 
   /** Distinct hashed shingles: (doc_id, hs). All self-joins run on the
     * 8-byte hash, not the string — same pairs (64-bit collisions are
     * ~1e-11 at this vocabulary), far smaller shuffles. */
   private def shinglesHashed(d: DataFrame): DataFrame =
-    Tables.fanout(d)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(toks) - 2),
-          i => xxhash64(concat_ws(" ", slice(toks, i, lit(3)))))).as("hs"))
+    d.select(col("doc_id"),
+        explode(transform(grams(3), g => xxhash64(g))).as("hs"))
       .distinct()
 
   /** Exact-Jaccard pairs ≥ `minJ` from a hashed-shingle table, either
@@ -135,7 +148,7 @@ object TextDedup {
   // ---- SimHash near-dup (rows-only; spec checks vs ngram pairs) ------
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
     // 64-bit simhash: per token-hash bit, +1/-1 vote weighted by count
-    val d = Tables.fanout(docs(s, dir))
+    val d = docs(s, dir)
       .select(col("doc_id"), explode(toks).as("w"))
       .withColumn("h", xxhash64(col("w")))
     val bitCols = (0 until 64).map { b =>
@@ -239,8 +252,7 @@ object TextDedup {
   // ---- document fingerprint (min-shingle-hash, a 1-perm MinHash) -----
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"),
-        array_min(transform(sequence(lit(1), size(toks) - 3),
-          i => md5(concat_ws(" ", slice(toks, i, lit(4)))))).as("fp"))
+        array_min(transform(grams(4), g => md5(g))).as("fp"))
       .orderBy("doc_id")
 
   val textFingerprintSql: String = """
