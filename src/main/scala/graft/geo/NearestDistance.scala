@@ -10,22 +10,35 @@ import org.apache.spark.sql.functions._
   * duckpipe/calculator/AirportDistanceCalculator.py:38-57, which runs
   * MIN(ST_Distance(point, feature)) per chunk).
   *
-  * Two physical strategies, chosen by the caller:
+  * Physical strategies, chosen by the caller:
   *
-  *  - `broadcastNearest` — feature set is small (airports, ports…):
-  *    broadcast it, partial-aggregate the min per point on the map side.
-  *    No shuffle of the point table at all beyond the final groupBy,
-  *    which Catalyst collapses into a partial+final hash aggregate.
-  *    At 100 TB of points this is a single pass.
+  *  - `broadcastNearest` / `broadcastKnn` — feature set is small
+  *    (airports, ports…): broadcast it, partial-aggregate per point on
+  *    the map side. At 100 TB of points this is a single pass with no
+  *    point-table shuffle beyond the final hash aggregate.
   *
-  *  - `gridNearest` — feature set is itself huge (every road segment):
-  *    bucket features into cells of `cellSize` meters, join each point
-  *    to its 3×3 cell neighborhood (hash join on a packed cell key —
-  *    never a cross product), take the min; points whose ring came up
-  *    empty or whose found min exceeds the ring's guarantee radius
-  *    retry with a doubled cell radius. Each round is a plain shuffle
-  *    join, so AQE/skew handling applies; the loop runs on the driver
-  *    but only over *unresolved* points, which shrink geometrically.
+  *  - `gridNearest` / `gridKnn` — candidate-pruned: bucket features
+  *    into cells of `cellSize` meters, join each point to the cells
+  *    within a Chebyshev ring (hash join on a packed cell key — never a
+  *    cross product), resolve points whose answer is provably final,
+  *    widen the ring for the rest. The ring ladder is DECLARATIVE — a
+  *    fixed `rings` schedule composed into ONE plan (union of
+  *    stages + terminal exact fallback for the residual) — so there is
+  *    no driver loop, no per-round action, and Catalyst compiles the
+  *    whole thing once. Residuals shrink geometrically per stage, and
+  *    AQE's empty-relation propagation eliminates the later stages and
+  *    the fallback when everything resolves early (the common case).
+  *
+  * Ring guarantee: a point in cell c joined to all cells within
+  * Chebyshev distance `ring` has seen every feature closer than
+  * ring·cellSize (any unsearched feature is strictly farther), so a
+  * min — or a k-th distance — ≤ ring·cellSize is final.
+  *
+  * Sizing `rings`: the last ring should cover the domain's largest
+  * feature-free radius at the chosen cellSize; the terminal fallback
+  * broadcasts the feature table, which is correct for any input but
+  * only cheap when the residual is small — make the ladder long enough
+  * that it is (then the fallback sees ~0 probe rows and AQE elides it).
   *
   * Points schema: (id, x, y). Features schema: (x, y) + anything.
   */
@@ -39,77 +52,114 @@ object NearestDistance {
       .agg(min(Geo.dist(col("x"), col("y"), col("fx"), col("fy"))).as(outCol))
   }
 
-  /** k nearest features per point (id, rank, fid, distance) — the k-NN
-    * extension of the distance family. Broadcast strategy: per-point
-    * top-k via row_number over the broadcast candidates; use a grid
-    * candidate set first when the feature table is huge. */
+  /** k nearest features per point (id, rank, fid, distance) via the
+    * full broadcast candidate set — bounded top-k aggregation, not a
+    * window, so the |points|×|features| rows never shuffle: the
+    * per-point top-k is folded map-side by partial collect_list+slice.
+    * Only for feature tables small enough to broadcast; the grid
+    * variant below is the scale path and the default binding. */
   def broadcastKnn(points: DataFrame, features: DataFrame, k: Int): DataFrame = {
     val f = broadcast(features.select(
       col("id").as("fid"), col("x").as("fx"), col("y").as("fy")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy(col("distance"), col("fid"))
-    points.join(f)
+    topK(points.join(f)
       .select(col("id"), col("fid"),
-        Geo.dist(col("x"), col("y"), col("fx"), col("fy")).as("distance"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("id", "rank", "fid", "distance")
+        Geo.dist(col("x"), col("y"), col("fx"), col("fy")).as("distance")), k)
+  }
+
+  /** (id, fid, distance) candidates → (id, rank, fid, distance) top-k
+    * per id, ranked by (distance, fid). One aggregation, map-side
+    * partials; no window over the full candidate set. */
+  private def topK(cands: DataFrame, k: Int): DataFrame =
+    cands.groupBy("id")
+      .agg(slice(array_sort(collect_list(struct(col("distance"), col("fid")))),
+        1, k).as("top"))
+      .select(col("id"), posexplode(col("top")))
+      .select(col("id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.fid").as("fid"), col("col.distance").as("distance"))
+
+  /** k nearest features per point, grid-pruned (see object doc): ring
+    * ladder of candidate joins in one declarative plan; a point is
+    * final at a ring once it has k candidates with k-th distance ≤
+    * ring·cellSize; the residual falls through to the exact broadcast
+    * path (empty in the common case — AQE elides it).
+    */
+  def gridKnn(points: DataFrame, features: DataFrame, k: Int,
+              cellSize: Double, rings: Seq[Long] = Seq(1L, 8L)): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+
+    val feats = features
+      .select(col("id").as("fid"), col("x").as("fx"), col("y").as("fy"))
+      .withColumn("ck", Geo.cellKey(
+        Geo.cellOf(col("fx"), cellSize), Geo.cellOf(col("fy"), cellSize)))
+
+    val pts0 = Geo.fanout(points.select("id", "x", "y"))
+      .withColumn("cx", Geo.cellOf(col("x"), cellSize))
+      .withColumn("cy", Geo.cellOf(col("y"), cellSize))
+
+    var pending = pts0
+    val stages = rings.map { ring =>
+      val offsets = (-ring to ring)
+        .flatMap(dx => (-ring to ring).map(dy => (dx, dy)))
+        .toDF("dx", "dy")
+      val cands = pending
+        .join(broadcast(offsets))
+        .withColumn("ck", Geo.cellKey(col("cx") + col("dx"), col("cy") + col("dy")))
+        .join(feats, Seq("ck"))
+        .select(col("id"), col("fid"),
+          Geo.dist(col("x"), col("y"), col("fx"), col("fy")).as("distance"))
+      val agged = cands.groupBy("id").agg(
+        slice(array_sort(collect_list(struct(col("distance"), col("fid")))),
+          1, k).as("top"),
+        count(lit(1)).as("nc"))
+      val done = agged
+        .filter(col("nc") >= k &&
+          element_at(col("top"), k)("distance") <= lit(ring.toDouble * cellSize))
+        .select(col("id"), posexplode(col("top")))
+        .select(col("id"), (col("pos") + 1).cast("int").as("rank"),
+          col("col.fid").as("fid"), col("col.distance").as("distance"))
+      pending = pending.join(done.select("id"), Seq("id"), "left_anti")
+      done
+    }
+    val fallback = broadcastKnn(pending.select("id", "x", "y"),
+      feats.select(col("fid").as("id"), col("fx").as("x"), col("fy").as("y")), k)
+    (stages :+ fallback).reduce(_ unionByName _)
   }
 
   def gridNearest(points: DataFrame, features: DataFrame,
                   cellSize: Double, outCol: String = "distance",
-                  maxRounds: Int = 12): DataFrame = {
+                  rings: Seq[Long] = Seq(1L, 8L)): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
 
     val feats = features
       .select(col("x").as("fx"), col("y").as("fy"))
-      .withColumn("fcx", Geo.cellOf(col("fx"), cellSize))
-      .withColumn("fcy", Geo.cellOf(col("fy"), cellSize))
-      .cache()
+      .withColumn("ck", Geo.cellKey(
+        Geo.cellOf(col("fx"), cellSize), Geo.cellOf(col("fy"), cellSize)))
 
-    var pending = Geo.fanout(points.select("id", "x", "y"))
+    val pts0 = Geo.fanout(points.select("id", "x", "y"))
       .withColumn("cx", Geo.cellOf(col("x"), cellSize))
       .withColumn("cy", Geo.cellOf(col("y"), cellSize))
-      .cache()
-    var resolved: Option[DataFrame] = None
-    var ring = 1L // Chebyshev cell radius searched this round
-    var round = 0
 
-    while (round < maxRounds && !pending.isEmpty) {
-      // Candidate cells: all features within `ring` cells on both axes.
-      // Joined via packed cell key so this is a standard equi hash join.
+    var pending = pts0
+    val stages = rings.map { ring =>
       val offsets = (-ring to ring)
         .flatMap(dx => (-ring to ring).map(dy => (dx, dy)))
         .toDF("dx", "dy")
-      val probes = pending
+      val cands = pending
         .join(broadcast(offsets))
         .withColumn("ck", Geo.cellKey(col("cx") + col("dx"), col("cy") + col("dy")))
-        .select("id", "x", "y", "ck")
-      val cands = probes.join(
-          feats.withColumn("ck", Geo.cellKey(col("fcx"), col("fcy")))
-               .select("ck", "fx", "fy"),
-          Seq("ck"))
+        .join(feats, Seq("ck"))
         .groupBy("id")
         .agg(min(Geo.dist(col("x"), col("y"), col("fx"), col("fy"))).as(outCol))
       // A min found at d is final iff no unsearched cell could hold a
       // closer feature: anything outside the ring is > ring*cellSize away.
-      val safe = lit(ring.toDouble * cellSize)
-      val done = pending.join(cands, Seq("id"))
-        .filter(col(outCol) <= safe)
-        .select("id", outCol)
-      resolved = Some(resolved.map(_.unionByName(done)).getOrElse(done))
-      val doneIds = done.select("id")
-      pending = pending.join(doneIds, Seq("id"), "left_anti").cache()
-      ring *= 2
-      round += 1
+      val done = cands.filter(col(outCol) <= lit(ring.toDouble * cellSize))
+      pending = pending.join(done.select("id"), Seq("id"), "left_anti")
+      done
     }
-    // Anything left after maxRounds falls back to the exact broadcast path
-    // (vanishingly rare: isolated points in an empty region).
-    val leftover =
-      if (pending.isEmpty) None
-      else Some(broadcastNearest(pending.select("id", "x", "y"),
-        feats.select(col("fx").as("x"), col("fy").as("y")), outCol))
-    (resolved.toSeq ++ leftover.toSeq).reduce(_ unionByName _)
+    val fallback = broadcastNearest(pending.select("id", "x", "y"),
+      feats.select(col("fx").as("x"), col("fy").as("y")), outCol)
+    (stages :+ fallback).reduce(_ unionByName _)
   }
 }

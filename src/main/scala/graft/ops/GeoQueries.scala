@@ -44,8 +44,12 @@ object GeoQueries {
     GROUP BY p.id ORDER BY p.id"""
 
   // ---- k nearest neighbors (duckpipe-plus) ---------------------------
+  /** Grid-pruned: candidates from the expanding cell ring, so the
+    * per-point window ranks a handful of rows instead of the
+    * |points|×|sites| cross product (the 100 TB-safe plan). */
   def knn(s: SparkSession, dir: String): DataFrame =
-    NearestDistance.broadcastKnn(Derive.points(s, dir), Derive.sites(s, dir), 3)
+    NearestDistance.gridKnn(Derive.points(s, dir), Derive.sites(s, dir),
+      k = 3, cellSize = 500.0)
       .orderBy("id", "rank")
 
   val knnSql: String = s"""

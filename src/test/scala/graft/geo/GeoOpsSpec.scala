@@ -18,6 +18,33 @@ class GeoOpsSpec extends SparkSpec {
     assert(grid.count() == pts.count())
   }
 
+  test("gridKnn equals broadcastKnn (exhaustive) on derived data") {
+    val pts = Derive.points(spark, sfDir)
+    val sites = Derive.sites(spark, sfDir)
+    val brute = NearestDistance.broadcastKnn(pts, sites, 3)
+      .select(col("id"), col("rank"), col("fid").as("b_fid"),
+        col("distance").as("b_d"))
+    val grid = NearestDistance.gridKnn(pts, sites, k = 3, cellSize = 500.0)
+    assert(grid.count() == pts.count() * 3)
+    val joined = brute.join(grid, Seq("id", "rank"))
+    assert(joined.count() == pts.count() * 3)
+    val bad = joined.filter(col("b_fid") =!= col("fid") ||
+      col("b_d") =!= col("distance")).count()
+    assert(bad == 0)
+  }
+
+  test("gridNearest and gridKnn return empty frames on empty input") {
+    val pts = Derive.points(spark, sfDir).filter(lit(false))
+    val feats = Derive.feats(spark, sfDir).select("x", "y")
+    val near = NearestDistance.gridNearest(pts, feats, cellSize = 500.0)
+    assert(near.columns.toSeq == Seq("id", "distance"))
+    assert(near.count() == 0)
+    val knn = NearestDistance.gridKnn(pts, Derive.sites(spark, sfDir),
+      k = 3, cellSize = 500.0)
+    assert(knn.columns.toSeq == Seq("id", "rank", "fid", "distance"))
+    assert(knn.count() == 0)
+  }
+
   test("zKey interleaves bits (scala reference impl)") {
     def spreadRef(v: Long): Long = {
       var x = v & 0xFFFF
