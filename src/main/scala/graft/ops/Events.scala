@@ -148,15 +148,8 @@ object Events {
   /** Global top-25 token 3-grams across the corpus — vocabulary /
     * phrase-frequency statistics for the text pipeline. */
   def topNgrams(s: SparkSession, dir: String): DataFrame = {
-    val toks = split(col("text"), " ")
-    // sequence(1, b) counts DOWN when b < 1, so guard <3-token docs with
-    // an empty array (matches the oracle's empty generate_series(1, 0)).
-    val ngrams = when(size(toks) >= 3,
-      transform(sequence(lit(1), size(toks) - 2),
-        i => concat_ws(" ", slice(toks, i, lit(3)))))
-      .otherwise(array().cast("array<string>"))
     Tables.fanout(Tables.load(s, dir, "documents"))
-      .select(explode(ngrams).as("ngram"))
+      .select(explode(Text.grams(3)).as("ngram"))
       .groupBy("ngram").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("ngram"))
       .limit(25)

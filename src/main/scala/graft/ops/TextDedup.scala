@@ -28,24 +28,8 @@ object TextDedup {
   private def docs(s: SparkSession, dir: String) =
     Tables.fanout(Tables.load(s, dir, "documents"))
 
-  private val toks = split(col("text"), " ")
-
-  /** n-gram array over `toks`, guarded for short documents: Spark's
-    * sequence(1, b) counts DOWN when b < 1 (a <3-token doc would yield
-    * [1, 0] and slice() throws), while the DuckDB oracle's
-    * generate_series(1, 0) is empty — so emit an empty array for docs
-    * shorter than n tokens, which both engines then treat identically
-    * (explode drops the row; array_min yields NULL). */
-  private def grams(n: Int): Column =
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-
-  /** Distinct 3-token shingles per doc: (doc_id, s). */
-  private def shingles(d: DataFrame): DataFrame =
-    d.select(col("doc_id"), explode(grams(3)).as("s"))
-      .distinct()
+  private val toks = Text.toks
+  private def grams(n: Int): Column = Text.grams(n)
 
   /** Distinct hashed shingles: (doc_id, hs). All self-joins run on the
     * 8-byte hash, not the string — same pairs (64-bit collisions are
@@ -136,10 +120,11 @@ object TextDedup {
     val bucketed = sigs
       .select(col("doc_id"), explode(array(bands: _*)).as("e"))
       .select(col("doc_id"), col("e.band").as("band"), col("e.bk").as("bk"))
-    val cands = bucketed.as("a").join(bucketed.as("b"),
-        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+    // salted within-bucket pair generation: singleton buckets dropped,
+    // hot buckets split over ceil(m/32) shuffle keys (SURVEY.md §4)
+    val cands = SkewJoin.saltedSelfPairs(bucketed, Seq("band", "bk"),
+        "doc_id", target = 32)
+      .select(col("_ida").as("da"), col("_idb").as("db"))
       .distinct()
     // exact Jaccard verification, candidate-driven (no full self-join)
     jaccardPairs(sh, 0.5, Some(cands))
@@ -166,14 +151,18 @@ object TextDedup {
         shiftright(col("simhash"), k * 16).bitwiseAND(lit(0xFFFFL)).as("sk")))
     val blocked = sigs.select(col("doc_id"), col("simhash"),
         explode(array(seg: _*)).as("e"))
-      .select(col("doc_id"), col("simhash"),
+      .select(col("doc_id"),
         col("e.seg").as("seg"), col("e.sk").as("sk"))
-    blocked.as("a").join(blocked.as("b"),
-        col("a.seg") === col("b.seg") && col("a.sk") === col("b.sk") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+    val hashes = sigs.select(col("doc_id"), col("simhash"))
+    // salted within-block pair generation (same skew story as minhash)
+    SkewJoin.saltedSelfPairs(blocked, Seq("seg", "sk"), "doc_id",
+        target = 32)
+      .select(col("_ida").as("da"), col("_idb").as("db"))
       .distinct()
+      .join(hashes.select(col("doc_id").as("da"), col("simhash").as("ha")), Seq("da"))
+      .join(hashes.select(col("doc_id").as("db"), col("simhash").as("hb")), Seq("db"))
+      .select(col("da"), col("db"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
       .filter(col("hamming") <= 6)
       .orderBy("da", "db")
   }

@@ -18,6 +18,27 @@ class SkewAccuracySpec extends SparkSpec {
     assert(salted.exceptAll(plain).count() == 0)
   }
 
+  test("saltedSelfPairs equals the naive self-join on a planted hot bucket") {
+    import spark.implicits._
+    // one hot bucket (100 members), several small ones, singletons
+    val rows =
+      (1 to 100).map(i => (0L, 7L, i.toLong)) ++            // hot bucket
+      (1 to 5).map(i => (1L, 9L, 1000L + i)) ++             // small bucket
+      Seq((2L, 3L, 2000L), (3L, 4L, 3000L))                 // singletons
+    val df = rows.toDF("band", "bk", "doc_id")
+    val naive = df.as("a").join(df.as("b"),
+        $"a.band" === $"b.band" && $"a.bk" === $"b.bk" &&
+        $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("_ida"), $"b.doc_id".as("_idb"))
+    // target=8 forces the hot bucket over ceil(100/8)=13 salt keys
+    val salted = SkewJoin.saltedSelfPairs(df, Seq("band", "bk"), "doc_id",
+      target = 8)
+    assert(naive.count() == 100L * 99 / 2 + 5L * 4 / 2)
+    assert(salted.count() == naive.count())
+    assert(naive.exceptAll(salted).count() == 0)
+    assert(salted.exceptAll(naive).count() == 0)
+  }
+
   test("approximate aggregates stay near the exact answers") {
     val approx = Relational3.qApprox(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
