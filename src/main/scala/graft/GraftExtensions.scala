@@ -47,9 +47,15 @@ object GraftFunctions {
       "normalize_text"),
     (args: Seq[Expression]) => functions.NormalizeText(args))
 
+  val clippedPolygonAreaFn: Fn = (
+    FunctionIdentifier("clipped_polygon_area"),
+    new ExpressionInfo(classOf[functions.ClippedPolygonArea].getName,
+      "clipped_polygon_area"),
+    (args: Seq[Expression]) => functions.ClippedPolygonArea(args))
+
   val all: Seq[Fn] =
     Seq(clippedSegmentLengthFn, hilbertIndexFn, pointInPolygonFn,
-      normalizeTextFn)
+      normalizeTextFn, clippedPolygonAreaFn)
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (id, info, builder) =>

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types.{DataType, DoubleType}
@@ -15,9 +15,13 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * Args: cx, cy, r, x1, y1, x2, y2 (all DOUBLE) → DOUBLE.
   */
 case class ClippedSegmentLength(children: Seq[Expression])
-    extends Expression {
+    extends Expression with ImplicitCastInputTypes {
 
   require(children.length == 7, "clipped_segment_length takes 7 arguments")
+
+  // analysis-time implicit casts instead of interpreted-path
+  // ClassCastExceptions on mistyped SQL literals
+  override def inputTypes: Seq[DataType] = Seq.fill(7)(DoubleType)
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = children.exists(_.nullable)

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types.{DataType, LongType}
@@ -36,8 +36,13 @@ object HilbertMath {
   }
 }
 
-case class HilbertIndex(children: Seq[Expression]) extends Expression {
+case class HilbertIndex(children: Seq[Expression])
+    extends Expression with ImplicitCastInputTypes {
   require(children.length == 3, "hilbert_index takes (ix, iy, order)")
+
+  // analysis-time implicit casts (INT literals → LONG) instead of
+  // interpreted-path ClassCastExceptions
+  override def inputTypes: Seq[DataType] = Seq.fill(3)(LongType)
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = children.exists(_.nullable)

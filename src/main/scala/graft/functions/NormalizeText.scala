@@ -1,14 +1,14 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Unicode text canonicalization for LLM-data pipelines: NFKC
-  * normalize → strip combining marks (accent folding) → lowercase —
+/** Unicode text canonicalization for LLM-data pipelines: NFKD
+  * decompose → strip combining marks (accent folding) → lowercase —
   * the standard pre-dedup/pre-tokenization cleanup. Spark has no
   * built-in Unicode normalizer, so this is a native expression
   * (doGenCode static call; java.text.Normalizer under the hood).
@@ -23,8 +23,13 @@ object TextNorm {
   }
 }
 
-case class NormalizeText(children: Seq[Expression]) extends Expression {
+case class NormalizeText(children: Seq[Expression])
+    extends Expression with ImplicitCastInputTypes {
   require(children.length == 1, "normalize_text takes 1 argument")
+
+  // analysis-time implicit cast instead of an interpreted-path
+  // ClassCastException on non-string SQL arguments
+  override def inputTypes: Seq[DataType] = Seq(StringType)
 
   override def dataType: DataType = StringType
   override def nullable: Boolean = children.head.nullable

@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, DoubleType}
 
 /** Ray-casting point-in-polygon test over vertex arrays — real polygon
   * semantics (the reference's ST_Intersects/ST_Contains on landuse/OA
@@ -36,8 +36,14 @@ object PolyMath {
   }
 }
 
-case class PointInPolygon(children: Seq[Expression]) extends Expression {
+case class PointInPolygon(children: Seq[Expression])
+    extends Expression with ImplicitCastInputTypes {
   require(children.length == 4, "point_in_polygon takes (px, py, xs, ys)")
+
+  // analysis-time implicit casts instead of interpreted-path
+  // ClassCastExceptions on mistyped SQL literals
+  override def inputTypes: Seq[DataType] =
+    Seq(DoubleType, DoubleType, ArrayType(DoubleType), ArrayType(DoubleType))
 
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = children.exists(_.nullable)

@@ -366,6 +366,65 @@ object GeoQueries {
            CAST(SUM(CAST(clip AS DECIMAL(18,9))) AS DOUBLE) AS L
     FROM c4 GROUP BY id, radius ORDER BY id, radius"""
 
+  // ---- exact circle∩polygon area (native Catalyst expression) -------
+  /** The reference's flagship landuse/OA semantics:
+    * ST_Area(ST_Intersection(polygon, buffer)) — exact, via the
+    * clipped_polygon_area expression (Green's theorem: chord triangles
+    * + circular sectors). Triangles span ≤ 721 m from their anchor
+    * vertex, so cell = 500 + 722 provably covers every candidate. */
+  def areaClip(s: SparkSession, dir: String): DataFrame =
+    AreaClip.areaExact(
+      Derive.points(s, dir), Derive.triangles(s, dir),
+      radii = Seq(500.0), maxVertexDist = 722.0)
+      .orderBy("id", "radius")
+
+  /** Oracle mirrors GeoMath.circleEdgeTerm operation-for-operation —
+    * identical branch predicates on bit-identical doubles, so both
+    * engines take the same branch everywhere; the only cross-engine
+    * divergence is atan2 at ulp level, absorbed by the per-pair
+    * DECIMAL(18,2) quantization before the exact decimal sum. */
+  val areaClipSql: String = s"""
+    WITH $pts, tris AS (${Derive.trianglesSql}),
+    edges AS (
+      SELECT p.id, t.poly_id,
+             t.xs[e.j] - p.x AS ax, t.ys[e.j] - p.y AS ay,
+             t.xs[e.i] - p.x AS bx, t.ys[e.i] - p.y AS by
+      FROM pts p CROSS JOIN tris t
+      CROSS JOIN (VALUES (1, 3), (2, 1), (3, 2)) e(i, j)),
+    c1 AS (SELECT *, bx - ax AS dx, by - ay AS dy,
+                  ax*by - ay*bx AS crossab, ax*bx + ay*by AS dotab FROM edges),
+    c2 AS (SELECT *, dx*dx + dy*dy AS aa, 2.0*(ax*dx + ay*dy) AS bb,
+                  ax*ax + ay*ay - 250000.0 AS cc FROM c1),
+    c3 AS (SELECT *, bb*bb - 4.0*aa*cc AS disc FROM c2),
+    c4 AS (SELECT *,
+            CASE WHEN aa = 0.0 OR disc <= 0.0 THEN CAST(NULL AS DOUBLE)
+                 ELSE (-bb - sqrt(disc)) / (2.0*aa) END AS t1,
+            CASE WHEN aa = 0.0 OR disc <= 0.0 THEN CAST(NULL AS DOUBLE)
+                 ELSE (-bb + sqrt(disc)) / (2.0*aa) END AS t2
+           FROM c3),
+    c5 AS (SELECT *,
+            CASE WHEN t1 > 0.0 THEN t1 ELSE 0.0 END AS lo,
+            CASE WHEN t2 < 1.0 THEN t2 ELSE 1.0 END AS hi FROM c4),
+    c6 AS (SELECT *, ax + lo*dx AS p1x, ay + lo*dy AS p1y,
+                  ax + hi*dx AS p2x, ay + hi*dy AS p2y FROM c5),
+    term AS (SELECT id, poly_id,
+      CASE WHEN aa = 0.0 THEN 0.0
+           WHEN disc <= 0.0 THEN 125000.0 * atan2(crossab, dotab)
+           WHEN t2 <= 0.0 OR t1 >= 1.0 THEN 125000.0 * atan2(crossab, dotab)
+           ELSE (p1x*p2y - p1y*p2x) / 2.0
+                + CASE WHEN lo > 0.0
+                       THEN 125000.0 * atan2(ax*p1y - ay*p1x, ax*p1x + ay*p1y)
+                       ELSE 0.0 END
+                + CASE WHEN hi < 1.0
+                       THEN 125000.0 * atan2(p2x*by - p2y*bx, p2x*bx + p2y*by)
+                       ELSE 0.0 END
+      END AS f
+      FROM c6),
+    pair AS (SELECT id, poly_id, abs(SUM(f)) AS area FROM term GROUP BY 1, 2)
+    SELECT id, 500.0 AS radius,
+           CAST(SUM(CAST(area AS DECIMAL(18,2))) AS DOUBLE) AS A
+    FROM pair GROUP BY id ORDER BY id, radius"""
+
   // ---- fluent GeoCalculator pipeline, wide + long results ------------
   private val pipelineVarnames: Seq[String] =
     Seq("D_Supp", "Road_L_0500", "Road_LL_0500", "Road_LLW_0500") ++
@@ -445,6 +504,7 @@ object GeoQueries {
     QueryDef("geo_poly_tag", polyTag, Some(polyTagSql)),
     QueryDef("geo_pivot", pivot, Some(pivotSql)),
     QueryDef("geo_line_clip", lineClip, Some(lineClipSql)),
+    QueryDef("geo_area_clip", areaClip, Some(areaClipSql)),
     QueryDef("geo_pipeline_wide", pipelineWide, Some(pipelineWideSql)),
     QueryDef("geo_pipeline_long", pipelineLong, Some(pipelineLongSql)),
     QueryDef("geo_coordinate", coordinate, None))

@@ -1,0 +1,78 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+class ClippedPolygonAreaSpec extends SparkSpec {
+
+  private def area(cx: Double, cy: Double, r: Double,
+                   xs: Seq[Double], ys: Seq[Double]): Double = {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    GeoMath.circlePolyArea(cx, cy, r,
+      ArrayData.toArrayData(xs.toArray), ArrayData.toArrayData(ys.toArray))
+  }
+
+  private val big = 1e6 // a square far larger than any test circle
+  private val sqXs = Seq(-big, big, big, -big)
+  private val sqYs = Seq(-big, -big, big, big)
+
+  test("circle fully inside polygon → π r²") {
+    val a = area(0, 0, 100, sqXs, sqYs)
+    assert(math.abs(a - math.Pi * 1e4) < 1e-6)
+  }
+
+  test("polygon fully inside circle → polygon area") {
+    val a = area(0, 0, 1000, Seq(0, 30, 0), Seq(0, 0, 40))
+    assert(math.abs(a - 600.0) < 1e-9)
+    // orientation-independent (ST_Area semantics)
+    val b = area(0, 0, 1000, Seq(0, 0, 30), Seq(0, 40, 0))
+    assert(math.abs(b - 600.0) < 1e-9)
+  }
+
+  test("circle centered on polygon corner → quarter disk") {
+    val a = area(-big, -big, 50, sqXs, sqYs)
+    assert(math.abs(a - math.Pi * 2500 / 4) < 1e-6)
+  }
+
+  test("circle centered on polygon edge → half disk") {
+    val a = area(0, -big, 80, sqXs, sqYs)
+    assert(math.abs(a - math.Pi * 6400 / 2) < 1e-6)
+  }
+
+  test("disjoint circle and polygon → 0") {
+    val a = area(0, 0, 10, Seq(100, 130, 100), Seq(100, 100, 140))
+    assert(math.abs(a) < 1e-9)
+  }
+
+  test("chord case: circle overlapping one edge matches the segment formula") {
+    // disk center (0, d) above the top edge y=0 of a huge square below:
+    // intersection = circular segment below the line y=0.
+    val d = 30.0; val r = 50.0
+    val xs = Seq(-big, big, big, -big)
+    val ys = Seq(0.0, 0.0, -big, -big)
+    val a = area(0, d, r, xs, ys)
+    // segment area for half-angle θ = acos(d/r)
+    val th = math.acos(d / r)
+    val expect = r * r * th - d * r * math.sin(th)
+    assert(math.abs(a - expect) < 1e-6, s"$a vs $expect")
+  }
+
+  test("SQL surface with mistyped (integer) literals casts implicitly") {
+    graft.GraftFunctions.register(spark)
+    val rows = spark.sql(
+      """SELECT clipped_polygon_area(0, 0, 1000, array(0.0, 30.0, 0.0),
+        |                            array(0.0, 0.0, 40.0)) AS a,
+        |       clipped_segment_length(0, 0, 10, -100, 0, 100, 0) AS l,
+        |       hilbert_index(3, 4, 10) AS h,
+        |       point_in_polygon(1, 1, array(0.0, 4.0, 0.0),
+        |                        array(0.0, 0.0, 4.0)) AS inside,
+        |       normalize_text(12345) AS t
+        |""".stripMargin).collect()
+    val Row(a: Double, l: Double, h: Long, inside: Boolean, t: String) = rows(0)
+    assert(math.abs(a - 600.0) < 1e-9)
+    assert(math.abs(l - 20.0) < 1e-12)
+    assert(h == HilbertMath.xy2d(10, 3, 4))
+    assert(inside)
+    assert(t == "12345")
+  }
+}
