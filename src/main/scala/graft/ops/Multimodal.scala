@@ -7,57 +7,93 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing (SURVEY.md §2): media as opaque BINARY
   * columns with typed metadata, processed in partition-sized batches.
   *
-  * The Spark-side machinery is real — schema, partition batching,
-  * struct metadata, and a typed mapPartitions stage (the Scala analogue
-  * of a Pandas-UDF `mapInPandas` batch loop). The codec itself is a
-  * clearly-marked deterministic STUB (this container has no image/audio
-  * libraries): "decode" derives a fake feature vector from the bytes.
-  * Swapping `stubDecode` for a real JNI/library call changes nothing
-  * about the distributed plan.
+  * The full loop is real: ingest renders each document as an actual
+  * grayscale PNG (one pixel per character, value = code point) through
+  * javax.imageio; decode reads the PNG container back — signature
+  * parsing, zlib inflate, scanline defiltering — and extracts pixel
+  * statistics. Both stages run as typed mapPartitions (the Scala
+  * analogue of a Pandas-UDF `mapInPandas` batch loop): codec context
+  * initialized once per partition, then a streaming loop over rows.
+  *
+  * Because PNG is lossless, the decoded pixel statistics are exactly
+  * the character statistics of the source text — which is what lets a
+  * plain-SQL DuckDB oracle verify a genuine image decode end-to-end
+  * without any image library on the oracle side.
   */
 object Multimodal {
 
   final case class MediaRow(doc_id: Long, payload: Array[Byte],
                             width: Int, height: Int)
-  final case class Decoded(doc_id: Long, n_bytes: Int,
-                           mean_byte: Double, feature: Array[Double])
+  final case class Decoded(doc_id: Long, width: Int, height: Int,
+                           n_px: Int, mean_px: Double,
+                           q0: Long, q1: Long, q2: Long, q3: Long)
 
-  /** STUB codec: real decoders (JPEG/PNG/audio frames) plug in here. */
-  def stubDecode(payload: Array[Byte]): (Double, Array[Double]) = {
-    var sum = 0L
+  /** Render text as a width×1 8-bit grayscale PNG (pixel i = code
+    * point of character i). Real container, real compression. */
+  def encodePng(text: String): Array[Byte] = {
+    val n = text.length
+    val img = new java.awt.image.BufferedImage(
+      n, 1, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
     var i = 0
-    while (i < payload.length) { sum += payload(i) & 0xFF; i += 1 }
-    val mean = if (payload.length == 0) 0.0 else sum.toDouble / payload.length
-    // fake 4-dim "embedding": byte histogram quarters
-    val feat = new Array[Double](4)
-    i = 0
-    while (i < payload.length) {
-      feat((payload(i) & 0xFF) / 64) += 1.0; i += 1
-    }
-    (mean, feat)
+    while (i < n) { raster.setSample(i, 0, 0, text.charAt(i).toInt); i += 1 }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
-  /** Build a media table: text bytes stand in for image payloads, with
-    * metadata struct carried alongside (as a real pipeline would carry
-    * EXIF/container info). */
-  def mediaTable(s: SparkSession, dir: String): DataFrame =
-    Tables.fanout(Tables.load(s, dir, "documents")).select(
-      col("doc_id"),
-      encode(col("text"), "UTF-8").as("payload"),
-      col("n_chars").cast("int").as("width"),
-      lit(1).cast("int").as("height"))
+  /** Decode a PNG payload → (width, height, pixel samples). */
+  def decodePng(payload: Array[Byte]): (Int, Int, Array[Int]) = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    val (w, h) = (img.getWidth, img.getHeight)
+    val raster = img.getRaster
+    val px = new Array[Int](w * h)
+    var y = 0; var i = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { px(i) = raster.getSample(x, y, 0); x += 1; i += 1 }
+      y += 1
+    }
+    (w, h, px)
+  }
+
+  /** Media table: documents rendered to real PNG payloads with typed
+    * metadata alongside (as a production pipeline carries
+    * EXIF/container info). Batch encode via typed mapPartitions. */
+  def mediaTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.fanout(Tables.load(s, dir, "documents"))
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        // real pipeline: encoder/codec context initialized here, once
+        rows.map { case (id, text) =>
+          MediaRow(id, encodePng(text), text.length, 1)
+        }
+      }
+      .toDF()
+  }
 
   /** Batch decode via typed mapPartitions — one codec init per
-    * partition (the expensive part with real codecs), then a streaming
-    * loop over the rows, exactly the mapInPandas batch shape. */
+    * partition, then a streaming loop over rows, exactly the
+    * mapInPandas batch shape. Emits pixel statistics: count, mean,
+    * and a 4-bin intensity histogram (the decode-then-featurize stage
+    * of an image training pipeline). */
   def decodeAll(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     mediaTable(s, dir).as[MediaRow]
       .mapPartitions { rows =>
-        // real pipeline: init codec/library context here, once
         rows.map { r =>
-          val (mean, feat) = stubDecode(r.payload)
-          Decoded(r.doc_id, r.payload.length, mean, feat)
+          val (w, h, px) = decodePng(r.payload)
+          var sum = 0L
+          val hist = new Array[Long](4)
+          var i = 0
+          while (i < px.length) {
+            sum += px(i); hist(px(i) / 64) += 1; i += 1
+          }
+          Decoded(r.doc_id, w, h, px.length,
+            sum.toDouble / px.length,
+            hist(0), hist(1), hist(2), hist(3))
         }
       }
       .toDF()
@@ -65,18 +101,31 @@ object Multimodal {
 
   def mmPipeline(s: SparkSession, dir: String): DataFrame =
     decodeAll(s, dir)
-      .select(col("doc_id"), col("n_bytes"),
-        col("mean_byte"), col("feature")(0).as("f0"), col("feature")(3).as("f3"))
+      .select("doc_id", "width", "height", "n_px", "mean_px",
+        "q0", "q1", "q2", "q3")
       .orderBy("doc_id")
 
-  // n_bytes is byte length of UTF-8 text (ASCII here → equals n_chars);
-  // mean_byte / histogram are reproducible in SQL via ord(); keep the
-  // oracle to the structural columns, the codec output is spec-tested.
+  /** PNG is lossless, so decoded pixel statistics equal character
+    * statistics of the source text — an ANSI-SQL-expressible oracle
+    * for a real image decode. mean division is a single IEEE op on
+    * identical operands (exact integer sum / exact count). */
   val mmPipelineSql: String = """
-    SELECT doc_id,
-      CAST(strlen(text) AS INTEGER) AS n_bytes
-    FROM documents ORDER BY doc_id"""
+    WITH c AS (
+      SELECT doc_id, length(text) AS n,
+        list_transform(string_split_regex(text, ''), ch -> unicode(ch)) AS codes
+      FROM documents),
+    f AS (
+      SELECT doc_id,
+        CAST(n AS INTEGER) AS width, 1 AS height, CAST(n AS INTEGER) AS n_px,
+        CAST(list_sum(codes) AS DOUBLE) / n AS mean_px,
+        CAST(len(list_filter(codes, x -> x // 64 = 0)) AS BIGINT) AS q0,
+        CAST(len(list_filter(codes, x -> x // 64 = 1)) AS BIGINT) AS q1,
+        CAST(len(list_filter(codes, x -> x // 64 = 2)) AS BIGINT) AS q2,
+        CAST(len(list_filter(codes, x -> x // 64 = 3)) AS BIGINT) AS q3
+      FROM c)
+    SELECT doc_id, width, height, n_px, mean_px, q0, q1, q2, q3
+    FROM f ORDER BY doc_id"""
 
   def all: Seq[QueryDef] = Seq(
-    QueryDef("mm_pipeline", mmPipeline, None))
+    QueryDef("mm_pipeline", mmPipeline, Some(mmPipelineSql)))
 }

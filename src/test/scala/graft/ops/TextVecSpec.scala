@@ -75,18 +75,28 @@ class TextVecSpec extends SparkSpec {
     assert(after < before, "iteration should strictly improve on this data")
   }
 
-  test("multimodal stub pipeline: batch decode preserves rows and schema") {
+  test("multimodal pipeline: PNG encode→decode round-trips pixel stats") {
     val out = Multimodal.decodeAll(spark, sfDir)
     assert(out.columns.toSeq ==
-      Seq("doc_id", "n_bytes", "mean_byte", "feature"))
-    val n = graft.Tables.load(spark, sfDir, "documents").count()
-    assert(out.count() == n)
-    val row = out.orderBy("doc_id").head()
-    assert(row.getInt(1) > 0)
-    assert(row.getSeq[Double](3).length == 4)
-    // histogram mass equals byte count
-    val checked = out.filter(
-      expr("abs(aggregate(feature, 0D, (a, x) -> a + x) - n_bytes) > 1e-9"))
-    assert(checked.isEmpty)
+      Seq("doc_id", "width", "height", "n_px", "mean_px",
+        "q0", "q1", "q2", "q3"))
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    assert(out.count() == docs.count())
+    // decoded pixel stats == character stats of the source text (PNG
+    // is lossless), checked row-for-row against column expressions
+    val expected = docs.select(col("doc_id"),
+      length(col("text")).as("e_n"),
+      (aggregate(transform(split(col("text"), ""),
+          ch => ascii(ch).cast("long")), lit(0L), (a, x) => a + x)
+        .cast("double") / length(col("text"))).as("e_mean"))
+    val bad = out.join(expected, Seq("doc_id"))
+      .filter(col("n_px") =!= col("e_n") ||
+        abs(col("mean_px") - col("e_mean")) > 1e-9 ||
+        col("q0") + col("q1") + col("q2") + col("q3") =!= col("n_px"))
+    assert(bad.isEmpty)
+    // the payload is a real PNG container
+    val payload = Multimodal.mediaTable(spark, sfDir)
+      .orderBy("doc_id").head().getAs[Array[Byte]]("payload")
+    assert(payload.take(4).map(_ & 0xFF).toSeq == Seq(0x89, 0x50, 0x4E, 0x47))
   }
 }
