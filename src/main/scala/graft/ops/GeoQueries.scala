@@ -221,6 +221,50 @@ object GeoQueries {
     FROM pts
     GROUP BY 1 ORDER BY 1"""
 
+  // ---- size-capped spatial clustering ---------------------------------
+  /** The reference's chunk_by_centroid(max_cluster_size=…) semantics
+    * (Clustering.py:54-125: linkage clusters over the distance
+    * threshold cap are split into consecutive index chunks): grid cell
+    * = the coherence contract (every pair within √2·threshold), then
+    * consecutive id-ordered chunks of ≤ maxSize within each cell = the
+    * cap. One window + one aggregation — no driver linkage matrix, and
+    * the window partitions by cell so no global sort exists anywhere.
+    */
+  def clusterCapped(s: SparkSession, dir: String): DataFrame = {
+    val maxSize = 10
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster").orderBy("id")
+    Derive.points(s, dir)
+      .withColumn("cluster",
+        Geo.cellKey(Geo.cellOf(col("x"), 2000.0), Geo.cellOf(col("y"), 2000.0)))
+      .withColumn("chunk",
+        floor((row_number().over(w) - 1) / maxSize).cast("long"))
+      .groupBy("cluster", "chunk")
+      .agg(count(lit(1)).as("n"),
+        (sum(col("x").cast("decimal(18,1)")).cast("double") / count(lit(1)))
+          .as("cx"),
+        (sum(col("y").cast("decimal(18,1)")).cast("double") / count(lit(1)))
+          .as("cy"))
+      .orderBy("cluster", "chunk")
+  }
+
+  val clusterCappedSql: String = s"""
+    WITH $pts,
+    cells AS (
+      SELECT id, x, y,
+        (CAST(floor(x / 2000.0) AS BIGINT) + 1048576) * 2097152
+          + (CAST(floor(y / 2000.0) AS BIGINT) + 1048576) AS cluster
+      FROM pts),
+    chunked AS (
+      SELECT *, CAST((ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY id) - 1)
+                     // 10 AS BIGINT) AS chunk
+      FROM cells)
+    SELECT cluster, chunk, COUNT(*) AS n,
+           CAST(SUM(CAST(x AS DECIMAL(18,1))) AS DOUBLE) / COUNT(*) AS cx,
+           CAST(SUM(CAST(y AS DECIMAL(18,1))) AS DOUBLE) / COUNT(*) AS cy
+    FROM chunked
+    GROUP BY cluster, chunk ORDER BY cluster, chunk"""
+
   // ---- Hilbert-curve key (native expression; reference hilbert chunking)
   def hilbert(s: SparkSession, dir: String): DataFrame = {
     graft.GraftFunctions.register(s)
@@ -501,6 +545,7 @@ object GeoQueries {
     QueryDef("geo_zorder", zorder, Some(zorderSql)),
     QueryDef("geo_hilbert", hilbert, Some(hilbertSql)),
     QueryDef("geo_cluster", cluster, Some(clusterSql)),
+    QueryDef("geo_cluster_capped", clusterCapped, Some(clusterCappedSql)),
     QueryDef("geo_poly_tag", polyTag, Some(polyTagSql)),
     QueryDef("geo_pivot", pivot, Some(pivotSql)),
     QueryDef("geo_line_clip", lineClip, Some(lineClipSql)),

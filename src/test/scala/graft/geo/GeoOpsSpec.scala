@@ -45,6 +45,24 @@ class GeoOpsSpec extends SparkSpec {
     assert(knn.count() == 0)
   }
 
+  test("capped clustering honors the size cap and partitions each cell") {
+    val out = graft.ops.GeoQueries.clusterCapped(spark, sfDir)
+    assert(out.filter(col("n") > 10).count() == 0)
+    // chunk counts per cell reassemble the uncapped cell counts
+    val capped = out.groupBy("cluster").agg(sum("n").as("n2"))
+    val plain = graft.ops.GeoQueries.cluster(spark, sfDir)
+      .select(col("cluster"), col("n"))
+    val bad = plain.join(capped, Seq("cluster"), "full")
+      .filter(col("n").isNull || col("n2").isNull || col("n") =!= col("n2"))
+    assert(bad.isEmpty)
+    // every non-final chunk is exactly full
+    val notLast = out.withColumn("maxc",
+        max("chunk").over(org.apache.spark.sql.expressions.Window
+          .partitionBy("cluster")))
+      .filter(col("chunk") < col("maxc"))
+    assert(notLast.filter(col("n") =!= 10).count() == 0)
+  }
+
   test("zKey interleaves bits (scala reference impl)") {
     def spreadRef(v: Long): Long = {
       var x = v & 0xFFFF
