@@ -136,4 +136,19 @@ object GeoCalculator {
       .drop("_p")
     new GeoCalculator(p, Vector.empty)
   }
+
+  /** Full add_point_with_table analogue: ingest x/y columns in ANY
+    * supported EPSG (reference core.py:118-152 — epsg param) and
+    * transform to the EPSG:5179 working CRS. 4326 means the columns
+    * are lon/lat; projected codes go through the geographic pivot. */
+  def fromXY(df: DataFrame, xCol: String, yCol: String,
+             epsg: Int): GeoCalculator =
+    if (epsg == 4326) fromWgs84(df, xCol, yCol)
+    else {
+      val p = df.withColumn("_p",
+          Proj.transform(col(xCol), col(yCol), Proj.epsg(epsg), Proj.Epsg5179))
+        .withColumn("x", col("_p.x")).withColumn("y", col("_p.y"))
+        .drop("_p")
+      new GeoCalculator(p, Vector.empty)
+    }
 }

@@ -41,6 +41,44 @@ object Proj {
   }
   val Epsg5179: Tm = Tm()
 
+  /** EPSG registry for the TM/UTM family — the engine-native analogue
+    * of the reference's arbitrary-EPSG ingest (duckpipe/core.py:118-152
+    * accepts any input EPSG and ST_Transforms to 5179). Codes covered:
+    * the Korea 2000 belts (5179 unified, 5185/5186/5187 west/central/
+    * east on GRS80) and the global UTM grid (326xx north / 327xx south
+    * on WGS84). Datum shifts are out of scope: all supported datums are
+    * GRS80/WGS84, which agree below 1 mm.
+    */
+  def epsg(code: Int): Tm = code match {
+    case 5179 => Epsg5179
+    case 5185 => Tm(lat0Deg = 38.0, lon0Deg = 125.0, k0 = 1.0,
+      fe = 200000.0, fn = 600000.0)
+    case 5186 => Tm(lat0Deg = 38.0, lon0Deg = 127.0, k0 = 1.0,
+      fe = 200000.0, fn = 600000.0)
+    case 5187 => Tm(lat0Deg = 38.0, lon0Deg = 129.0, k0 = 1.0,
+      fe = 200000.0, fn = 600000.0)
+    case z if z >= 32601 && z <= 32660 =>
+      Tm(f = 1.0 / 298.257223563, lat0Deg = 0.0,
+        lon0Deg = (z - 32600) * 6.0 - 183.0, k0 = 0.9996,
+        fe = 500000.0, fn = 0.0)
+    case z if z >= 32701 && z <= 32760 =>
+      Tm(f = 1.0 / 298.257223563, lat0Deg = 0.0,
+        lon0Deg = (z - 32700) * 6.0 - 183.0, k0 = 0.9996,
+        fe = 500000.0, fn = 10000000.0)
+    case other => throw new IllegalArgumentException(
+      s"unsupported EPSG:$other — TM/UTM family only " +
+        "(5179, 5185-5187, 32601-32660, 32701-32760)")
+  }
+
+  /** Projected (x, y) in `from` → projected struct(x, y) in `to`, via
+    * the geographic pivot (inverse then forward) — the reference's
+    * ST_Transform between projected CRSs. Plain column arithmetic,
+    * whole-stage codegen, no UDF. */
+  def transform(x: Column, y: Column, from: Tm, to: Tm): Column = {
+    val g = inverse(x, y, from)
+    forward(g.getField("lon"), g.getField("lat"), to)
+  }
+
   private def mCol(p: Tm, phi: Column): Column =
     lit(p.a) * (lit(p.c0) * phi - lit(p.c2) * sin(phi * 2) +
       lit(p.c4) * sin(phi * 4) - lit(p.c6) * sin(phi * 6))
