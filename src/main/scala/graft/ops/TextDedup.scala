@@ -77,8 +77,24 @@ object TextDedup {
     FROM documents GROUP BY 1 ORDER BY h"""
 
   // ---- exact n-gram Jaccard near-dup (small-scale exact mode) --------
+  /** Exact mode guardrail: the shingle self-join is quadratic-ish in
+    * corpus size, so refuse corpora past `maxDocs` instead of silently
+    * launching a 100 TB-shaped disaster — at scale, dedup_minhash
+    * computes the same pairs with LSH candidate pruning. */
+  val NgramMaxDocs = 200000L
+
   def dedupNgram(s: SparkSession, dir: String): DataFrame =
-    jaccardPairs(Tables.hot(shinglesHashed(docs(s, dir))), 0.5, None)
+    dedupNgramGuarded(s, dir, NgramMaxDocs)
+
+  def dedupNgramGuarded(s: SparkSession, dir: String,
+                        maxDocs: Long): DataFrame = {
+    val d = docs(s, dir)
+    val n = d.count()
+    require(n <= maxDocs,
+      s"dedup_ngram is the small-scale exact mode ($n docs > cap $maxDocs); " +
+        "use dedup_minhash: same pairs at threshold 0.5, LSH-pruned")
+    jaccardPairs(Tables.hot(shinglesHashed(d)), 0.5, None)
+  }
 
   val dedupNgramSql: String = """
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -107,14 +107,18 @@ object VectorOps {
     FROM ranked WHERE rn <= $K ORDER BY qid, rn"""
 
   // ---- IVF-flat ANN ---------------------------------------------------
-  // Coarse quantizer: NCells fixed centroids (vectors with vec_id <
-  // NCells — deterministic; a production build would k-means these).
-  // Corpus vectors are assigned to their nearest centroid once
-  // (argmin over exact L2); queries probe the NProbe nearest cells and
-  // run exact cosine top-k inside them. At 100 TB the assignment is a
-  // broadcast pass and each query touches NProbe/NCells of the corpus.
+  // Coarse quantizer: NCells centroids seeded deterministically
+  // (vectors with vec_id < NCells) and refined with KmeansIters
+  // distributed Lloyd iterations (kmeansIterate below — the oracle
+  // unrolls the same iterations in SQL). Corpus vectors are assigned
+  // to their nearest centroid once (argmin over exact L2); queries
+  // probe the NProbe nearest cells and run exact cosine top-k inside
+  // them. At 100 TB the assignment is a broadcast pass and each query
+  // touches NProbe/NCells of the corpus.
   val NCells = 16
   val NProbe = 4
+  val KmeansIters = 1
+  private val MeanScale = 12 // decimal scale for cross-engine-exact means
 
   private def l2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0),
@@ -122,8 +126,9 @@ object VectorOps {
 
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val cents = broadcast(e.filter(col("vec_id") < NCells)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv")))
+    val seed = e.filter(col("vec_id") < NCells)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val cents = broadcast(kmeansIterate(e, seed, KmeansIters))
     val wAssign = Window.partitionBy("vec_id")
       .orderBy(col("cd"), col("cent_id"))
     val assigned = e.join(cents)
@@ -153,7 +158,22 @@ object VectorOps {
 
   val annIvfSql: String = s"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < $NCells),
+    cents0 AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < $NCells),
+    -- one unrolled Lloyd iteration, mirroring kmeansIterate: argmin
+    -- assignment, then decimal-exact per-dimension means
+    k_ranked AS (
+      SELECT e.vec_id, e.v, c.cent_id,
+        ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+          list_sum(list_transform(generate_series(1, len(e.v)),
+            i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))), c.cent_id) AS crk
+      FROM e CROSS JOIN cents0 c),
+    k_assigned AS (SELECT vec_id, v, cent_id FROM k_ranked WHERE crk = 1),
+    k_dims AS (
+      SELECT cent_id, t.i AS i,
+        CAST(SUM(CAST(v[t.i] AS DECIMAL(18,$MeanScale))) AS DOUBLE) / COUNT(*) AS m
+      FROM k_assigned, generate_series(1, 64) t(i)
+      GROUP BY cent_id, t.i),
+    cents AS (SELECT cent_id, list(m ORDER BY i) AS cv FROM k_dims GROUP BY cent_id),
     assign_ranked AS (
       SELECT e.vec_id, e.v, c.cent_id,
         ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
@@ -181,9 +201,12 @@ object VectorOps {
     SELECT qid, cid, ROUND(cos, 6) AS score, rn
     FROM ranked WHERE rn <= $K ORDER BY qid, rn"""
 
-  /** One distributed Lloyd iteration: assign → per-cell mean. Use to
-    * refine the fixed IVF coarse centroids; returns (cent_id, cv).
-    * Fully shuffle-planned: one broadcast assign pass + one groupBy. */
+  /** Distributed Lloyd iterations: assign → per-cell per-dimension
+    * mean; refines the IVF coarse centroids. Returns (cent_id, cv).
+    * Fully shuffle-planned: one broadcast assign pass + one groupBy
+    * per iteration. Means are decimal-routed (exact sum at scale
+    * `MeanScale`, one double division) so the refined centroids — and
+    * everything ranked against them — are bit-identical cross-engine. */
   def kmeansIterate(corpus: DataFrame, centroids: DataFrame,
                     iters: Int, dim: Int = 64): DataFrame = {
     var cents = centroids
@@ -197,7 +220,8 @@ object VectorOps {
         .filter(col("crk") === 1)
       cents = assigned.groupBy("cent_id")
         .agg(array((0 until dim).map(i =>
-          avg(col("v")(i))): _*).as("cv"))
+          sum(col("v")(i).cast(org.apache.spark.sql.types.DecimalType(18, MeanScale)))
+            .cast("double") / count(lit(1))): _*).as("cv"))
     }
     cents
   }

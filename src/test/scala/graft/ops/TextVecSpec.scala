@@ -75,6 +75,13 @@ class TextVecSpec extends SparkSpec {
     assert(after < before, "iteration should strictly improve on this data")
   }
 
+  test("ngram exact mode refuses oversized corpora, pointing at minhash") {
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.TextDedup.dedupNgramGuarded(spark, sfDir, maxDocs = 3)
+    }
+    assert(e.getMessage.contains("dedup_minhash"))
+  }
+
   test("multimodal pipeline: PNG encode→decode round-trips pixel stats") {
     val out = Multimodal.decodeAll(spark, sfDir)
     assert(out.columns.toSeq ==
