@@ -35,6 +35,11 @@ object LineClip {
         Geo.cellOf(col("x"), cell) + col("dx"),
         Geo.cellOf(col("y"), cell) + col("dy")))
       .join(segs, Seq("ck"))
+      // a segment can only enter the disk if its midpoint is within
+      // maxRadius + segLen/2 = cell; everything else clips to exactly
+      // 0 and would only feed zeros to the decimal sums (~3× fewer)
+      .filter(Geo.dist2(col("x"), col("y"), col("mx"), col("my"))
+        < lit(cell * cell))
     val aggs = radii.map { r =>
       val clip = call_function("clipped_segment_length",
         col("x"), col("y"), lit(r),

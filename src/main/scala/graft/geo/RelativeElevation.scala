@@ -19,12 +19,29 @@ object RelativeElevation {
   def compute(points: DataFrame, cells: DataFrame, refRadius: Double,
               radii: Seq[Double], thickness: Double = 30.0): DataFrame = {
     val reach = radii.max + thickness
+    val inRef = col("_d2") < lit(refRadius * refRadius)
+    // Only the reference disk and the donut bands feed any aggregate;
+    // drop everything else (the box corners and the gap between the
+    // reference disk and the innermost ring) right at the join output,
+    // before anything shuffles. Cuts the aggregated volume ~3×.
+    val needed = inRef ||
+      radii.map(r => col("_d2") >= lit(r * r) &&
+        col("_d2") < lit((r + thickness) * (r + thickness)))
+        .reduce(_ || _)
     val joined = BufferStats.neighborJoin(points, cells, reach)
+      .filter(needed)
 
-    val ref = joined
-      .filter(col("_d2") < lit(refRadius * refRadius))
-      .groupBy("id")
-      .agg((sum(col("elev")) / count(lit(1))).as("ref_elev"))
+    // Reference elevation as a window over the same id partitioning the
+    // final groupBy uses — one shuffle total, no second join, and the
+    // neighbor join is computed once instead of twice. The sum is over
+    // integer-valued doubles, so window-vs-aggregate order is exact.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
+    val flagged = joined.withColumn("ref_elev",
+        sum(when(inRef, col("elev"))).over(w) /
+          sum(when(inRef, lit(1L))).over(w))
+      // ids with no cell in the reference disk have no reference (the
+      // oracle's inner join on ref drops them too)
+      .filter(col("ref_elev").isNotNull)
 
     val ringAggs = radii.flatMap { r =>
       val inRing = col("_d2") >= lit(r * r) &&
@@ -40,8 +57,7 @@ object RelativeElevation {
         share(col("elev") - col("ref_elev") > 50.0, "above50"),
         share(col("elev") - col("ref_elev") < -50.0, "below50"))
     }
-    joined.join(ref, Seq("id"))
-      .groupBy("id")
+    flagged.groupBy("id")
       .agg(first(col("ref_elev")).as("ref_elev"), ringAggs: _*)
   }
 }
