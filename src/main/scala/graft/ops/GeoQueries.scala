@@ -345,6 +345,58 @@ object GeoQueries {
     HAVING SUM(CASE WHEN inside THEN 1 ELSE 0 END) > 0
     ORDER BY id"""
 
+  // ---- polygon coordinate modes (centroid / point-on-surface) --------
+  /** The reference CoordinateCalculator's polygon modes
+    * (CoordinateCalculator.py:13-14): exact shoelace centroid plus the
+    * point-on-surface containment check (native ray-cast). Every value
+    * is deterministic column arithmetic mirrored operation-for-
+    * operation in the oracle — hash-exact without rounding. */
+  def polyCentroid(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(s)
+    // degenerate (collinear) rings have no centroid — drop them before
+    // the shoelace division (ANSI mode would throw on /0)
+    val tris = Derive.triangles(s, dir)
+      .filter(Polygons.signedArea2(col("xs"), col("ys"), 3) =!= 0.0)
+    Polygons.pointOnSurface(tris, "xs", "ys", n = 3)
+      .withColumn("c", Polygons.centroid(col("xs"), col("ys"), 3))
+      .select(col("poly_id"), col("c.cx").as("cx"), col("c.cy").as("cy"),
+        col("_in").as("inside"), col("pos_x"), col("pos_y"))
+      .orderBy("poly_id")
+  }
+
+  /** Shoelace + ray-cast mirror; term order identical to
+    * Polygons.centroid / PolyMath.contains. */
+  val polyCentroidSql: String = s"""
+    WITH tris AS (${Derive.trianglesSql}),
+    base AS (
+      SELECT poly_id, xs, ys,
+        (xs[1]*ys[2] - xs[2]*ys[1]) + (xs[2]*ys[3] - xs[3]*ys[2])
+          + (xs[3]*ys[1] - xs[1]*ys[3]) AS a2
+      FROM tris),
+    cent AS (
+      SELECT poly_id, xs, ys,
+        ((xs[1]+xs[2])*(xs[1]*ys[2] - xs[2]*ys[1])
+          + (xs[2]+xs[3])*(xs[2]*ys[3] - xs[3]*ys[2])
+          + (xs[3]+xs[1])*(xs[3]*ys[1] - xs[1]*ys[3])) / (3.0 * a2) AS cx,
+        ((ys[1]+ys[2])*(xs[1]*ys[2] - xs[2]*ys[1])
+          + (ys[2]+ys[3])*(xs[2]*ys[3] - xs[3]*ys[2])
+          + (ys[3]+ys[1])*(xs[3]*ys[1] - xs[1]*ys[3])) / (3.0 * a2) AS cy
+      FROM base WHERE a2 <> 0.0),
+    flagged AS (
+      SELECT poly_id, cx, cy,
+        (len(list_filter(generate_series(1, len(xs)), i ->
+          ((ys[i] > cy) != (ys[CASE WHEN i = 1 THEN len(ys) ELSE i - 1 END] > cy))
+          AND cx < (xs[CASE WHEN i = 1 THEN len(xs) ELSE i - 1 END] - xs[i])
+                    * (cy - ys[i])
+                    / (ys[CASE WHEN i = 1 THEN len(ys) ELSE i - 1 END] - ys[i])
+                    + xs[i])) % 2) = 1 AS inside,
+        xs[1] AS x1, ys[1] AS y1
+      FROM cent)
+    SELECT poly_id, cx, cy, inside,
+           CASE WHEN inside THEN cx ELSE x1 END AS pos_x,
+           CASE WHEN inside THEN cy ELSE y1 END AS pos_y
+    FROM flagged ORDER BY poly_id"""
+
   // ---- long→wide pivot (get_result) ----------------------------------
   def pivot(s: SparkSession, dir: String): DataFrame = {
     val p = Derive.points(s, dir)
@@ -547,6 +599,7 @@ object GeoQueries {
     QueryDef("geo_cluster", cluster, Some(clusterSql)),
     QueryDef("geo_cluster_capped", clusterCapped, Some(clusterCappedSql)),
     QueryDef("geo_poly_tag", polyTag, Some(polyTagSql)),
+    QueryDef("geo_poly_centroid", polyCentroid, Some(polyCentroidSql)),
     QueryDef("geo_pivot", pivot, Some(pivotSql)),
     QueryDef("geo_line_clip", lineClip, Some(lineClipSql)),
     QueryDef("geo_area_clip", areaClip, Some(areaClipSql)),
