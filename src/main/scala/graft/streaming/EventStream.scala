@@ -42,6 +42,36 @@ object EventStream {
       .select(unix_micros(col("window.start")).as("hour_us"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Stream-static AS-OF join — the streaming twin of Events.asof:
+    * each incoming event picks the most recent order at or before its
+    * timestamp, per user. The static side is prepared ONCE as
+    * half-open validity intervals [o_us, next_o_us) via a window, so
+    * the stream needs only a plain equi+range join — no state, no
+    * per-row subquery, and the static side broadcasts at dim scale.
+    */
+  def asofOrders(spark: SparkSession, dir: String): DataFrame = {
+    val dedupW = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey", "o_orderdate").orderBy(col("o_orderkey").desc)
+    val nextW = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy("o_us")
+    val orders = graft.Tables.load(spark, dir, "orders")
+      .withColumn("rn", row_number().over(dedupW)).filter(col("rn") === 1)
+      .select(col("o_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("o_us"),
+        col("o_orderkey"), col("o_totalprice"))
+      .withColumn("valid_to",
+        coalesce(lead(col("o_us"), 1).over(nextW), lit(Long.MaxValue)))
+    readEvents(spark, dir)
+      .select("event_id", "user_id", "ts_us")
+      .join(orders,
+        col("user_id") === col("o_custkey") &&
+          col("ts_us") >= col("o_us") && col("ts_us") < col("valid_to"),
+        "left")
+      .select(col("event_id"), col("user_id"),
+        col("o_orderkey").as("matched_order"),
+        col("o_totalprice").as("matched_price"))
+  }
+
   // ---- stateful sessionization ---------------------------------------
   final case class Ev(user_id: Long, ts_us: Long)
   final case class SessionState(start: Long, end: Long, n: Long)

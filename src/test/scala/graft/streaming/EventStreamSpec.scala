@@ -43,6 +43,20 @@ class EventStreamSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("stream-static as-of join equals the batch as-of join") {
+    val q = EventStream.asofOrders(spark, sfDir)
+      .writeStream.format("memory").queryName("asof_out")
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("event_id", "matched_order").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val streamed = key(spark.table("asof_out"))
+    val batch = key(Events.asof(spark, sfDir))
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("streaming dedup keeps one row per distinct content hash") {
     val q = StreamDedup.distinctDocs(spark, sfDir)
       .writeStream.format("memory").queryName("dedup_out")
