@@ -128,7 +128,10 @@ object VectorOps {
     val e = emb(s, dir)
     val seed = e.filter(col("vec_id") < NCells)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-    val cents = broadcast(kmeansIterate(e, seed, KmeansIters))
+    // materialize the (tiny) refined centroid table once — it feeds
+    // two broadcasts (corpus assignment + query probes), which would
+    // otherwise each recompute the whole Lloyd subtree
+    val cents = broadcast(Tables.hot(kmeansIterate(e, seed, KmeansIters)))
     val wAssign = Window.partitionBy("vec_id")
       .orderBy(col("cd"), col("cent_id"))
     val assigned = e.join(cents)
