@@ -38,4 +38,16 @@ object Sources {
     df.repartition(numPartitions, col(key))
       .sortWithinPartitions(key)
       .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** True metastore-backed bucketed table: two tables bucketed the
+    * same way on their join keys join with NO exchange on either side
+    * — the pre-shuffled layout big recurring joins want at 100 TB
+    * (pay the shuffle once at write time, never per query). `path`
+    * makes it an external table so the data location is explicit. */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+                    key: String, buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key).sortBy(key)
+      .option("path", path)
+      .format("parquet").saveAsTable(table)
 }

@@ -59,6 +59,32 @@ class SourcesSpec extends SparkSpec {
     assert(spread == 1L)
   }
 
+  test("bucketed tables join with no exchange on either side") {
+    val base = Files.createTempDirectory("graft_bucket").toString
+    val o = Tables.load(spark, sfDir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val c = Tables.load(spark, sfDir, "customer")
+      .select("c_custkey", "c_mktsegment")
+    Sources.writeBucketed(o, "b_orders", s"$base/o", "o_custkey", 8)
+    Sources.writeBucketed(c.withColumnRenamed("c_custkey", "o_custkey"),
+      "b_customer", s"$base/c", "o_custkey", 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_customer"), Seq("o_custkey"))
+      val expected = o.join(
+        c.withColumnRenamed("c_custkey", "o_custkey"), Seq("o_custkey"))
+      assert(joined.count() == expected.count())
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+    }
+  }
+
   test("JSON props parsing matches engine JSON path semantics") {
     val e = Tables.load(spark, sfDir, "events")
       .select(from_json(col("props"), lit("k INT")).getField("k").as("k"))
