@@ -204,6 +204,47 @@ object VectorOps {
     SELECT qid, cid, ROUND(cos, 6) AS score, rn
     FROM ranked WHERE rn <= $K ORDER BY qid, rn"""
 
+  // ---- embedding-cosine near-dup (semantic dedup) ---------------------
+  // k-NN-graph threshold dedup: per vector, bounded top-k cosine
+  // neighbors (map-side collect_list+slice partial aggregation — no
+  // window over the pair space), thresholded at DedupCosT. Exact
+  // whenever per-vector qualifying degree ≤ DedupK (both endpoints see
+  // every qualifying pair, distinct collapses the two sightings; the
+  // commutative fold makes both directions bit-identical). At 100 TB
+  // the same contract runs over IVF cells (assign both sides, pairs
+  // within probed cells) instead of the broadcast query set.
+  val DedupCosT = 0.45
+  val DedupK = 8
+
+  def dedupEmbed(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.select(col("vec_id").as("qid"), col("v").as("qv"))
+    val top = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        Vec.cosine(col("qv"), col("v")).as("cos"))
+      .groupBy("qid")
+      .agg(slice(array_sort(collect_list(struct((-col("cos")).as("nc"),
+        col("cid")))), 1, DedupK).as("top"))
+      .select(col("qid"), explode(col("top")).as("t"))
+      .select(col("qid"), col("t.cid").as("cid"), (-col("t.nc")).as("cos"))
+      .filter(col("cos") >= DedupCosT)
+    top.select(least(col("qid"), col("cid")).as("da"),
+        greatest(col("qid"), col("cid")).as("db"), col("cos"))
+      .distinct()
+      .select(col("da"), col("db"), round(col("cos"), 6).as("cos"))
+      .orderBy("da", "db")
+  }
+
+  val dedupEmbedSql: String = s"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS da, b.vec_id AS db,
+        list_dot_product(a.v, b.v) /
+          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+    SELECT da, db, ROUND(cos, 6) AS cos
+    FROM pairs WHERE cos >= $DedupCosT ORDER BY da, db"""
+
   /** Distributed Lloyd iterations: assign → per-cell per-dimension
     * mean; refines the IVF coarse centroids. Returns (cent_id, cv).
     * Fully shuffle-planned: one broadcast assign pass + one groupBy
@@ -232,5 +273,6 @@ object VectorOps {
   def all: Seq[QueryDef] = Seq(
     QueryDef("ann_cosine", annCosine, Some(annCosineSql)),
     QueryDef("ann_lsh", annLsh, Some(annLshSql)),
-    QueryDef("ann_ivf", annIvf, Some(annIvfSql)))
+    QueryDef("ann_ivf", annIvf, Some(annIvfSql)),
+    QueryDef("dedup_embed", dedupEmbed, Some(dedupEmbedSql)))
 }
