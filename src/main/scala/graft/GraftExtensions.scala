@@ -53,9 +53,19 @@ object GraftFunctions {
       "clipped_polygon_area"),
     (args: Seq[Expression]) => functions.ClippedPolygonArea(args))
 
+  val vecDotFn: Fn = (
+    FunctionIdentifier("vec_dot"),
+    new ExpressionInfo(classOf[functions.VecDot].getName, "vec_dot"),
+    (args: Seq[Expression]) => functions.VecDot(args))
+
+  val vecL2Fn: Fn = (
+    FunctionIdentifier("vec_l2"),
+    new ExpressionInfo(classOf[functions.VecL2].getName, "vec_l2"),
+    (args: Seq[Expression]) => functions.VecL2(args))
+
   val all: Seq[Fn] =
     Seq(clippedSegmentLengthFn, hilbertIndexFn, pointInPolygonFn,
-      normalizeTextFn, clippedPolygonAreaFn)
+      normalizeTextFn, clippedPolygonAreaFn, vecDotFn, vecL2Fn)
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (id, info, builder) =>

@@ -12,9 +12,12 @@ import org.apache.spark.sql.functions._
 object Vec {
   def asDouble(v: Column): Column = v.cast("array<double>")
 
-  /** Sequential left-fold dot product: Σ aᵢ·bᵢ in element order. */
+  /** Sequential dot product Σ aᵢ·bᵢ in element order — the native
+    * VecDot expression (identical accumulation order to the HOF fold
+    * it replaced, ~10× cheaper; needs GraftFunctions registered, which
+    * GraftSession does via extensions). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    call_function("vec_dot", a, b)
 
   def norm2(a: Column): Column = dot(a, a)
 

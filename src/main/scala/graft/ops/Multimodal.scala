@@ -28,35 +28,60 @@ object Multimodal {
                            n_px: Int, mean_px: Double,
                            q0: Long, q1: Long, q2: Long, q3: Long)
 
-  /** Render text as a width×1 8-bit grayscale PNG (pixel i = code
-    * point of character i). Real container, real compression. */
-  def encodePng(text: String): Array[Byte] = {
-    val n = text.length
-    val img = new java.awt.image.BufferedImage(
-      n, 1, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-    val raster = img.getRaster
-    var i = 0
-    while (i < n) { raster.setSample(i, 0, 0, text.charAt(i).toInt); i += 1 }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
+  /** Per-partition codec context: ImageIO's static write/read
+    * convenience re-scans the plugin registry and allocates a
+    * writer/reader per call — the expensive part with real codecs.
+    * Looking the PNG writer/reader up once per partition (per thread)
+    * is the "init codec once" batch shape for real. */
+  final class PngCodec {
+    private val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+    private val reader =
+      javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+
+    /** Render text as a width×1 8-bit grayscale PNG (pixel i = code
+      * point of character i). Real container, real compression. */
+    def encode(text: String): Array[Byte] = {
+      val n = text.length
+      val img = new java.awt.image.BufferedImage(
+        n, 1, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var i = 0
+      while (i < n) { raster.setSample(i, 0, 0, text.charAt(i).toInt); i += 1 }
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.write(img)
+      } finally { ios.close(); writer.setOutput(null) }
+      bos.toByteArray
+    }
+
+    /** Decode a PNG payload → (width, height, pixel samples). */
+    def decode(payload: Array[Byte]): (Int, Int, Array[Int]) = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val img = try {
+        reader.setInput(iis)
+        reader.read(0)
+      } finally { iis.close(); reader.setInput(null) }
+      val (w, h) = (img.getWidth, img.getHeight)
+      val raster = img.getRaster
+      val px = new Array[Int](w * h)
+      var y = 0; var i = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { px(i) = raster.getSample(x, y, 0); x += 1; i += 1 }
+        y += 1
+      }
+      (w, h, px)
+    }
   }
 
-  /** Decode a PNG payload → (width, height, pixel samples). */
-  def decodePng(payload: Array[Byte]): (Int, Int, Array[Int]) = {
-    val img = javax.imageio.ImageIO.read(
-      new java.io.ByteArrayInputStream(payload))
-    val (w, h) = (img.getWidth, img.getHeight)
-    val raster = img.getRaster
-    val px = new Array[Int](w * h)
-    var y = 0; var i = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) { px(i) = raster.getSample(x, y, 0); x += 1; i += 1 }
-      y += 1
-    }
-    (w, h, px)
-  }
+  // single-row conveniences (specs, exploratory use)
+  def encodePng(text: String): Array[Byte] = new PngCodec().encode(text)
+  def decodePng(payload: Array[Byte]): (Int, Int, Array[Int]) =
+    new PngCodec().decode(payload)
 
   /** Media table: documents rendered to real PNG payloads with typed
     * metadata alongside (as a production pipeline carries
@@ -66,9 +91,9 @@ object Multimodal {
     Tables.fanout(Tables.load(s, dir, "documents"))
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { rows =>
-        // real pipeline: encoder/codec context initialized here, once
+        val codec = new PngCodec() // once per partition
         rows.map { case (id, text) =>
-          MediaRow(id, encodePng(text), text.length, 1)
+          MediaRow(id, codec.encode(text), text.length, 1)
         }
       }
       .toDF()
@@ -83,8 +108,9 @@ object Multimodal {
     import s.implicits._
     mediaTable(s, dir).as[MediaRow]
       .mapPartitions { rows =>
+        val codec = new PngCodec() // once per partition
         rows.map { r =>
-          val (w, h, px) = decodePng(r.payload)
+          val (w, h, px) = codec.decode(r.payload)
           var sum = 0L
           val hist = new Array[Long](4)
           var i = 0

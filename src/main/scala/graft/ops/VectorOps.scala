@@ -24,9 +24,11 @@ object VectorOps {
   private val K = 10
   private val QueryFilter = "vec_id % 100 = 0"
 
-  private def emb(s: SparkSession, dir: String): DataFrame =
+  private def emb(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(s) // vec_dot / vec_l2 native exprs
     Tables.fanout(Tables.load(s, dir, "embeddings"))
       .select(col("vec_id"), Vec.asDouble(col("embedding")).as("v"))
+  }
 
   def annCosine(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
@@ -121,8 +123,7 @@ object VectorOps {
   private val MeanScale = 12 // decimal scale for cross-engine-exact means
 
   private def l2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0),
-      (acc, x) => acc + x)
+    call_function("vec_l2", a, b) // native expr, same accumulation order
 
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)

@@ -22,6 +22,8 @@ object SparkSpec {
       // optimizer's constraint propagation into a combinatorial blowup
       // re-run at every AQE re-optimization — 30x wall-clock on dedup
       .config("spark.sql.constraintPropagation.enabled", "false")
+      // graft native expressions available everywhere in specs
+      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
