@@ -10,7 +10,7 @@ object SparkEntry {
 
   private def registries: Seq[QueryDef] =
     ops.Relational.all ++ ops.Relational2.all ++ ops.Relational3.all ++
-      ops.Relational4.all ++
+      ops.Relational4.all ++ ops.Relational5.all ++
       ops.Events.all ++
       ops.GeoQueries.all ++ ops.TextDedup.all ++ ops.VectorOps.all ++
       ops.Multimodal.all
