@@ -1,6 +1,6 @@
 package graft.api
 
-import graft.geo.{BufferStats, Geo, NearestDistance, Proj, RelativeElevation}
+import graft.geo.{AreaClip, BufferStats, Geo, NearestDistance, Proj, RelativeElevation}
 import graft.ops.LongWide
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -74,6 +74,20 @@ final class GeoCalculator private (
         year, c)
     }.reduce(_ unionByName _)
     append(long)
+  }
+
+  /** EXACT buffer∩polygon areas via the clipped_polygon_area native
+    * expression — the reference LanduseCalculator's precise
+    * ST_Area(ST_Intersection(...)) path. Polys: (poly_id, xs, ys);
+    * `maxVertexDist` bounds anchor-to-vertex span for pruning. */
+  def landuseAreaExact(polys: DataFrame, radii: Seq[Double],
+                       maxVertexDist: Double,
+                       prefix: String = "AreaX"): GeoCalculator = {
+    val ae = AreaClip.areaExact(points, polys, radii, maxVertexDist)
+    append(longForm(ae,
+      concat(lit(s"${prefix}_"),
+        lpad(col("radius").cast("int").cast("string"), 4, "0")),
+      None, col("A")))
   }
 
   /** Donut-ring relative elevation + reference elevation. */

@@ -25,4 +25,18 @@ object StreamDedup {
       .withColumn("h", md5(col("text")))
       .dropDuplicates("h")
       .select("doc_id", "h")
+
+  /** Watermark-bounded streaming dedup — the production shape: state
+    * for a key is dropped once the watermark passes it, so state stays
+    * bounded no matter how long the stream runs (the unbounded
+    * `distinctDocs` above exists because the documents table has no
+    * arrival column). Works on any stream carrying (event_id,
+    * event_ts); the events binding below uses real event time. */
+  def dedupWatermarked(events: DataFrame): DataFrame =
+    events.withWatermark("event_ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select("event_id", "user_id", "ts_us")
+
+  def dedupEventsWatermarked(spark: SparkSession, dir: String): DataFrame =
+    dedupWatermarked(EventStream.readEvents(spark, dir))
 }

@@ -126,6 +126,22 @@ class GeoOpsSpec extends SparkSpec {
     assert(a.nonEmpty)
   }
 
+  test("GeoCalculator exact landuse area matches the standalone operator") {
+    val pts = Derive.points(spark, sfDir)
+    val long = graft.api.GeoCalculator(pts)
+      .landuseAreaExact(Derive.triangles(spark, sfDir), Seq(500.0), 722.0)
+      .resultLong
+    assert(long.select("varname").distinct().collect()
+      .map(_.getString(0)).toSet == Set("AreaX_0500"))
+    val direct = AreaClip.areaExact(pts, Derive.triangles(spark, sfDir),
+      Seq(500.0), 722.0)
+    val diff = long.select(col("id"), col("value"))
+      .join(direct.select(col("id"), col("A")), Seq("id"))
+      .filter(col("value") =!= col("A")).count()
+    assert(diff == 0)
+    assert(long.count() == pts.count())
+  }
+
   test("GeoCalculator relativeElevation + intersectingOa emit reference-style varnames") {
     val pts = Derive.points(spark, sfDir)
     val long = graft.api.GeoCalculator(pts)

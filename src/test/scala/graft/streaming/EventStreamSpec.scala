@@ -68,6 +68,21 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.select("h").distinct().count() == expected)
   }
 
+  test("watermarked streaming dedup collapses injected duplicates") {
+    // duplicate every event 2x in-stream, then dedup within watermark
+    val doubled = EventStream.readEvents(spark, sfDir)
+      .withColumn("copy", explode(array(lit(0), lit(1))))
+    val q = StreamDedup.dedupWatermarked(doubled)
+      .writeStream.format("memory").queryName("wmdedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("wmdedup_out")
+    val expected = graft.Tables.loadEventsUs(spark, sfDir)
+      .select("event_id").distinct().count()
+    assert(streamed.count() == expected)
+    assert(streamed.select("event_id").distinct().count() == expected)
+  }
+
   test("streaming sessionization emits exactly the batch sessions closed in-stream") {
     val q = EventStream.sessions(spark, sfDir)
       .writeStream.format("memory").queryName("sessions_out")
