@@ -57,6 +57,48 @@ class ClippedPolygonAreaSpec extends SparkSpec {
     assert(math.abs(a - expect) < 1e-6, s"$a vs $expect")
   }
 
+  test("Monte-Carlo cross-check on random triangles and circles") {
+    val rnd = new scala.util.Random(20260812)
+    val samples = 200000
+    (1 to 20).foreach { _ =>
+      val xs = Seq.fill(3)(rnd.nextDouble() * 200 - 100)
+      val ys = Seq.fill(3)(rnd.nextDouble() * 200 - 100)
+      val cx = rnd.nextDouble() * 200 - 100
+      val cy = rnd.nextDouble() * 200 - 100
+      val r = rnd.nextDouble() * 80 + 5
+      val exact = area(cx, cy, r, xs, ys)
+      // sample the circle's bounding square; estimate disk∩triangle
+      var hits = 0
+      var i = 0
+      while (i < samples) {
+        val px = cx + (rnd.nextDouble() * 2 - 1) * r
+        val py = cy + (rnd.nextDouble() * 2 - 1) * r
+        val inCircle = (px - cx) * (px - cx) + (py - cy) * (py - cy) <= r * r
+        if (inCircle && triContains(xs, ys, px, py)) hits += 1
+        i += 1
+      }
+      val boxArea = 4.0 * r * r
+      val est = boxArea * hits / samples
+      val p = est / boxArea
+      val sigma = boxArea * math.sqrt(p * (1 - p) / samples)
+      // floor covers sliver intersections the sampler can miss
+      // entirely (≲5 expected hits ⇒ Poisson, not normal)
+      val floor = boxArea * 5.0 / samples
+      assert(math.abs(exact - est) < 5 * sigma + floor,
+        s"exact=$exact est=$est sigma=$sigma circle=($cx,$cy,$r) xs=$xs ys=$ys")
+    }
+  }
+
+  private def triContains(xs: Seq[Double], ys: Seq[Double],
+                          px: Double, py: Double): Boolean = {
+    def cross(ax: Double, ay: Double, bx: Double, by: Double) =
+      (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+    val d1 = cross(xs(0), ys(0), xs(1), ys(1))
+    val d2 = cross(xs(1), ys(1), xs(2), ys(2))
+    val d3 = cross(xs(2), ys(2), xs(0), ys(0))
+    (d1 >= 0 && d2 >= 0 && d3 >= 0) || (d1 <= 0 && d2 <= 0 && d3 <= 0)
+  }
+
   test("SQL surface with mistyped (integer) literals casts implicitly") {
     graft.GraftFunctions.register(spark)
     val rows = spark.sql(

@@ -33,6 +33,34 @@ class GeoOpsSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("grid ring guarantee holds across odd cell sizes (brute-force equality)") {
+    val pts = Derive.points(spark, sfDir)
+    val feats = Derive.feats(spark, sfDir).select("x", "y")
+    val brute = NearestDistance.broadcastNearest(pts, feats)
+      .withColumnRenamed("distance", "d_brute")
+    // a big cell (single ring resolves everything) and a small odd cell
+    // (forces the ladder through later rings + possibly the fallback)
+    Seq(123.4, 2000.0).foreach { cell =>
+      val grid = NearestDistance.gridNearest(pts, feats, cellSize = cell)
+      val joined = brute.join(grid, Seq("id"))
+      assert(joined.count() == pts.count(), s"cell=$cell row count")
+      val bad = joined.filter(col("d_brute") =!= col("distance")).count()
+      assert(bad == 0, s"cell=$cell mismatches")
+    }
+  }
+
+  test("gridKnn at k=1 agrees with gridNearest") {
+    val pts = Derive.points(spark, sfDir)
+    val sites = Derive.sites(spark, sfDir)
+    val knn1 = NearestDistance.gridKnn(pts, sites, k = 1, cellSize = 500.0)
+      .select(col("id"), col("distance").as("dk"))
+    val near = NearestDistance.gridNearest(pts,
+      sites.select("x", "y"), cellSize = 500.0)
+    val bad = knn1.join(near, Seq("id"))
+      .filter(col("dk") =!= col("distance")).count()
+    assert(bad == 0)
+  }
+
   test("gridNearest and gridKnn return empty frames on empty input") {
     val pts = Derive.points(spark, sfDir).filter(lit(false))
     val feats = Derive.feats(spark, sfDir).select("x", "y")
