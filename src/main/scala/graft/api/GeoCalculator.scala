@@ -63,6 +63,35 @@ final class GeoCalculator private (
     append(long)
   }
 
+  /** Fused bufferLineStats + landuseAreaRatio: one neighbor join and
+    * one per-(id, code) aggregation feed both varname families —
+    * the single-scan version of the reference's two separate
+    * calculators (identical outputs; see BufferStats.lineAndAreaStats
+    * for the order-exactness argument). */
+  def bufferLineAndLanduse(features: DataFrame, radii: Seq[Double],
+                           prefix: String = "Road",
+                           year: Option[Int] = None): GeoCalculator = {
+    val stats = Seq(
+      "L" -> col("weight"),
+      "LL" -> (col("weight") * col("lanes")),
+      "LLW" -> (col("weight") * col("lanes") * col("width")))
+    val (lineWide, areaWide) =
+      BufferStats.lineAndAreaStats(points, features, radii, stats)
+    val lineLong = Seq("L", "LL", "LLW").map { st =>
+      longForm(lineWide,
+        concat(lit(s"${prefix}_${st}_"),
+          lpad(col("radius").cast("int").cast("string"), 4, "0")),
+        year, col(st))
+    }.reduce(_ unionByName _)
+    val areaLong = Seq("a" -> col("a"), "p" -> col("p")).map { case (st, c) =>
+      longForm(areaWide,
+        concat(lit("LS"), col("code").cast("string"), lit("_"),
+          lpad(col("radius").cast("int").cast("string"), 4, "0"), lit(s"_$st")),
+        year, c)
+    }.reduce(_ unionByName _)
+    append(lineLong).append(areaLong)
+  }
+
   /** Per-landuse-code area + proportion within each radius. */
   def landuseAreaRatio(features: DataFrame, radii: Seq[Double],
                        year: Option[Int] = None): GeoCalculator = {

@@ -50,6 +50,22 @@ object BufferStats {
       .withColumn("_d2", Geo.dist2(col("x"), col("y"), col("fx"), col("fy")))
   }
 
+  /** Zero-filled (id, radius, <stat…>) shaping shared by the separate
+    * and fused aggregation paths. */
+  private def shapeLine(points: DataFrame, agged: DataFrame,
+                        radii: Seq[Double],
+                        statNames: Seq[String]): DataFrame = {
+    val perRadius = radii.map { r =>
+      struct(lit(r).as("radius") +:
+        statNames.map(n => coalesce(col(s"${n}_${r.toInt}"), lit(0.0)).as(n)): _*)
+    }
+    points.select("id")
+      .join(agged, Seq("id"), "left")
+      .select(col("id"), explode(array(perRadius: _*)).as("s"))
+      .select(col("id") +: col("s.radius") +:
+        statNames.map(n => col(s"s.$n").as(n)): _*)
+  }
+
   /** Weighted sums of features within each radius, zero-filled.
     * `stats` maps output-column prefix → weight expression over feature
     * columns (e.g. "L" -> col("weight"), "LL" -> col("weight")*col("lanes")).
@@ -57,8 +73,6 @@ object BufferStats {
     */
   def lineStats(points: DataFrame, features: DataFrame,
                 radii: Seq[Double], stats: Seq[(String, Column)]): DataFrame = {
-    val spark = points.sparkSession
-    import spark.implicits._
     val cell = radii.max
     val aggs = for {
       r <- radii; (name, w) <- stats
@@ -66,17 +80,7 @@ object BufferStats {
       .as(s"${name}_${r.toInt}")
     val agged = neighborJoin(points, features, cell)
       .groupBy("id").agg(aggs.head, aggs.tail: _*)
-    // zero-fill: every point × radius appears even with an empty buffer
-    val radiiDf = radii.toDF("radius")
-    val perRadius = radii.map { r =>
-      struct(lit(r).as("radius") +:
-        stats.map { case (n, _) => coalesce(col(s"${n}_${r.toInt}"), lit(0.0)).as(n) }: _*)
-    }
-    points.select("id")
-      .join(agged, Seq("id"), "left")
-      .select(col("id"), explode(array(perRadius: _*)).as("s"))
-      .select(col("id") +: col("s.radius") +:
-        stats.map { case (n, _) => col(s"s.$n").as(n) }: _*)
+    shapeLine(points, agged, radii, stats.map(_._1))
   }
 
   /** Per-code area within radius + proportion of the buffer disk area,
@@ -87,14 +91,19 @@ object BufferStats {
     */
   def areaRatio(points: DataFrame, features: DataFrame,
                 radii: Seq[Double]): DataFrame = {
-    val spark = points.sparkSession
-    import spark.implicits._
     val cell = radii.max
     val aggs = radii.map(r =>
       sum(when(col("_d2") < lit(r * r), col("area")).otherwise(lit(0.0)))
         .as(s"a_${r.toInt}"))
     val agged = neighborJoin(points, features, cell)
       .groupBy("id", "code").agg(aggs.head, aggs.tail: _*)
+    shapeArea(points, features, agged, radii)
+  }
+
+  /** Zero-filled (id, code, radius, a, p) shaping shared by the
+    * separate and fused aggregation paths. */
+  private def shapeArea(points: DataFrame, features: DataFrame,
+                        agged: DataFrame, radii: Seq[Double]): DataFrame = {
     val skeleton = points.select("id")
       .join(features.select("code").distinct())
     val perRadius = radii.map { r =>
@@ -107,6 +116,38 @@ object BufferStats {
       .select(col("id"), col("code"), explode(array(perRadius: _*)).as("s"))
       .select(col("id"), col("code"), col("s.radius").as("radius"),
         col("s.a").as("a"), col("s.p").as("p"))
+  }
+
+  /** Fused line-stats + area-ratio: ONE neighbor join and one
+    * per-(id, code) aggregation feed both families; line stats roll up
+    * from the per-code partials with a second (tiny) aggregation.
+    * Order-exact whenever the stat weights are integer-valued (sums of
+    * integers in double are associative below 2^53) — which the
+    * reference's length/lanes/width/area columns are. Returns
+    * (lineStats-shaped, areaRatio-shaped). */
+  def lineAndAreaStats(points: DataFrame, features: DataFrame,
+                       radii: Seq[Double],
+                       stats: Seq[(String, Column)]): (DataFrame, DataFrame) = {
+    val cell = radii.max
+    val lineAggs = for {
+      r <- radii; (name, w) <- stats
+    } yield sum(when(col("_d2") < lit(r * r), w).otherwise(lit(0.0)))
+      .as(s"${name}_${r.toInt}")
+    val areaAggs = radii.map(r =>
+      sum(when(col("_d2") < lit(r * r), col("area")).otherwise(lit(0.0)))
+        .as(s"a_${r.toInt}"))
+    val perCode = graft.Tables.hot(
+      neighborJoin(points, features, cell)
+        .groupBy("id", "code")
+        .agg((lineAggs ++ areaAggs).head, (lineAggs ++ areaAggs).tail: _*))
+    val lineAgged = perCode.groupBy("id")
+      .agg(
+        (for { r <- radii; (name, _) <- stats }
+          yield sum(col(s"${name}_${r.toInt}")).as(s"${name}_${r.toInt}")).head,
+        (for { r <- radii; (name, _) <- stats }
+          yield sum(col(s"${name}_${r.toInt}")).as(s"${name}_${r.toInt}")).tail: _*)
+    (shapeLine(points, lineAgged, radii, stats.map(_._1)),
+      shapeArea(points, features, perCode, radii))
   }
 
   /** Intersection ratio per (point, area-unit, radius): the share of an

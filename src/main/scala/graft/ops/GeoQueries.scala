@@ -529,8 +529,8 @@ object GeoQueries {
   private def pipelineCalc(s: SparkSession, dir: String) =
     graft.api.GeoCalculator(Derive.points(s, dir))
       .nearestDistance(Derive.sites(s, dir), "D_Supp")
-      .bufferLineStats(Derive.feats(s, dir), Seq(500.0))
-      .landuseAreaRatio(Derive.feats(s, dir), Seq(500.0))
+      // fused: one neighbor join feeds Road_* and LS* families
+      .bufferLineAndLanduse(Derive.feats(s, dir), Seq(500.0))
 
   def pipelineWide(s: SparkSession, dir: String): DataFrame =
     pipelineCalc(s, dir)
