@@ -26,7 +26,8 @@ object Multimodal {
                             width: Int, height: Int)
   final case class Decoded(doc_id: Long, width: Int, height: Int,
                            n_px: Int, mean_px: Double,
-                           q0: Long, q1: Long, q2: Long, q3: Long)
+                           q0: Long, q1: Long, q2: Long, q3: Long,
+                           n_half: Int, mean_half: Double)
 
   /** Per-partition codec context: ImageIO's static write/read
     * convenience re-scans the plugin registry and allocates a
@@ -124,9 +125,18 @@ object Multimodal {
           while (i < px.length) {
             sum += px(i); hist(px(i) / 64) += 1; i += 1
           }
+          // resize stage: 2× downsample by adjacent-pair averaging
+          // (half-integer values are exact in double; sum is exact)
+          val nHalf = px.length / 2
+          var halfSum = 0.0
+          i = 0
+          while (i < nHalf) {
+            halfSum += (px(2 * i) + px(2 * i + 1)) / 2.0; i += 1
+          }
           Decoded(r.doc_id, w, h, px.length,
             sum.toDouble / px.length,
-            hist(0), hist(1), hist(2), hist(3))
+            hist(0), hist(1), hist(2), hist(3),
+            nHalf, if (nHalf == 0) 0.0 else halfSum / nHalf)
         }
       }
       .toDF()
@@ -135,7 +145,7 @@ object Multimodal {
   def mmPipeline(s: SparkSession, dir: String): DataFrame =
     decodeAll(s, dir)
       .select("doc_id", "width", "height", "n_px", "mean_px",
-        "q0", "q1", "q2", "q3")
+        "q0", "q1", "q2", "q3", "n_half", "mean_half")
       .orderBy("doc_id")
 
   /** PNG is lossless, so decoded pixel statistics equal character
@@ -154,9 +164,14 @@ object Multimodal {
         CAST(len(list_filter(codes, x -> x // 64 = 0)) AS BIGINT) AS q0,
         CAST(len(list_filter(codes, x -> x // 64 = 1)) AS BIGINT) AS q1,
         CAST(len(list_filter(codes, x -> x // 64 = 2)) AS BIGINT) AS q2,
-        CAST(len(list_filter(codes, x -> x // 64 = 3)) AS BIGINT) AS q3
+        CAST(len(list_filter(codes, x -> x // 64 = 3)) AS BIGINT) AS q3,
+        CAST(n // 2 AS INTEGER) AS n_half,
+        CASE WHEN n // 2 = 0 THEN 0.0 ELSE
+          list_sum(list_transform(generate_series(1, n // 2),
+            i -> (codes[2*i-1] + codes[2*i]) / 2.0)) / (n // 2) END AS mean_half
       FROM c)
-    SELECT doc_id, width, height, n_px, mean_px, q0, q1, q2, q3
+    SELECT doc_id, width, height, n_px, mean_px, q0, q1, q2, q3,
+           n_half, mean_half
     FROM f ORDER BY doc_id"""
 
   def all: Seq[QueryDef] = Seq(

@@ -86,7 +86,7 @@ class TextVecSpec extends SparkSpec {
     val out = Multimodal.decodeAll(spark, sfDir)
     assert(out.columns.toSeq ==
       Seq("doc_id", "width", "height", "n_px", "mean_px",
-        "q0", "q1", "q2", "q3"))
+        "q0", "q1", "q2", "q3", "n_half", "mean_half"))
     val docs = graft.Tables.load(spark, sfDir, "documents")
     assert(out.count() == docs.count())
     // decoded pixel stats == character stats of the source text (PNG
