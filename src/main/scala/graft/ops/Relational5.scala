@@ -125,9 +125,32 @@ object Relational5 {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     ORDER BY o_custkey, o_orderkey"""
 
+  /** Salted fact⋈dim join under the oracle gate: row-identical to the
+    * plain join by construction (SkewJoin.saltedJoin), aggregated per
+    * supplier so the oracle is a plain-join GROUP BY. */
+  def qSalted(s: SparkSession, dir: String): DataFrame = {
+    val fact = Tables.load(s, dir, "lineitem")
+      .select("l_suppkey", "l_quantity")
+    val dim = Tables.load(s, dir, "supplier")
+      .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+    SkewJoin.saltedJoin(fact, dim, "l_suppkey", buckets = 8)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double")
+          .as("qty"))
+      .orderBy("s_nationkey")
+  }
+
+  val qSaltedSql: String = """
+    SELECT s_nationkey, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY 1 ORDER BY 1"""
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("q2_argmin", q2, Some(q2Sql)),
     QueryDef("q22_idle_rich", q22, Some(q22Sql)),
     QueryDef("q_ntile", qNtile, Some(qNtileSql)),
-    QueryDef("q_nth_value", qNth, Some(qNthSql)))
+    QueryDef("q_nth_value", qNth, Some(qNthSql)),
+    QueryDef("q_salted_join", qSalted, Some(qSaltedSql)))
 }
