@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import java.util.concurrent.atomic.AtomicBoolean
 
 /** Benchmark main: runs every registered query against
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
@@ -13,20 +13,37 @@ import org.apache.spark.sql.SparkSession
   * Measurement design (this VM's host steals CPU erratically — wall
   * times swing up to 100× between identical runs while aggregate CPU
   * supply stays roughly conserved):
-  *   - each query runs SPARK_GRAFT_ITERS times (default 3), iterations
-  *     interleaved across the whole suite so one steal burst cannot
-  *     poison all samples of a single query;
+  *   - each query runs up to SPARK_GRAFT_ITERS times (default 3),
+  *     iterations interleaved across the whole suite so one steal burst
+  *     cannot poison all samples of a single query;
   *   - the JSON reports the per-query MIN wall ("queries", the driver's
   *     headline numbers) and MIN process-CPU seconds ("queries_cpu"),
   *     plus every raw sample ("samples") for adjudication. CPU-seconds
   *     barely move under steal, so queries_cpu is the number that
   *     certifies a plan; wall is the number a quiet machine would show.
+  *
+  * Robustness (the round-3 bench was killed by the harness timeout
+  * mid-iteration and emitted nothing):
+  *   - a wall-clock budget (SPARK_GRAFT_BENCH_BUDGET, default 1150 s)
+  *     bounds the whole run: a later iteration starts only if the
+  *     previous one fits in the remaining budget, and a started
+  *     iteration skips its remaining queries once the budget is spent;
+  *   - a per-query watchdog cancels the query's job group after
+  *     SPARK_GRAFT_QUERY_CAP (default 180 s) so one wedged query
+  *     cannot eat the run;
+  *   - the result line is also emitted from a JVM shutdown hook, so
+  *     even an external SIGTERM yields a parseable JSON with every
+  *     sample collected up to that point.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    val startNs = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - startNs) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt
+    val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "1150").toDouble
+    val queryCap = sys.env.getOrElse("SPARK_GRAFT_QUERY_CAP", "180").toLong
     val spark = GraftSession.local(cpus)
     spark.sparkContext.setLogLevel(
       sys.env.getOrElse("SPARK_GRAFT_LOG", "ERROR"))
@@ -34,51 +51,94 @@ object Bench {
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     def r3(d: Double): Double = math.rint(d * 1000) / 1000
-    /** One timed run → (wall, cpu) seconds, (-1, -1) on failure. */
-    def exec(name: String, it: Int): (Double, Double) = {
-      val t0 = System.nanoTime()
-      val c0 = osBean.getProcessCpuTime
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return (-1.0, -1.0)
-      }
-      val dt = (System.nanoTime() - t0) / 1e9
-      val dc = (osBean.getProcessCpuTime - c0) / 1e9
-      System.err.println(f"[bench] it$it $name%-24s $dt%8.2f s  cpu $dc%8.2f s")
-      spark.catalog.clearCache() // no cross-query cache interference
-      (r3(dt), r3(dc))
-    }
 
-    exec("q6_filter_agg", 0) // warmup (discarded)
     val names =
       if (args.nonEmpty) args.toSeq
       else SparkEntry.queries.keys.toSeq.sorted
-    // interleave: full suite per iteration, so a steal burst hits one
-    // sample of many queries rather than all samples of one query
-    val samples: Map[String, Seq[(Double, Double)]] = {
-      val runs = (1 to iters).map(it => names.map(n => n -> exec(n, it)))
-      names.map(n => n -> runs.map(_.toMap.apply(n))).toMap
-    }
+    val samples =
+      scala.collection.mutable.Map(names.map(n => n -> Vector.empty[(Double, Double)]): _*)
+    var itersDone = 0
+
     def minOk(xs: Seq[Double]): Double = {
       val ok = xs.filter(_ >= 0)
       if (ok.isEmpty) -1.0 else ok.min
     }
-    val wallMin = names.map(n => n -> minOk(samples(n).map(_._1)))
-    val cpuMin = names.map(n => n -> minOk(samples(n).map(_._2)))
-    def obj(kvs: Seq[(String, String)]): String =
-      kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val qs = obj(wallMin.map { case (k, v) => k -> v.toString })
-    val qsCpu = obj(cpuMin.map { case (k, v) => k -> v.toString })
-    val raw = obj(names.map { n =>
-      n -> obj(Seq(
-        "wall" -> samples(n).map(_._1).mkString("[", ",", "]"),
-        "cpu" -> samples(n).map(_._2).mkString("[", ",", "]")))
-    })
-    val total = r3(wallMin.map(_._2).filter(_ >= 0).sum)
-    val totalCpu = r3(cpuMin.map(_._2).filter(_ >= 0).sum)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_cpu":$totalCpu,"iters":$iters,"queries":$qs,"queries_cpu":$qsCpu,"samples":$raw,"sf":"$sfDir"}""")
+    val printed = new AtomicBoolean(false)
+    /** Emit the ONE JSON line from whatever samples exist. Idempotent;
+      * also wired as a shutdown hook so an external kill still yields a
+      * parseable result. Touches no Spark state.
+      */
+    def emit(): Unit = if (printed.compareAndSet(false, true)) {
+      val snap = samples.toMap
+      def obj(kvs: Seq[(String, String)]): String =
+        kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      val wallMin = names.map(n => n -> minOk(snap(n).map(_._1)))
+      val cpuMin = names.map(n => n -> minOk(snap(n).map(_._2)))
+      val qs = obj(wallMin.map { case (k, v) => k -> v.toString })
+      val qsCpu = obj(cpuMin.map { case (k, v) => k -> v.toString })
+      val raw = obj(names.map { n =>
+        n -> obj(Seq(
+          "wall" -> snap(n).map(_._1).mkString("[", ",", "]"),
+          "cpu" -> snap(n).map(_._2).mkString("[", ",", "]")))
+      })
+      val total = r3(wallMin.map(_._2).filter(_ >= 0).sum)
+      val totalCpu = r3(cpuMin.map(_._2).filter(_ >= 0).sum)
+      println(s"""{"metric":"total","value":$total,"unit":"sec","total_cpu":$totalCpu,"iters":$itersDone,"elapsed":${r3(elapsed)},"queries":$qs,"queries_cpu":$qsCpu,"samples":$raw,"sf":"$sfDir"}""")
+      System.out.flush()
+    }
+    Runtime.getRuntime.addShutdownHook(new Thread(() => emit()))
+
+    val watchdog = new java.util.Timer("bench-watchdog", true)
+    /** One timed run → (wall, cpu) seconds, (-1, -1) on failure. */
+    def exec(name: String, it: Int): (Double, Double) = {
+      val group = s"bench-$name-$it"
+      spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+      val cancel = new java.util.TimerTask {
+        def run(): Unit = {
+          System.err.println(s"[bench] $name exceeded ${queryCap}s — cancelling")
+          spark.sparkContext.cancelJobGroup(group)
+        }
+      }
+      watchdog.schedule(cancel, queryCap * 1000)
+      val t0 = System.nanoTime()
+      val c0 = osBean.getProcessCpuTime
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        val dc = (osBean.getProcessCpuTime - c0) / 1e9
+        System.err.println(f"[bench] it$it $name%-24s $dt%8.2f s  cpu $dc%8.2f s")
+        (r3(dt), r3(dc))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        (-1.0, -1.0)
+      } finally {
+        cancel.cancel()
+        spark.sparkContext.clearJobGroup()
+        spark.catalog.clearCache() // no cross-query cache interference
+      }
+    }
+
+    exec("q6_filter_agg", 0) // warmup (discarded)
+    // Interleave: full suite per iteration, so a steal burst hits one
+    // sample of many queries rather than all samples of one query.
+    // Budget gates: an iteration only starts if the previous one fits
+    // in what's left; a started iteration stops sampling at the line.
+    var it = 1
+    var lastIter = 0.0
+    while (it <= iters && (it == 1 || elapsed + lastIter * 1.1 < budget)) {
+      val t0 = elapsed
+      var curtailed = false
+      names.foreach { n =>
+        if (elapsed < budget) samples(n) = samples(n) :+ exec(n, it)
+        else curtailed = true
+      }
+      lastIter = elapsed - t0
+      if (!curtailed) itersDone += 1
+      else System.err.println(f"[bench] iteration $it curtailed at budget ($elapsed%.0f s)")
+      it += 1
+    }
+    emit()
     spark.stop()
   }
 }

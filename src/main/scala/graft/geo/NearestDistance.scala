@@ -39,6 +39,13 @@ import org.apache.spark.sql.functions._
   * broadcasts the feature table, which is correct for any input but
   * only cheap when the residual is small — make the ladder long enough
   * that it is (then the fallback sees ~0 probe rows and AQE elides it).
+  * Keep the ladder SHORT (≤2–3 stages of geometrically growing rings):
+  * because the declarative left-anti `pending` chain is uncached, each
+  * later stage re-evaluates every earlier stage's candidate join, so
+  * total work grows roughly quadratically with `rings.length`. Wider
+  * rings per stage are cheaper than more stages; if a long ladder is
+  * ever genuinely needed, persist/localCheckpoint the per-stage done
+  * ids instead of extending the schedule.
   *
   * Points schema: (id, x, y). Features schema: (x, y) + anything.
   */

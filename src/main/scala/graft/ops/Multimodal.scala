@@ -40,15 +40,20 @@ object Multimodal {
     private val reader =
       javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
 
-    /** Render text as a width×1 8-bit grayscale PNG (pixel i = code
-      * point of character i). Real container, real compression. */
+    /** Render text as a width×1 8-bit grayscale PNG (pixel i = low
+      * byte of the code unit of character i — an 8-bit raster cannot
+      * hold more, so both engines mask mod 256; see mediaTable for the
+      * corpus constraint). Real container, real compression. PNG
+      * requires width ≥ 1, so empty text is rejected rather than
+      * silently mis-encoded. */
     def encode(text: String): Array[Byte] = {
       val n = text.length
+      require(n > 0, "cannot PNG-encode empty text (width-0 image)")
       val img = new java.awt.image.BufferedImage(
         n, 1, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
       val raster = img.getRaster
       var i = 0
-      while (i < n) { raster.setSample(i, 0, 0, text.charAt(i).toInt); i += 1 }
+      while (i < n) { raster.setSample(i, 0, 0, text.charAt(i).toInt & 0xFF); i += 1 }
       val bos = new java.io.ByteArrayOutputStream()
       val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
       try {
@@ -93,7 +98,15 @@ object Multimodal {
 
   /** Media table: documents rendered to real PNG payloads with typed
     * metadata alongside (as a production pipeline carries
-    * EXIF/container info). Batch encode via typed mapPartitions. */
+    * EXIF/container info). Batch encode via typed mapPartitions.
+    *
+    * Corpus constraints (enforced/made exact rather than assumed):
+    * empty documents cannot become PNGs (width-0) and fail fast in
+    * encode; characters are stored as their code-unit low byte, and
+    * the oracle masks `unicode(ch) % 256` identically, so any BMP
+    * corpus stays oracle-exact (astral code points would split into
+    * two UTF-16 units here but one code point in DuckDB — out of
+    * scope; the test corpus is ASCII). */
   def mediaTable(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.fanout(Tables.load(s, dir, "documents"))
@@ -155,7 +168,7 @@ object Multimodal {
   val mmPipelineSql: String = """
     WITH c AS (
       SELECT doc_id, length(text) AS n,
-        list_transform(string_split_regex(text, ''), ch -> unicode(ch)) AS codes
+        list_transform(string_split_regex(text, ''), ch -> unicode(ch) % 256) AS codes
       FROM documents),
     f AS (
       SELECT doc_id,

@@ -224,8 +224,19 @@ object VectorOps {
       .select(col("qid"), col("vec_id").as("cid"),
         Vec.cosine(col("qv"), col("v")).as("cos"))
       .groupBy("qid")
+      // collect k+1: the extra slot is the runtime exactness guard —
+      // if the (k+1)-th neighbor still clears the threshold, this
+      // vector's qualifying degree exceeds DedupK and the bounded
+      // graph would silently drop pairs; fail loudly instead.
       .agg(slice(array_sort(collect_list(struct((-col("cos")).as("nc"),
-        col("cid")))), 1, DedupK).as("top"))
+        col("cid")))), 1, DedupK + 1).as("top"))
+      .withColumn("top",
+        when(size(col("top")) === DedupK + 1 &&
+             -col("top")(DedupK)("nc") >= DedupCosT,
+          raise_error(concat(lit(s"dedup_embed: qualifying degree exceeds k=$DedupK for qid "),
+            col("qid").cast("string"),
+            lit(" — raise DedupK or use the IVF-cell variant"))))
+        .otherwise(slice(col("top"), 1, DedupK)))
       .select(col("qid"), explode(col("top")).as("t"))
       .select(col("qid"), col("t.cid").as("cid"), (-col("t.nc")).as("cos"))
       .filter(col("cos") >= DedupCosT)
