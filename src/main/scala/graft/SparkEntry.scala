@@ -10,8 +10,8 @@ object SparkEntry {
 
   private def registries: Seq[QueryDef] =
     ops.Relational.all ++ ops.Relational2.all ++ ops.Relational3.all ++
-      ops.Relational4.all ++ ops.Relational5.all ++
-      ops.Events.all ++
+      ops.Relational4.all ++ ops.Relational5.all ++ ops.Relational6.all ++
+      ops.Events.all ++ ops.Corpus.all ++
       ops.GeoQueries.all ++ ops.TextDedup.all ++ ops.VectorOps.all ++
       ops.Multimodal.all
 

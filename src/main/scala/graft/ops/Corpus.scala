@@ -1,0 +1,139 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-assembly operators — the steps between "deduped documents"
+  * and "training shards" in an LLM data pipeline:
+  *
+  *   pack_shards        token-budget contiguous sharding
+  *   sample_stratified  deterministic per-stratum hash sampling
+  *   text_scrub         denylist decontamination (redact + count)
+  *   text_entropy       token-distribution Shannon entropy
+  *
+  * All four are single-scan, shuffle-minimal shapes: sharding is one
+  * window over (source, doc_id); sampling and scrubbing are pure map
+  * stages whose decisions re-derive from md5/regex (no RNG state, no
+  * driver round-trip — rerunnable and cluster-size-independent);
+  * entropy is explode + two-level aggregation with map-side combine.
+  */
+object Corpus {
+
+  private def docs(s: SparkSession, dir: String) =
+    Tables.fanout(Tables.load(s, dir, "documents"))
+
+  private val toks = Text.toks
+
+  /** Token-budget contiguous sharding: within each source, documents
+    * (in doc_id order) are laid end-to-end and cut into shards every
+    * `budget` tokens — shard = floor(tokens-before-this-doc / budget).
+    * The window is per-source, so at 100 TB each source partitions
+    * independently (one narrow shuffle on source); no global sort.
+    * Emits per-shard document counts and token sums. */
+  def packShards(s: SparkSession, dir: String,
+                 budget: Int = 2000): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(s, dir)
+      .select(col("source"), col("doc_id"), size(toks).as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("shard",
+        floor((col("cum") - col("n_tok")) / lit(budget.toDouble))
+          .cast("bigint"))
+      .groupBy("source", "shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_sum"))
+      .orderBy("source", "shard")
+  }
+
+  val packShardsSql: String = """
+    WITH t AS (
+      SELECT source, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents),
+    c AS (
+      SELECT source, doc_id, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t)
+    SELECT source, CAST(FLOOR((cum - n_tok) / 2000.0) AS BIGINT) AS shard,
+           COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tok_sum
+    FROM c GROUP BY 1, 2 ORDER BY source, shard"""
+
+  /** Deterministic stratified sampling: keep a document iff the hex
+    * prefix of md5(text) falls below its language's threshold — en is
+    * downsampled to ~16% (0x29/0x100), everything else to 50%. The
+    * decision is a pure function of the row (identical on DuckDB, on
+    * rerun, at any cluster size); no RNG, no seed plumbing. */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame = {
+    val kept = substring(md5(col("text")), 1, 2) <
+      when(col("lang") === "en", "29").otherwise("80")
+    docs(s, dir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(kept, 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("lang")
+  }
+
+  val sampleStratifiedSql: String = """
+    SELECT lang, COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN substring(md5(text), 1, 2) <
+                         (CASE WHEN lang = 'en' THEN '29' ELSE '80' END)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM documents GROUP BY 1 ORDER BY lang"""
+
+  /** Denylist decontamination: redact whole-word denylist terms (the
+    * shape of benchmark-string / eval-contamination scrubbing), count
+    * the hits, and emit the hash of the clean text. Word-boundary
+    * regex — identical semantics in Java regex and DuckDB's RE2. */
+  val DenyPattern = "\\b(spark|vector)\\b"
+
+  def textScrub(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+        col("doc_id"),
+        regexp_count(col("text"), lit(DenyPattern)).as("n_hits"),
+        md5(regexp_replace(col("text"), DenyPattern, "[REMOVED]"))
+          .as("clean_h"))
+      .orderBy("doc_id")
+
+  val textScrubSql: String = """
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(text, '\b(spark|vector)\b')) AS INTEGER) AS n_hits,
+      md5(regexp_replace(text, '\b(spark|vector)\b', '[REMOVED]', 'g')) AS clean_h
+    FROM documents ORDER BY doc_id"""
+
+  /** Token-distribution Shannon entropy per document (nats):
+    * H = ln N − Σ c·ln c / N over per-token counts c. A standard
+    * quality/diversity signal; explode + two aggregations, both with
+    * map-side partial combine. Rounded to 6 dp — the float sums are
+    * order-sensitive only below 1e-10 at this document size. */
+  def textEntropy(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), explode(toks).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(round(
+        log(sum(col("c")).cast("double")) -
+          sum(col("c").cast("double") * log(col("c").cast("double"))) /
+            sum(col("c")).cast("double"),
+        6).as("entropy"))
+      .orderBy("doc_id")
+
+  val textEntropySql: String = """
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    c AS (
+      SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY 1, 2)
+    SELECT doc_id,
+      ROUND(ln(CAST(SUM(c) AS DOUBLE))
+            - SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+              / CAST(SUM(c) AS DOUBLE), 6) AS entropy
+    FROM c GROUP BY 1 ORDER BY doc_id"""
+
+  def all: Seq[QueryDef] = Seq(
+    QueryDef("pack_shards", (s, d) => packShards(s, d), Some(packShardsSql)),
+    QueryDef("sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
+    QueryDef("text_scrub", textScrub, Some(textScrubSql)),
+    QueryDef("text_entropy", textEntropy, Some(textEntropySql)))
+}
