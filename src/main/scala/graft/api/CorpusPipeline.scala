@@ -1,0 +1,71 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Fluent corpus-assembly pipeline — the LLM-data analogue of the
+  * reference's fluent Calculator chain (reference duckpipe/core.py:
+  * add_point_with_table → calculators → get_result): each step is a
+  * lazy DataFrame transform, so the whole chain compiles into ONE
+  * Catalyst plan (no per-step materialization) and optimizes globally
+  * — filters sink below windows where legal, column pruning reaches
+  * the scan once at the end.
+  *
+  * Steps are deterministic pure functions of the data (md5-prefix
+  * sampling, doc_id-ordered packing), never RNG/driver state: the
+  * same input produces the same corpus at any cluster size, and a
+  * failed 100 TB run re-executes to identical output.
+  *
+  * {{{
+  * CorpusPipeline(docs)
+  *   .dedupExact          // keep the lowest doc_id per exact text
+  *   .sampleStratified()  // per-language md5-prefix downsampling
+  *   .packShards(2000)    // token-budget contiguous shards
+  *   .shardStats          // (source, shard, n_docs, tok_sum)
+  * }}}
+  */
+final case class CorpusPipeline(df: DataFrame) {
+
+  /** Exact dedup keeping the smallest doc_id per identical text —
+    * one hash shuffle; rows keep their full schema (window argmin,
+    * not a groupBy that would drop columns). */
+  def dedupExact: CorpusPipeline = {
+    val w = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
+    CorpusPipeline(
+      df.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn"))
+  }
+
+  /** Deterministic stratified sampling: keep a row iff the first two
+    * hex digits of md5(text) fall below its language's threshold
+    * (a pure map stage — no shuffle, no RNG). Thresholds are hex
+    * prefixes: "29"/256 ≈ 16%, "80"/256 = 50%. */
+  def sampleStratified(rates: Map[String, String] = Map("en" -> "29"),
+                       default: String = "80"): CorpusPipeline = {
+    val thr = rates.foldLeft(lit(default)) { case (acc, (lang, hex)) =>
+      when(col("lang") === lang, hex).otherwise(acc)
+    }
+    CorpusPipeline(df.filter(substring(md5(col("text")), 1, 2) < thr))
+  }
+
+  /** Token-budget contiguous sharding within each source (doc_id
+    * order): shard = floor(tokens-before-this-doc / budget). One
+    * narrow per-source window — no global sort. */
+  def packShards(budget: Int): CorpusPipeline = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nTok = size(split(col("text"), " "))
+    CorpusPipeline(
+      df.withColumn("_n_tok", nTok)
+        .withColumn("shard",
+          floor((sum(col("_n_tok")).over(w) - col("_n_tok")) /
+            lit(budget.toDouble)).cast("bigint")))
+  }
+
+  /** Per-shard rollup after packShards. */
+  def shardStats: DataFrame =
+    df.groupBy("source", "shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("_n_tok")).as("tok_sum"))
+      .orderBy("source", "shard")
+}

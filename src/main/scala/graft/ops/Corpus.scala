@@ -131,9 +131,40 @@ object Corpus {
               / CAST(SUM(c) AS DOUBLE), 6) AS entropy
     FROM c GROUP BY 1 ORDER BY doc_id"""
 
+  /** End-to-end fluent pipeline (graft.api.CorpusPipeline): exact
+    * dedup → stratified sample → token-budget pack → shard stats, all
+    * fused into one Catalyst plan. The oracle mirrors the chain as
+    * CTEs (QUALIFY argmin ≡ the window dedup). */
+  def pipelineE2e(s: SparkSession, dir: String): DataFrame =
+    graft.api.CorpusPipeline(docs(s, dir))
+      .dedupExact
+      .sampleStratified()
+      .packShards(2000)
+      .shardStats
+
+  val pipelineE2eSql: String = """
+    WITH dedup AS (
+      SELECT * FROM documents
+      QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+    sampled AS (
+      SELECT * FROM dedup
+      WHERE substring(md5(text), 1, 2) <
+            (CASE WHEN lang = 'en' THEN '29' ELSE '80' END)),
+    packed AS (
+      SELECT source, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+               OVER (PARTITION BY source ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) AS cum
+      FROM sampled)
+    SELECT source, CAST(FLOOR((cum - n_tok) / 2000.0) AS BIGINT) AS shard,
+           COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tok_sum
+    FROM packed GROUP BY 1, 2 ORDER BY source, shard"""
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("pack_shards", (s, d) => packShards(s, d), Some(packShardsSql)),
     QueryDef("sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
     QueryDef("text_scrub", textScrub, Some(textScrubSql)),
-    QueryDef("text_entropy", textEntropy, Some(textEntropySql)))
+    QueryDef("text_entropy", textEntropy, Some(textEntropySql)),
+    QueryDef("corpus_pipeline", pipelineE2e, Some(pipelineE2eSql)))
 }
