@@ -75,6 +75,25 @@ class TextVecSpec extends SparkSpec {
     assert(after < before, "iteration should strictly improve on this data")
   }
 
+  test("IVF-cell embedding dedup: exact subset of brute force, bounded recall") {
+    val brute = VectorOps.dedupEmbed(spark, sfDir)
+      .select("da", "db", "cos").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val ivf = VectorOps.dedupEmbedIvf(spark, sfDir)
+      .select("da", "db", "cos").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // precision 1: every within-cell pair is a true threshold pair
+    // with the identical verified cosine
+    ivf.foreach { case (k, c) =>
+      assert(brute.contains(k) && brute(k) == c, s"spurious/mismatched $k")
+    }
+    // recall floor for this corpus's weak (cos≈0.46) pairs at 2 probes
+    // of 16 cells; true near-dups (cos≥0.9) sit far inside cells
+    assert(brute.nonEmpty)
+    assert(ivf.size.toDouble / brute.size >= 0.4,
+      s"recall ${ivf.size}/${brute.size}")
+  }
+
   test("ngram exact mode refuses oversized corpora, pointing at minhash") {
     val e = intercept[IllegalArgumentException] {
       graft.ops.TextDedup.dedupNgramGuarded(spark, sfDir, maxDocs = 3)
