@@ -112,9 +112,17 @@ object Multimodal {
     Tables.fanout(Tables.load(s, dir, "documents"))
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { rows =>
-        val codec = new PngCodec() // once per partition
+        // once per partition: RawPng (java.util.zip directly) — the
+        // ImageIO path costs ~5× in per-image plugin/raster overhead
+        // (PngCodec remains for the cross-validation spec)
+        val codec = new graft.functions.RawPng()
         rows.map { case (id, text) =>
-          MediaRow(id, codec.encode(text), text.length, 1)
+          val n = text.length
+          require(n > 0, "cannot PNG-encode empty text (width-0 image)")
+          val px = new Array[Byte](n)
+          var i = 0
+          while (i < n) { px(i) = text.charAt(i).toByte; i += 1 }
+          MediaRow(id, codec.encode(px, n, 1), n, 1)
         }
       }
       .toDF()
@@ -129,7 +137,7 @@ object Multimodal {
     import s.implicits._
     mediaTable(s, dir).as[MediaRow]
       .mapPartitions { rows =>
-        val codec = new PngCodec() // once per partition
+        val codec = new graft.functions.RawPng() // once per partition
         rows.map { r =>
           val (w, h, px) = codec.decode(r.payload)
           var sum = 0L
