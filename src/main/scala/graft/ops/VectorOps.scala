@@ -229,26 +229,33 @@ object VectorOps {
   def dedupEmbed(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val q = e.select(col("vec_id").as("qid"), col("v").as("qv"))
+    // Threshold FIRST, then build the bounded graph: neighbors below
+    // DedupCosT can never surface (the graph is thresholded at the
+    // end), so filtering before the aggregation is semantically
+    // identical — and collapses the collect_list+sort input from all
+    // n² sightings to only the qualifying ones (the 60+ CPU-s of
+    // per-group struct sorting disappears; the n² cosine scan
+    // remains, which is this operator's documented exact-baseline
+    // cost — dedup_embed_ivf is the scale path).
     val top = e.join(broadcast(q), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("cid"),
         Vec.cosine(col("qv"), col("v")).as("cos"))
+      .filter(col("cos") >= DedupCosT)
       .groupBy("qid")
       // collect k+1: the extra slot is the runtime exactness guard —
-      // if the (k+1)-th neighbor still clears the threshold, this
-      // vector's qualifying degree exceeds DedupK and the bounded
-      // graph would silently drop pairs; fail loudly instead.
+      // a (k+1)-th qualifying neighbor means this vector's qualifying
+      // degree exceeds DedupK and the bounded graph would silently
+      // drop pairs; fail loudly instead.
       .agg(slice(array_sort(collect_list(struct((-col("cos")).as("nc"),
         col("cid")))), 1, DedupK + 1).as("top"))
       .withColumn("top",
-        when(size(col("top")) === DedupK + 1 &&
-             -col("top")(DedupK)("nc") >= DedupCosT,
+        when(size(col("top")) === DedupK + 1,
           raise_error(concat(lit(s"dedup_embed: qualifying degree exceeds k=$DedupK for qid "),
             col("qid").cast("string"),
             lit(" — raise DedupK or use the IVF-cell variant"))))
         .otherwise(slice(col("top"), 1, DedupK)))
       .select(col("qid"), explode(col("top")).as("t"))
       .select(col("qid"), col("t.cid").as("cid"), (-col("t.nc")).as("cos"))
-      .filter(col("cos") >= DedupCosT)
     top.select(least(col("qid"), col("cid")).as("da"),
         greatest(col("qid"), col("cid")).as("db"), col("cos"))
       .distinct()
@@ -293,18 +300,30 @@ object VectorOps {
       .filter(col("crk") <= DedupProbes)
       .select("vec_id", "v", "cent_id")
     val hotM = Tables.hot(multi)
-    val cands = SkewJoin.saltedSelfPairs(
-        hotM.select("cent_id", "vec_id"), Seq("cent_id"), "vec_id",
-        target = 256)
-      .distinct() // a pair may share both probed cells — count once
-    val ids = Tables.hot(hotM.select("vec_id", "v").distinct())
-    val va = ids.select(col("vec_id").as("_ida"), col("v").as("va"))
-    val vb = ids.select(col("vec_id").as("_idb"), col("v").as("vb"))
-    cands.join(va, "_ida").join(vb, "_idb")
-      .select(col("_ida").as("da"), col("_idb").as("db"),
-        Vec.cosine(col("va"), col("vb")).as("cos"))
+    // Salted within-cell pairs CARRYING the vectors (same per-group
+    // sizing as SkewJoin.saltedSelfPairs): shuffle volume is
+    // corpus×probes×(1+avg salt replication) instead of shipping the
+    // full pair list through two join-backs — pairs ≫ corpus, so
+    // verifying inline is the cheap direction at every scale.
+    val sizes = hotM.groupBy("cent_id")
+      .agg(count(lit(1)).as("_n")).filter(col("_n") > 1)
+      .withColumn("_nsalt", ceil(col("_n") / 256).cast("int"))
+      .select("cent_id", "_nsalt")
+    val sized = hotM.join(sizes, "cent_id") // drops singleton cells
+    val a = sized
+      .withColumn("_salt", pmod(xxhash64(col("vec_id")), col("_nsalt")).cast("int"))
+      .select(col("cent_id"), col("_salt"),
+        col("vec_id").as("da"), col("v").as("va"))
+    val b = sized
+      .withColumn("_salt", explode(sequence(lit(0), col("_nsalt") - 1)))
+      .select(col("cent_id"), col("_salt"),
+        col("vec_id").as("db"), col("v").as("vb"))
+    a.join(b, Seq("cent_id", "_salt"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db"), Vec.cosine(col("va"), col("vb")).as("cos"))
       .filter(col("cos") >= DedupCosT)
       .select(col("da"), col("db"), round(col("cos"), 6).as("cos"))
+      .distinct() // a pair may share both probed cells — count once
       .orderBy("da", "db")
   }
 
