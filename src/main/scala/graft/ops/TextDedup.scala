@@ -146,25 +146,38 @@ object TextDedup {
     jaccardPairs(sh, 0.5, Some(cands))
   }
 
-  // ---- SimHash near-dup (rows-only; spec checks vs ngram pairs) ------
+  // ---- SimHash near-dup (oracle-exact: md5-derived 60-bit hash) ------
+  /** 60-bit simhash: per token, a 60-bit hash from the first 15 hex
+    * chars of md5 (Spark `conv` and DuckDB's '0x…'::UBIGINT parse the
+    * identical value — 15 chars so it fits a signed BIGINT); per bit,
+    * a +1/−1 vote summed over tokens (duplicates counted); bit set
+    * when the vote is positive. Blocking, candidate pairs and the
+    * hamming≤SimHam filter are all mirrored in the DuckDB oracle, making
+    * the whole near-dup operator hash-exact — not just rows-only. */
+  val SimBits = 60
+  val SimSegs = 4 // 15-bit segments
+  val SimHam = 7  // ≈ the classic 6-of-64 relative distance at 60 bits
+
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    // 64-bit simhash: per token-hash bit, +1/-1 vote weighted by count
     val d = docs(s, dir)
       .select(col("doc_id"), explode(toks).as("w"))
-      .withColumn("h", xxhash64(col("w")))
-    val bitCols = (0 until 64).map { b =>
+      .withColumn("h",
+        expr("CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT)"))
+    val bitCols = (0 until SimBits).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
         .otherwise(-1)).as(s"v_$b")
     }
     val votes = d.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
-    val sim = (0 until 64).map(b =>
+    val sim = (0 until SimBits).map(b =>
       when(col(s"v_$b") > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce((a, c) => a.bitwiseOR(c))
     val sigs = Tables.hot(votes.select(col("doc_id"), sim.as("simhash")))
-    // hamming ≤ 6 via 4-segment pigeonhole blocking (≥1 exact segment)
-    val seg = (0 until 4).map(k =>
+    // hamming ≤ SimHam via segment pigeonhole blocking
+    val segBits = SimBits / SimSegs
+    val segMask = (1L << segBits) - 1
+    val seg = (0 until SimSegs).map(k =>
       struct(lit(k).as("seg"),
-        shiftright(col("simhash"), k * 16).bitwiseAND(lit(0xFFFFL)).as("sk")))
+        shiftright(col("simhash"), k * segBits).bitwiseAND(lit(segMask)).as("sk")))
     val blocked = sigs.select(col("doc_id"), col("simhash"),
         explode(array(seg: _*)).as("e"))
       .select(col("doc_id"),
@@ -179,8 +192,47 @@ object TextDedup {
       .join(hashes.select(col("doc_id").as("db"), col("simhash").as("hb")), Seq("db"))
       .select(col("da"), col("db"),
         bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
-      .filter(col("hamming") <= 6)
+      .filter(col("hamming") <= SimHam)
       .orderBy("da", "db")
+  }
+
+  /** DuckDB mirror of dedupSimhash: identical 60-bit hash, unrolled
+    * per-bit votes, identical blocking and hamming filter. */
+  val dedupSimhashSql: String = {
+    val voteCols = (0 until SimBits).map(b =>
+      s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v_$b")
+      .mkString(",\n      ")
+    val simExpr = (0 until SimBits).map(b =>
+      s"(CASE WHEN v_$b > 0 THEN (1::UBIGINT << $b) ELSE 0::UBIGINT END)")
+      .mkString(" + ")
+    val segBits = SimBits / SimSegs
+    val segMask = (1L << segBits) - 1
+    s"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    h AS (
+      SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::UBIGINT AS h FROM w),
+    votes AS (
+      SELECT doc_id,
+      $voteCols
+      FROM h GROUP BY 1),
+    sims AS (
+      SELECT doc_id, $simExpr AS simhash FROM votes),
+    blocked AS (
+      SELECT doc_id, simhash, t.k AS seg,
+             CAST((simhash >> ($segBits * t.k)) & $segMask AS BIGINT) AS sk
+      FROM sims, generate_series(0, ${SimSegs - 1}) t(k)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      FROM blocked a JOIN blocked b
+        ON a.seg = b.seg AND a.sk = b.sk AND a.doc_id < b.doc_id)
+    SELECT da, db,
+           CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INTEGER) AS hamming
+    FROM cand
+    JOIN sims sa ON da = sa.doc_id
+    JOIN sims sb ON db = sb.doc_id
+    WHERE bit_count(xor(sa.simhash, sb.simhash)) <= $SimHam
+    ORDER BY da, db"""
   }
 
   // ---- token statistics ----------------------------------------------
@@ -287,7 +339,7 @@ object TextDedup {
     QueryDef("dedup_exact", dedupExact, Some(dedupExactSql)),
     QueryDef("dedup_ngram", dedupNgram, Some(dedupNgramSql)),
     QueryDef("dedup_minhash", dedupMinhash, Some(dedupNgramSql)),
-    QueryDef("dedup_simhash", dedupSimhash, None),
+    QueryDef("dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
     QueryDef("text_tokens", textTokens, Some(textTokensSql)),
     QueryDef("text_quality", textQuality, Some(textQualitySql)),
     QueryDef("text_langid", textLangid, Some(textLangidSql)),

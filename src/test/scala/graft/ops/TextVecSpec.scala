@@ -30,7 +30,7 @@ class TextVecSpec extends SparkSpec {
     assert(caught.toDouble / exact.size >= 0.9,
       s"simhash caught $caught of ${exact.size} planted pairs")
     val plantedMax = exact.flatMap(ham.get).max
-    assert(plantedMax <= 6)
+    assert(plantedMax <= TextDedup.SimHam)
   }
 
   test("LSH ANN recall@10 vs brute force at bucket granularity fitting the data") {
