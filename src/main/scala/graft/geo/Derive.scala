@@ -107,4 +107,10 @@ object Derive {
       col("c_custkey").as("id"),
       (lit(126.0) + (col("c_custkey") % 1000).cast("double") / 250.0).as("lon"),
       (lit(34.0) + ((col("c_custkey") * 7) % 1000).cast("double") / 250.0).as("lat"))
+
+  val wgsPointsSql: String = """
+    SELECT c_custkey AS id,
+           126.0 + CAST(c_custkey % 1000 AS DOUBLE) / 250.0 AS lon,
+           34.0 + CAST((c_custkey * 7) % 1000 AS DOUBLE) / 250.0 AS lat
+    FROM customer"""
 }

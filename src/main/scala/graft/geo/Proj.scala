@@ -134,4 +134,81 @@ object Proj {
         t1 * t1 * 24) * d5 / 120) / cosP1
     struct(degrees(lam).as("lon"), degrees(phi).as("lat"))
   }
+
+  // ---- SQL mirrors (oracle gate) --------------------------------------
+  // The same series as column expressions, emitted as SQL CTE fragments
+  // so DuckDB can replay the projection. +,−,×,÷,sqrt are IEEE-exact in
+  // both engines; sin/cos/pow may differ in the last ulp, which the
+  // oracle-side ROUND absorbs (see GeoQueries.coordinateSql).
+
+  private def d17(x: Double): String = {
+    val s = "%.17e".format(x)
+    s // full round-trip precision
+  }
+
+  /** SQL projecting columns `lon`, `lat` (degrees) of CTE `src` into
+    * x/y meters; yields a SELECT with id + tm_x/tm_y. */
+  def forwardSql(p: Tm, src: String): String = s"""
+    SELECT id, lon, lat, tm_x, tm_y FROM (
+      SELECT *,
+        ${d17(p.fe)} + ${d17(p.k0)} * n * (aa +
+          (1.0 - t + c) * aa*aa*aa / 6 +
+          (5.0 - t * 18 + t * t + c * 72 - ${d17(58 * p.ep2)}) * aa*aa*aa*aa*aa / 120) AS tm_x,
+        ${d17(p.fn)} + ${d17(p.k0)} * (m - ${d17(p.m0)} + n * tanp * (
+          aa*aa / 2 +
+          (5.0 - t + c * 9 + c * c * 4) * aa*aa*aa*aa / 24 +
+          (61.0 - t * 58 + t * t + c * 600 - ${d17(330 * p.ep2)}) * aa*aa*aa*aa*aa*aa / 720)) AS tm_y
+      FROM (
+        SELECT *, tanp * tanp AS t,
+               ${d17(p.ep2)} * cosp * cosp AS c,
+               (lam - ${d17(math.toRadians(p.lon0Deg))}) * cosp AS aa,
+               ${d17(p.a)} * (${d17(p.c0)} * phi - ${d17(p.c2)} * sin(phi * 2) +
+                 ${d17(p.c4)} * sin(phi * 4) - ${d17(p.c6)} * sin(phi * 6)) AS m
+        FROM (
+          SELECT *, sin(phi) AS sinp, cos(phi) AS cosp,
+                 sin(phi) / cos(phi) AS tanp,
+                 ${d17(p.a)} / sqrt(1.0 - ${d17(p.e2)} * sin(phi) * sin(phi)) AS n
+          FROM (SELECT *, radians(lat) AS phi, radians(lon) AS lam FROM $src)
+        )
+      )
+    )"""
+
+  /** SQL un-projecting columns `tm_x`, `tm_y` (meters) of CTE `src`
+    * back to lon/lat degrees; yields a SELECT with id + wgs_x/wgs_y. */
+  def inverseSql(p: Tm, src: String): String = s"""
+    SELECT id, tm_x, tm_y,
+      degrees(${d17(math.toRadians(p.lon0Deg))} + (d -
+        (1.0 + t1 * 2 + c1) * d*d*d / 6 +
+        (5.0 - c1 * 2 + t1 * 28 - c1 * c1 * 3 + ${d17(8 * p.ep2)} +
+          t1 * t1 * 24) * d*d*d*d*d / 120) / cosp1) AS wgs_x,
+      degrees(phi1 - (n1 * tanp1 / r1) * (
+        d*d / 2 -
+        (5.0 + t1 * 3 + c1 * 10 - c1 * c1 * 4 - ${d17(9 * p.ep2)}) * d*d*d*d / 24 +
+        (61.0 + t1 * 90 + c1 * 298 + t1 * t1 * 45 - ${d17(252 * p.ep2)} -
+          c1 * c1 * 3) * d*d*d*d*d*d / 720)) AS wgs_y
+    FROM (
+      SELECT *, (tm_x - ${d17(p.fe)}) / (n1 * ${d17(p.k0)}) AS d
+      FROM (
+        SELECT *, tanp1 * tanp1 AS t1,
+               ${d17(p.ep2)} * cosp1 * cosp1 AS c1,
+               ${d17(p.a)} / sqrt(ome2) AS n1,
+               ${d17(p.a * (1 - p.e2))} / pow(ome2, 1.5) AS r1
+        FROM (
+          SELECT *, sin(phi1) AS sinp1, cos(phi1) AS cosp1,
+                 sin(phi1) / cos(phi1) AS tanp1,
+                 1.0 - ${d17(p.e2)} * sin(phi1) * sin(phi1) AS ome2
+          FROM (
+            SELECT *, mu +
+              ${d17(3 * p.e1 / 2 - 27 * math.pow(p.e1, 3) / 32)} * sin(mu * 2) +
+              ${d17(21 * p.e1 * p.e1 / 16 - 55 * math.pow(p.e1, 4) / 32)} * sin(mu * 4) +
+              ${d17(151 * math.pow(p.e1, 3) / 96)} * sin(mu * 6) +
+              ${d17(1097 * math.pow(p.e1, 4) / 512)} * sin(mu * 8) AS phi1
+            FROM (
+              SELECT *, (${d17(p.m0)} + (tm_y - ${d17(p.fn)}) / ${d17(p.k0)})
+                          / ${d17(p.a * p.c0)} AS mu
+              FROM $src)
+          )
+        )
+      )
+    )"""
 }

@@ -580,9 +580,26 @@ object GeoQueries {
     val proj = w.withColumn("_p", Proj.forward(col("lon"), col("lat")))
     proj.withColumn("_g", Proj.inverse(col("_p.x"), col("_p.y")))
       .select(col("id"),
-        col("_p.x").as("tm_x"), col("_p.y").as("tm_y"),
-        col("_g.lon").as("wgs_x"), col("_g.lat").as("wgs_y"))
+        round(col("_p.x"), 4).as("tm_x"), round(col("_p.y"), 4).as("tm_y"),
+        round(col("_g.lon"), 9).as("wgs_x"), round(col("_g.lat"), 9).as("wgs_y"))
       .orderBy("id")
+  }
+
+  /** DuckDB replay of the full TM round-trip (Proj.forwardSql/
+    * inverseSql emit the identical Snyder series from the same Tm
+    * constants). +,−,×,÷,sqrt are IEEE-exact in both engines;
+    * sin/cos/pow may differ in the last ulp, so both sides round to
+    * 0.1 mm (4 dp meters / 9 dp degrees) — 6 orders of magnitude
+    * above the ulp noise floor. */
+  val coordinateSql: String = {
+    val p = graft.geo.Proj.Epsg5179
+    s"""
+    WITH w AS (${Derive.wgsPointsSql}),
+    fwd AS (${graft.geo.Proj.forwardSql(p, "w")}),
+    inv AS (${graft.geo.Proj.inverseSql(p, "fwd")})
+    SELECT id, ROUND(tm_x, 4) AS tm_x, ROUND(tm_y, 4) AS tm_y,
+           ROUND(wgs_x, 9) AS wgs_x, ROUND(wgs_y, 9) AS wgs_y
+    FROM inv ORDER BY id"""
   }
 
   def all: Seq[QueryDef] = Seq(
@@ -605,5 +622,5 @@ object GeoQueries {
     QueryDef("geo_area_clip", areaClip, Some(areaClipSql)),
     QueryDef("geo_pipeline_wide", pipelineWide, Some(pipelineWideSql)),
     QueryDef("geo_pipeline_long", pipelineLong, Some(pipelineLongSql)),
-    QueryDef("geo_coordinate", coordinate, None))
+    QueryDef("geo_coordinate", coordinate, Some(coordinateSql)))
 }
