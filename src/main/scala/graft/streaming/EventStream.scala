@@ -72,6 +72,32 @@ object EventStream {
         col("o_totalprice").as("matched_price"))
   }
 
+  /** Stream-stream interval join — clicks joined to the same user's
+    * purchases within the following hour, BOTH sides streaming. The
+    * range condition on the two event-time columns plus the two
+    * watermarks is what lets Spark bound the join state: a click can
+    * be dropped once the purchase watermark passes click_ts + 1 h, a
+    * purchase once the click watermark passes purchase_ts. This is
+    * the canonical attribution-join shape (click→conversion) that
+    * stream-static joins cannot express. */
+  def clickPurchases(spark: SparkSession, dir: String): DataFrame = {
+    val ev = readEvents(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts_us").as("click_us"), col("event_ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts_us").as("purchase_us"), col("event_ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "2 hours")
+    clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("click_id"), col("purchase_id"),
+        col("c_user").as("user_id"), col("click_us"), col("purchase_us"))
+  }
+
   // ---- stateful sessionization ---------------------------------------
   final case class Ev(user_id: Long, ts_us: Long)
   final case class SessionState(start: Long, end: Long, n: Long)

@@ -57,6 +57,30 @@ class EventStreamSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("stream-stream interval join equals the batch pair join") {
+    val q = EventStream.clickPurchases(spark, sfDir)
+      .writeStream.format("memory").queryName("ss_join_out")
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("click_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val streamed = key(spark.table("ss_join_out"))
+    val ev = graft.Tables.loadEventsUs(spark, sfDir)
+    val batch = key(
+      ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          col("ts_us").as("click_us"))
+        .join(ev.filter(col("event_type") === "purchase")
+            .select(col("event_id").as("purchase_id"),
+              col("user_id").as("p_user"), col("ts_us").as("purchase_us")),
+          col("c_user") === col("p_user") &&
+            col("purchase_us") >= col("click_us") &&
+            col("purchase_us") <= col("click_us") + lit(3600L * 1000000L)))
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("streaming dedup keeps one row per distinct content hash") {
     val q = StreamDedup.distinctDocs(spark, sfDir)
       .writeStream.format("memory").queryName("dedup_out")
