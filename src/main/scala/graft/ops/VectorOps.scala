@@ -136,14 +136,17 @@ object VectorOps {
     // two broadcasts (corpus assignment + query probes), which would
     // otherwise each recompute the whole Lloyd subtree
     val cents = broadcast(Tables.hot(kmeansIterate(e, seed, KmeansIters)))
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("cd"), col("cent_id"))
+    // argmin as a hash aggregate (min over a (cd, cent_id) struct —
+    // lexicographic, so ties break on cent_id exactly like the
+    // oracle's ROW_NUMBER ORDER BY cd, cent_id): partial-aggregates
+    // map-side instead of sort-shuffling all n×NCells rows
     val assigned = e.join(cents)
       .select(col("vec_id"), col("v"), col("cent_id"),
         l2(col("v"), col("cv")).as("cd"))
-      .withColumn("crk", row_number().over(wAssign))
-      .filter(col("crk") <= 1)
-      .select("vec_id", "v", "cent_id")
+      .groupBy("vec_id")
+      .agg(min(struct(col("cd"), col("cent_id"))).as("m"),
+        first(col("v")).as("v"))
+      .select(col("vec_id"), col("v"), col("m.cent_id").as("cent_id"))
     (assigned, cents)
   }
 
@@ -291,14 +294,17 @@ object VectorOps {
   def dedupEmbedIvf(s: SparkSession, dir: String): DataFrame = {
     val cents = ivfAssign(s, dir)._2
     val e = emb(s, dir)
-    // re-rank against the same centroids, keeping DedupProbes cells
+    // re-rank against the same centroids, keeping DedupProbes cells —
+    // bounded top-k as a hash aggregate (sorted-slice of collected
+    // (cd, cent_id) structs), not a sort window over n×NCells rows
     val multi = e.join(cents)
       .select(col("vec_id"), col("v"), col("cent_id"),
         l2(col("v"), col("cv")).as("cd"))
-      .withColumn("crk", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("cd"), col("cent_id"))))
-      .filter(col("crk") <= DedupProbes)
-      .select("vec_id", "v", "cent_id")
+      .groupBy("vec_id")
+      .agg(slice(array_sort(collect_list(struct(col("cd"), col("cent_id")))),
+        1, DedupProbes).as("top"), first(col("v")).as("v"))
+      .select(col("vec_id"), col("v"), explode(col("top")).as("t"))
+      .select(col("vec_id"), col("v"), col("t.cent_id").as("cent_id"))
     val hotM = Tables.hot(multi)
     // Salted within-cell pairs CARRYING the vectors (same per-group
     // sizing as SkewJoin.saltedSelfPairs): shuffle volume is
@@ -370,13 +376,14 @@ object VectorOps {
                     iters: Int, dim: Int = 64): DataFrame = {
     var cents = centroids
     (0 until iters).foreach { _ =>
-      val wAssign = Window.partitionBy("vec_id")
-        .orderBy(col("cd"), col("cent_id"))
+      // same hash-aggregate argmin as ivfAssign (ties on cent_id)
       val assigned = corpus.join(broadcast(cents))
         .select(col("vec_id"), col("v"), col("cent_id"),
           l2(col("v"), col("cv")).as("cd"))
-        .withColumn("crk", row_number().over(wAssign))
-        .filter(col("crk") === 1)
+        .groupBy("vec_id")
+        .agg(min(struct(col("cd"), col("cent_id"))).as("m"),
+          first(col("v")).as("v"))
+        .select(col("vec_id"), col("v"), col("m.cent_id").as("cent_id"))
       cents = assigned.groupBy("cent_id")
         .agg(array((0 until dim).map(i =>
           sum(col("v")(i).cast(org.apache.spark.sql.types.DecimalType(18, MeanScale)))
