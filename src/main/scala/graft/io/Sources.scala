@@ -39,6 +39,16 @@ object Sources {
       .sortWithinPartitions(key)
       .write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Columnar ORC round-trip — same datasource API surface as parquet
+    * (predicate pushdown, column pruning, vectorized read); useful
+    * when the lake standardizes on ORC. */
+  def writeOrc(df: DataFrame, path: String,
+               mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** True metastore-backed bucketed table: two tables bucketed the
     * same way on their join keys join with NO exchange on either side
     * — the pre-shuffled layout big recurring joins want at 100 TB

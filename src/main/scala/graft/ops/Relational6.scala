@@ -239,7 +239,35 @@ object Relational6 {
       HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 50.0)
     ORDER BY s_name"""
 
+  /** LATERAL top-k subquery: each customer's two most expensive
+    * orders via a correlated ORDER BY … LIMIT lateral join — the
+    * decorrelated plan is the same bounded per-key top-k as
+    * q_topk_group, but exercises the SQL lateral-subquery surface
+    * (Catalyst's DecorrelateInnerQuery path). */
+  def qLateral(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "customer").createOrReplaceTempView("customer_lat")
+    Tables.load(s, dir, "orders").createOrReplaceTempView("orders_lat")
+    s.sql("""
+      SELECT c_custkey, t.o_orderkey, t.o_totalprice
+      FROM customer_lat, LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders_lat
+        WHERE o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      WHERE c_custkey % 10 = 0
+      ORDER BY c_custkey, o_totalprice DESC, o_orderkey""")
+  }
+
+  val qLateralSql: String = """
+    SELECT c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    WHERE c_custkey % 10 = 0
+    ORDER BY c_custkey, o_totalprice DESC, o_orderkey"""
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("q_lateral", qLateral, Some(qLateralSql)),
     QueryDef("q4_priority", q4, Some(q4Sql)),
     QueryDef("q9_profit", q9, Some(q9Sql)),
     QueryDef("q11_important", q11, Some(q11Sql)),

@@ -85,6 +85,23 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("ORC round-trip preserves values and pushes filters to the scan") {
+    val dir = Files.createTempDirectory("graft_orc").toString
+    val src = Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_shipdate")
+    Sources.writeOrc(src, dir)
+    val back = Sources.readOrc(spark, dir)
+    assert(back.count() == src.count())
+    assert(src.exceptAll(back).count() == 0)
+    val filtered = back.filter(col("l_quantity") > 45.0)
+    val scan = filtered.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.metadata("PushedFilters").contains("GreaterThan(l_quantity"),
+      scan.metadata("PushedFilters"))
+    assert(filtered.count() == src.filter(col("l_quantity") > 45.0).count())
+  }
+
   test("JSON props parsing matches engine JSON path semantics") {
     val e = Tables.load(spark, sfDir, "events")
       .select(from_json(col("props"), lit("k INT")).getField("k").as("k"))
