@@ -37,11 +37,23 @@ object AreaClip {
         Geo.cellOf(col("x"), cell) + col("dx"),
         Geo.cellOf(col("y"), cell) + col("dy")))
       .join(ps, Seq("ck"))
-      // cheap exact prefilter before the trig-heavy expression: a pair
-      // can only intersect if the anchor vertex is within cell =
-      // maxRadius + maxVertexDist (the 3×3 cell box keeps ~3× more)
+      // cheap exact prefilters before the trig-heavy expression:
+      // (1) anchor vertex within cell = maxRadius + maxVertexDist
+      // (the 3×3 cell box keeps ~3× more);
       .filter(Geo.dist2(col("x"), col("y"), col("xs")(0), col("ys")(0))
         < lit(cell * cell))
+      // (2) circle-vs-bbox: the disk can only intersect the polygon if
+      // it reaches the polygon's bounding box — pairs failing this
+      // contribute exactly 0 to every radius's sum, so dropping them
+      // is exact and removes ~2/3 of the expression evaluations
+      .filter {
+        val r = radii.max
+        val dx = greatest(array_min(col("xs")) - col("x"),
+          col("x") - array_max(col("xs")), lit(0.0))
+        val dy = greatest(array_min(col("ys")) - col("y"),
+          col("y") - array_max(col("ys")), lit(0.0))
+        dx * dx + dy * dy < lit(r * r)
+      }
     val aggs = radii.map { r =>
       val area = call_function("clipped_polygon_area",
         col("x"), col("y"), lit(r), col("xs"), col("ys"))
