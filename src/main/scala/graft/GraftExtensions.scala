@@ -63,9 +63,16 @@ object GraftFunctions {
     new ExpressionInfo(classOf[functions.VecL2].getName, "vec_l2"),
     (args: Seq[Expression]) => functions.VecL2(args))
 
+  val minHashSignatureFn: Fn = (
+    FunctionIdentifier("minhash_signature"),
+    new ExpressionInfo(classOf[functions.MinHashSignature].getName,
+      "minhash_signature"),
+    (args: Seq[Expression]) => functions.MinHashSignature(args))
+
   val all: Seq[Fn] =
     Seq(clippedSegmentLengthFn, hilbertIndexFn, pointInPolygonFn,
-      normalizeTextFn, clippedPolygonAreaFn, vecDotFn, vecL2Fn)
+      normalizeTextFn, clippedPolygonAreaFn, vecDotFn, vecL2Fn,
+      minHashSignatureFn)
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (id, info, builder) =>

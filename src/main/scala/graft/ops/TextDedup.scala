@@ -121,19 +121,26 @@ object TextDedup {
   val BandRows = 2 // 32 bands × 2 rows
 
   def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.hot(shinglesHashed(docs(s, dir)))
-    // 64 permutations derived by re-hashing the 8-byte shingle hash —
-    // never re-hashing the string
-    val sigCols = (0 until NumPerms).map(p =>
-      min(xxhash64(lit(p), col("hs"))).as(s"sig_$p"))
-    val sigs = Tables.hot(
-      sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*))
+    graft.GraftFunctions.register(s)
+    // per-doc distinct shingle-hash ARRAY: signatures become a pure
+    // map stage (native minhash_signature computes all 64 permutation
+    // minima in one pass — bit-identical to the former explode +
+    // 64-column min aggregation, minus its shuffle), and the exploded
+    // (doc_id, hs) rows for exact verification come from the same
+    // materialized arrays
+    val base = Tables.hot(
+      docs(s, dir).select(col("doc_id"),
+          array_distinct(transform(grams(3), g => xxhash64(g))).as("harr"))
+        .withColumn("sig",
+          call_function("minhash_signature", col("harr"), lit(NumPerms)))
+        .filter(col("sig").isNotNull))
+    val sh = base.select(col("doc_id"), explode(col("harr")).as("hs"))
     // band keys: hash of each row-group of the signature
     val bands = (0 until NumPerms / BandRows).map { b =>
-      val rows = (0 until BandRows).map(r => col(s"sig_${b * BandRows + r}"))
+      val rows = (0 until BandRows).map(r => col("sig")(b * BandRows + r))
       struct(lit(b).as("band"), xxhash64(lit(b) +: rows: _*).as("bk"))
     }
-    val bucketed = sigs
+    val bucketed = base
       .select(col("doc_id"), explode(array(bands: _*)).as("e"))
       .select(col("doc_id"), col("e.band").as("band"), col("e.bk").as("bk"))
     // salted within-bucket pair generation: singleton buckets dropped,

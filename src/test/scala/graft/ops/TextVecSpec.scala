@@ -75,6 +75,26 @@ class TextVecSpec extends SparkSpec {
     assert(after < before, "iteration should strictly improve on this data")
   }
 
+  test("native minhash_signature is bit-identical to the aggregated form") {
+    graft.GraftFunctions.register(spark)
+    val d = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        array_distinct(transform(Text.grams(3), g => xxhash64(g))).as("harr"))
+    val native = d
+      .select(col("doc_id"),
+        call_function("minhash_signature", col("harr"), lit(8)).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val sigCols = (0 until 8).map(p =>
+      min(xxhash64(lit(p), col("hs"))).as(s"sig_$p"))
+    val agged = d.select(col("doc_id"), explode(col("harr")).as("hs"))
+      .groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong(_))).toMap
+    assert(native.keySet == agged.keySet)
+    native.foreach { case (id, sig) =>
+      assert(sig == agged(id), s"doc $id")
+    }
+  }
+
   test("IVF-cell embedding dedup: exact subset of brute force, bounded recall") {
     val brute = VectorOps.dedupEmbed(spark, sfDir)
       .select("da", "db", "cos").collect()
