@@ -130,17 +130,20 @@ object TextDedup {
     // materialized arrays
     val base = Tables.hot(
       docs(s, dir).select(col("doc_id"),
-          array_distinct(transform(grams(3), g => xxhash64(g))).as("harr"))
-        .withColumn("sig",
-          call_function("minhash_signature", col("harr"), lit(NumPerms)))
-        .filter(col("sig").isNotNull))
+        array_distinct(transform(grams(3), g => xxhash64(g))).as("harr")))
     val sh = base.select(col("doc_id"), explode(col("harr")).as("hs"))
-    // band keys: hash of each row-group of the signature
+    // band keys: hash of each row-group of the signature. sig lives in
+    // ONE projection chain off the checkpoint (never re-derived from
+    // raw text — project-collapse would otherwise inline harr's gram
+    // hashing into every sig reference)
     val bands = (0 until NumPerms / BandRows).map { b =>
       val rows = (0 until BandRows).map(r => col("sig")(b * BandRows + r))
       struct(lit(b).as("band"), xxhash64(lit(b) +: rows: _*).as("bk"))
     }
     val bucketed = base
+      .select(col("doc_id"),
+        call_function("minhash_signature", col("harr"), lit(NumPerms)).as("sig"))
+      .filter(col("sig").isNotNull)
       .select(col("doc_id"), explode(array(bands: _*)).as("e"))
       .select(col("doc_id"), col("e.band").as("band"), col("e.bk").as("bk"))
     // salted within-bucket pair generation: singleton buckets dropped,
