@@ -27,16 +27,29 @@ object BufferStats {
     * but shrink the candidate box toward (2·reach)² — for reach=1500,
     * cell=500 the box area drops 1.65× vs cell=reach. `cellSize`
     * defaults to reach/3, capping offsets at 9×9.
+    *
+    * `minReach` > 0 prunes offsets that cannot contain any feature at
+    * distance ≥ minReach (annulus queries: the donut's hollow center
+    * never joins). An offset cell's distance to the point is at most
+    * sqrt((|dx|+1)² + (|dy|+1)²)·cell, so offsets below that bound are
+    * dropped exactly.
     */
   def neighborJoin(points: DataFrame, features: DataFrame,
                                 reach: Double,
-                                cellSize: Double = 0.0): DataFrame = {
+                                cellSize: Double = 0.0,
+                                minReach: Double = 0.0): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
     val cell = if (cellSize > 0) cellSize else reach / 3
     val k = math.ceil(reach / cell).toLong
     val offsets = (-k to k)
-      .flatMap(dx => (-k to k).map(dy => (dx, dy))).toDF("dx", "dy")
+      .flatMap(dx => (-k to k).map(dy => (dx, dy)))
+      .filter { case (dx, dy) =>
+        val ub = math.sqrt((math.abs(dx) + 1.0) * (math.abs(dx) + 1.0) +
+          (math.abs(dy) + 1.0) * (math.abs(dy) + 1.0)) * cell
+        ub >= minReach
+      }
+      .toDF("dx", "dy")
     val f = features
       .withColumn("ck", Geo.cellKey(
         Geo.cellOf(col("x"), cell), Geo.cellOf(col("y"), cell)))

@@ -19,29 +19,32 @@ object RelativeElevation {
   def compute(points: DataFrame, cells: DataFrame, refRadius: Double,
               radii: Seq[Double], thickness: Double = 30.0): DataFrame = {
     val reach = radii.max + thickness
-    val inRef = col("_d2") < lit(refRadius * refRadius)
-    // Only the reference disk and the donut bands feed any aggregate;
-    // drop everything else (the box corners and the gap between the
-    // reference disk and the innermost ring) right at the join output,
-    // before anything shuffles. Cuts the aggregated volume ~3×.
-    val needed = inRef ||
-      radii.map(r => col("_d2") >= lit(r * r) &&
-        col("_d2") < lit((r + thickness) * (r + thickness)))
-        .reduce(_ || _)
-    val joined = BufferStats.neighborJoin(points, cells, reach)
-      .filter(needed)
 
-    // Reference elevation as a window over the same id partitioning the
-    // final groupBy uses — one shuffle total, no second join, and the
-    // neighbor join is computed once instead of twice. The sum is over
-    // integer-valued doubles, so window-vs-aggregate order is exact.
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
-    val flagged = joined.withColumn("ref_elev",
-        sum(when(inRef, col("elev"))).over(w) /
-          sum(when(inRef, lit(1L))).over(w))
-      // ids with no cell in the reference disk have no reference (the
-      // oracle's inner join on ref drops them too)
-      .filter(col("ref_elev").isNotNull)
+    // Pass 1 — reference elevation: its own small-reach neighbor join
+    // (candidate box sized to refRadius, not to the outermost ring —
+    // ~5× fewer candidates than sharing the ring join) feeding a hash
+    // aggregate with map-side combine. Integer-valued elevations sum
+    // exactly in double, so aggregation order is moot. Ids with no
+    // cell in the reference disk get no reference row — the oracle's
+    // inner join on ref drops them identically.
+    val ref = graft.Tables.hot(
+      BufferStats.neighborJoin(points, cells, refRadius)
+        .filter(col("_d2") < lit(refRadius * refRadius))
+        .groupBy("id")
+        .agg((sum(col("elev")) / count(lit(1))).as("ref_elev")))
+
+    // Pass 2 — ring rows only: the annulus join prunes the hollow
+    // center offsets (minReach) and keeps only donut-band rows, then
+    // joins the (id, ref_elev) table and hash-aggregates per id.
+    // Versus the former single-pass window plan, nothing is sorted and
+    // the per-id exchange carries the ring rows once (map-side
+    // partial aggregation collapses them before the shuffle).
+    val anyRing = radii.map(r => col("_d2") >= lit(r * r) &&
+      col("_d2") < lit((r + thickness) * (r + thickness)))
+      .reduce(_ || _)
+    val rings = BufferStats.neighborJoin(points, cells, reach,
+        minReach = radii.min)
+      .filter(anyRing)
 
     val ringAggs = radii.flatMap { r =>
       val inRing = col("_d2") >= lit(r * r) &&
@@ -57,7 +60,14 @@ object RelativeElevation {
         share(col("elev") - col("ref_elev") > 50.0, "above50"),
         share(col("elev") - col("ref_elev") < -50.0, "below50"))
     }
-    flagged.groupBy("id")
-      .agg(first(col("ref_elev")).as("ref_elev"), ringAggs: _*)
+    val ringAgged = rings.join(ref, Seq("id"))
+      .groupBy("id").agg(ringAggs.head, ringAggs.tail: _*)
+    // left join: an id with a reference but no ring cells keeps its
+    // row with NULL shares (the oracle's CASE sums are all 0 there →
+    // NULLIF denominator → NULL)
+    ref.join(ringAgged, Seq("id"), "left")
+      .select(col("id") +: col("ref_elev") +:
+        radii.flatMap(r => Seq("above20", "below20", "above50", "below50")
+          .map(n => col(s"${n}_${r.toInt}"))): _*)
   }
 }
