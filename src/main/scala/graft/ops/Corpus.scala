@@ -131,6 +131,92 @@ object Corpus {
               / CAST(SUM(c) AS DOUBLE), 6) AS entropy
     FROM c GROUP BY 1 ORDER BY doc_id"""
 
+  /** Context-length chunking: each document's tokens cut into windows
+    * of `win` tokens every `stride` tokens (overlap = win − stride),
+    * the shape that turns variable-length documents into fixed-length
+    * training examples. A document shorter than one window emits one
+    * (possibly short) window. Pure map stage — the window list is a
+    * `transform` over a guarded `sequence` (ceil count ≥ 1 always, so
+    * the descending-sequence trap can't fire) followed by one explode;
+    * no shuffle until the final ORDER BY, which exists only for the
+    * oracle compare. */
+  def chunkWindows(s: SparkSession, dir: String,
+                   win: Int = 64, stride: Int = 48): DataFrame = {
+    val n = size(toks)
+    val nw = when(n <= win, lit(1L)).otherwise(
+      ceil((n - lit(win)).cast("double") / stride).cast("long") + 1L)
+    docs(s, dir)
+      .select(col("doc_id"), toks.as("w"), nw.as("nw"))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0L), col("nw") - 1L), i =>
+          struct(i.as("win_id"),
+            slice(col("w"), (i * stride + 1L).cast("int"), lit(win)).as("wt"))))
+          .as("e"))
+      .select(col("doc_id"), col("e.win_id").as("win_id"),
+        size(col("e.wt")).as("n_tok"),
+        md5(array_join(col("e.wt"), " ")).as("h"))
+      .orderBy("doc_id", "win_id")
+  }
+
+  val chunkWindowsSql: String = """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w,
+             len(string_split(text, ' ')) AS n
+      FROM documents),
+    nw AS (
+      SELECT doc_id, w,
+             CASE WHEN n <= 64 THEN 1
+                  ELSE CAST(CEIL(CAST(n - 64 AS DOUBLE) / 48) AS BIGINT) + 1
+             END AS nw
+      FROM t),
+    win AS (
+      SELECT doc_id, i.i AS win_id, w[(i.i * 48 + 1):(i.i * 48 + 64)] AS wt
+      FROM nw, LATERAL (SELECT unnest(generate_series(0, nw - 1)) AS i) i)
+    SELECT doc_id, win_id,
+           CAST(len(wt) AS INTEGER) AS n_tok,
+           md5(array_to_string(wt, ' ')) AS h
+    FROM win ORDER BY doc_id, win_id"""
+
+  /** Mixture rebalancing: downsample every language stratum to the
+    * size of the smallest one (equal target shares — the "rebalance a
+    * skewed source mix" pipeline step). The per-stratum rate is DERIVED
+    * FROM CORPUS STATISTICS (min count / stratum count, a broadcast of
+    * a 5-row aggregate), not a constant — the part sample_stratified
+    * doesn't exercise. The keep decision hashes the row (md5 prefix as
+    * a uniform u32 fraction), so it stays deterministic and
+    * cluster-size-independent; both engines compute the identical
+    * double (exact u32 → double, division by 2^32 exact). */
+  def corpusMix(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val counts = d.groupBy("lang").agg(count(lit(1)).as("n_total"))
+    val minN = counts.agg(min("n_total").as("n_min"))
+    val rates = counts.join(broadcast(minN))
+      .select(col("lang"), col("n_total"),
+        (col("n_min").cast("double") / col("n_total")).as("rate"))
+    val frac = expr("CAST(conv(substring(md5(text), 1, 8), 16, 10) AS DOUBLE)") /
+      lit(4294967296.0)
+    d.select(col("lang").as("dl"), frac.as("frac"))
+      .join(broadcast(rates), col("dl") === col("lang"))
+      .groupBy("lang")
+      .agg(first(col("n_total")).as("n_total"), first(col("rate")).as("rate"),
+        sum(when(col("frac") < col("rate"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("lang")
+  }
+
+  val corpusMixSql: String = """
+    WITH c AS (
+      SELECT lang, COUNT(*) AS n_total FROM documents GROUP BY 1),
+    m AS (SELECT MIN(n_total) AS n_min FROM c),
+    r AS (
+      SELECT lang AS rlang, n_total, CAST(n_min AS DOUBLE) / n_total AS rate
+      FROM c, m)
+    SELECT r.rlang AS lang, r.n_total AS n_total, r.rate AS rate,
+           CAST(SUM(CASE WHEN ('0x' || substring(md5(d.text), 1, 8))::UBIGINT::DOUBLE
+                              / 4294967296.0 < r.rate
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM documents d JOIN r ON d.lang = r.rlang
+    GROUP BY 1, 2, 3 ORDER BY lang"""
+
   /** End-to-end fluent pipeline (graft.api.CorpusPipeline): exact
     * dedup → stratified sample → token-budget pack → shard stats, all
     * fused into one Catalyst plan. The oracle mirrors the chain as
@@ -166,5 +252,7 @@ object Corpus {
     QueryDef("sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
     QueryDef("text_scrub", textScrub, Some(textScrubSql)),
     QueryDef("text_entropy", textEntropy, Some(textEntropySql)),
+    QueryDef("chunk_windows", (s, d) => chunkWindows(s, d), Some(chunkWindowsSql)),
+    QueryDef("corpus_mix", corpusMix, Some(corpusMixSql)),
     QueryDef("corpus_pipeline", pipelineE2e, Some(pipelineE2eSql)))
 }

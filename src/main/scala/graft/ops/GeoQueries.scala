@@ -164,6 +164,41 @@ object GeoQueries {
     FROM cj JOIN ref ON cj.id = ref.id
     GROUP BY cj.id ORDER BY cj.id"""
 
+  // ---- raster value at point (DEM/DSM Raster Value) ------------------
+  /** The reference checklist's "DEM Raster Value / DSM Raster Value"
+    * rows: the value at each point = mean of the raster cells whose
+    * envelope contains the point (duckpipe's ref_elevation join —
+    * RelativeElevationCalculator.py:91-98 — is point-vs-cell-envelope
+    * ST_Intersects; overlapping cells average). Cells here are box
+    * envelopes of half-size 300 m around the feat centers. The grid
+    * join's ±k cell ring covers the Chebyshev ball of the reach, so
+    * the box test is a filter over the same one-join candidates the
+    * circular operators use — no new join strategy needed. */
+  def rasterValue(s: SparkSession, dir: String): DataFrame = {
+    val h = 300.0
+    val agged = BufferStats.neighborJoin(
+        Derive.points(s, dir),
+        Derive.feats(s, dir).select("x", "y", "elev"), reach = h)
+      .filter(abs(col("x") - col("fx")) <= h && abs(col("y") - col("fy")) <= h)
+      .groupBy("id")
+      .agg((sum(col("elev")) / count(lit(1))).as("raster_value"),
+        count(lit(1)).as("n_cells"))
+    Derive.points(s, dir).select("id")
+      .join(agged, Seq("id"), "left")
+      .select(col("id"), col("raster_value"),
+        coalesce(col("n_cells"), lit(0L)).as("n_cells"))
+      .orderBy("id")
+  }
+
+  val rasterValueSql: String = s"""
+    WITH $pts, $f
+    SELECT p.id,
+      SUM(f.elev) / COUNT(f.elev) AS raster_value,
+      COUNT(f.elev) AS n_cells
+    FROM pts p LEFT JOIN f
+      ON abs(p.x - f.x) <= 300.0 AND abs(p.y - f.y) <= 300.0
+    GROUP BY p.id ORDER BY p.id"""
+
   // ---- Z-order key (chunking replacement) ----------------------------
   def zorder(s: SparkSession, dir: String): DataFrame = {
     val c = graft.Tables.load(s, dir, "customer")
@@ -611,6 +646,7 @@ object GeoQueries {
     QueryDef("geo_area_ratio", areaRatio, Some(areaRatioSql)),
     QueryDef("geo_intersect_oa", intersectOa, Some(intersectOaSql)),
     QueryDef("geo_relative_elevation", relElev, Some(relElevSql)),
+    QueryDef("geo_raster_value", rasterValue, Some(rasterValueSql)),
     QueryDef("geo_zorder", zorder, Some(zorderSql)),
     QueryDef("geo_hilbert", hilbert, Some(hilbertSql)),
     QueryDef("geo_cluster", cluster, Some(clusterSql)),

@@ -1,0 +1,98 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import graft.QueryDef.dsum
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Seventh relational wave — the last two TPC-H plan shapes missing
+  * from the family (the test schema has no l_shipmode / l_commitdate /
+  * l_receiptdate, so Q12's "late by ship mode" becomes "late by
+  * ship-delay band"):
+  *
+  *   Q12 conditional two-way counts over a joined band (high- vs
+  *       low-priority orders per shipping-delay band)
+  *   Q14 conditional-numerator revenue share (promo parts / all parts)
+  *
+  * With these, all 22 TPC-H shapes have an oracle-gated analogue
+  * (Q10=q_returned_top, Q15=q_top_supplier, Q18=q_large_orders,
+  * Q19=q_disjunctive; the rest carry their own q{N} keys).
+  * Numeric policy unchanged: decimal-routed sums, single IEEE
+  * division, deterministic ORDER BY.
+  */
+object Relational7 {
+
+  private def rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  /** Q12 shipping-priority counts: 1997 lineitems bucketed by how many
+    * days after the order date they shipped; per band, how many came
+    * from high-priority (1-URGENT / 2-HIGH) vs other orders. Orders is
+    * the smaller side here only by projection — the join shuffles on
+    * the order key and the two counts fold into one conditional
+    * aggregation pass (no second scan per class). */
+  def q12(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_shipdate")
+    val o = Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val highPrio = col("o_orderpriority") === "1-URGENT" ||
+      col("o_orderpriority") === "2-HIGH"
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("delay_band",
+        when(datediff(col("l_shipdate"), col("o_orderdate")) > 90, "90+")
+          .when(datediff(col("l_shipdate"), col("o_orderdate")) > 30, "31-90")
+          .otherwise("0-30"))
+      .groupBy("delay_band")
+      .agg(
+        sum(when(highPrio, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(highPrio, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("delay_band")
+  }
+
+  val q12Sql: String = """
+    SELECT
+      CASE WHEN datediff('day', o_orderdate, l_shipdate) > 90 THEN '90+'
+           WHEN datediff('day', o_orderdate, l_shipdate) > 30 THEN '31-90'
+           ELSE '0-30' END AS delay_band,
+      CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1 ORDER BY 1"""
+
+  /** Q14 promo revenue share: percentage of one quarter's revenue from
+    * PROMO-type parts — conditional numerator over the same rows as
+    * the denominator, so one aggregation pass; part dim broadcast.
+    * Both sums are decimal-routed and the division happens once in
+    * double space, matching the oracle bit-for-bit. */
+  def q14(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(s, dir, "part").select("p_partkey", "p_type")
+    Tables.load(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .select("l_partkey", "l_extendedprice", "l_discount")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg((lit(100.0) *
+        dsum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0)), 6) /
+        dsum(rev, 6)).as("promo_revenue"))
+  }
+
+  val q14Sql: String = """
+    SELECT 100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+        THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END
+        AS DECIMAL(18,6))) AS DOUBLE)
+      / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        AS DECIMAL(18,6))) AS DOUBLE) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1997-04-01'"""
+
+  def all: Seq[QueryDef] = Seq(
+    QueryDef("q12_delay_bands", q12, Some(q12Sql)),
+    QueryDef("q14_promo_share", q14, Some(q14Sql)))
+}
