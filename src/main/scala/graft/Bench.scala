@@ -124,12 +124,21 @@ object Bench {
     // sample of many queries rather than all samples of one query.
     // Budget gates: an iteration only starts if the previous one fits
     // in what's left; a started iteration stops sampling at the line.
+    // Coverage-first under curtailment: every pass samples the
+    // fewest-sampled queries first, and a curtailed pass earns an
+    // extra pass while any query is still unsampled — so a steal
+    // burst that blows the budget mid-pass costs later queries their
+    // extra samples, never their only one.
     var it = 1
     var lastIter = 0.0
-    while (it <= iters && (it == 1 || elapsed + lastIter * 1.1 < budget)) {
+    def unsampled: Boolean = names.exists(n => samples(n).isEmpty)
+    while (elapsed < budget &&
+      (it == 1 || unsampled ||
+        (it <= iters && elapsed + lastIter * 1.1 < budget))) {
       val t0 = elapsed
       var curtailed = false
-      names.foreach { n =>
+      val order = names.sortBy(n => samples(n).size)
+      order.foreach { n =>
         if (elapsed < budget) samples(n) = samples(n) :+ exec(n, it)
         else curtailed = true
       }
