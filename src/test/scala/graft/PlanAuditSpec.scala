@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Machine-checked plan audit — the §4 scale claims as assertions
+  * instead of prose. These run against the INITIAL physical plan
+  * (pre-AQE), which is exactly what ships to a 1000-executor cluster:
+  * if a filter isn't pushed or a dim isn't broadcast here, AQE may or
+  * may not rescue it at runtime, and the audit should fail rather
+  * than hope.
+  *
+  * The cartesian sweep covers every registered query whose plan can
+  * be BUILT lazily (a few operators run driver-coordinated rounds at
+  * build time — iterative label propagation, guarded counts — and are
+  * exercised by their own specs instead).
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  /** Build the query's physical plan with AQE off — the static plan
+    * the optimizer commits to before runtime stats exist. */
+  private def initialPlan(name: String): SparkPlan = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false")
+      SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan
+    } finally spark.conf.set(key, prev)
+  }
+
+  private def collectAll(p: SparkPlan): Seq[SparkPlan] =
+    (p +: p.children.flatMap(collectAll)) ++ p.subqueries.flatMap(collectAll)
+
+  test("q6 pushes its filters and prunes its columns at the scan") {
+    val scans = collectAll(initialPlan("q6_filter_agg"))
+      .collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    val li = scans.find(_.metadata("Location").contains("lineitem")).get
+    assert(li.metadata("PushedFilters") != "[]",
+      "lineitem scan must carry pushed filters")
+    // projection reaches the reader: only the columns q6 touches
+    assert(li.schema.fieldNames.length <= 5,
+      s"q6 reads ${li.schema.fieldNames.mkString(",")} — expected a pruned scan")
+  }
+
+  test("join-heavy relational queries broadcast their dims") {
+    for (q <- Seq("q3_join_topn", "q5_multijoin", "q9_profit",
+        "q14_promo_share", "corpus_mix")) {
+      val bhj = collectAll(initialPlan(q))
+        .collect { case j: BroadcastHashJoinExec => j }
+      assert(bhj.nonEmpty, s"$q: expected at least one broadcast hash join")
+    }
+  }
+
+  test("q1 aggregates map-side before the exchange") {
+    val plan = initialPlan("q1_agg")
+    val nodes = collectAll(plan)
+    // one hash exchange for the aggregation (the deterministic ORDER BY
+    // adds a range exchange on top — presentation, not aggregation work)
+    val exchanges = nodes.collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.toString.contains("hashpartitioning") => e
+    }
+    assert(exchanges.length === 1, "q1 is a single-shuffle aggregation")
+    // partial aggregate lives BELOW the exchange (map-side combine)
+    val belowExchange = collectAll(exchanges.head.child)
+    assert(belowExchange.exists(_.nodeName.contains("HashAggregate")),
+      "partial HashAggregate must sit under the shuffle")
+  }
+
+  test("no registered query plans a cartesian product") {
+    // build-time driver rounds (documented in each operator):
+    val skip = Set("dedup_cluster", "dedup_ngram", "geo_pivot",
+      "geo_pipeline_wide", "geo_pipeline_long", "mm_pipeline")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(skip)
+      .flatMap { q =>
+        val cart = collectAll(initialPlan(q))
+          .collect { case c: CartesianProductExec => c }
+        if (cart.nonEmpty) Some(q) else None
+      }
+    assert(offenders.isEmpty,
+      s"cartesian products in: ${offenders.mkString(", ")}")
+  }
+}
