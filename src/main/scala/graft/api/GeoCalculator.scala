@@ -34,6 +34,24 @@ final class GeoCalculator private (
       year.map(y => lit(y)).getOrElse(lit(null)).cast("int").as("year"),
       value.cast("double").as("value"))
 
+  /** N varnames off ONE wide frame in ONE pass: explode an inline
+    * (varname, value) array instead of unioning N projections of the
+    * same subplan. A union of projections re-executes the underlying
+    * join/aggregation once per branch (exchange reuse only sometimes
+    * rescues it); the explode computes the wide frame exactly once —
+    * this is what keeps the fluent pipeline's cost at "one pass per
+    * calculator", not "one pass per varname". */
+  private def longFormMulti(df: DataFrame, year: Option[Int],
+                            pairs: Seq[(Column, Column)]): DataFrame =
+    df.select(col("id"),
+        explode(array(pairs.map { case (n, v) =>
+          struct(n.cast("string").as("varname"),
+            v.cast("double").as("value"))
+        }: _*)).as("_e"))
+      .select(col("id"), col("_e.varname").as("varname"),
+        year.map(y => lit(y)).getOrElse(lit(null)).cast("int").as("year"),
+        col("_e.value").as("value"))
+
   /** Min distance to a feature set; broadcast when small, grid-join when
     * `gridCell` is given. */
   def nearestDistance(features: DataFrame, varname: String,
@@ -55,12 +73,10 @@ final class GeoCalculator private (
       "LL" -> (col("weight") * col("lanes")),
       "LLW" -> (col("weight") * col("lanes") * col("width")))
     val wide = BufferStats.lineStats(points, features, radii, stats)
-    val long = Seq("L", "LL", "LLW").map { st =>
-      longForm(wide,
-        concat(lit(s"${prefix}_${st}_"), lpad(col("radius").cast("int").cast("string"), 4, "0")),
-        year, col(st))
-    }.reduce(_ unionByName _)
-    append(long)
+    append(longFormMulti(wide, year, Seq("L", "LL", "LLW").map { st =>
+      concat(lit(s"${prefix}_${st}_"),
+        lpad(col("radius").cast("int").cast("string"), 4, "0")) -> col(st)
+    }))
   }
 
   /** Fused bufferLineStats + landuseAreaRatio: one neighbor join and
@@ -77,18 +93,17 @@ final class GeoCalculator private (
       "LLW" -> (col("weight") * col("lanes") * col("width")))
     val (lineWide, areaWide) =
       BufferStats.lineAndAreaStats(points, features, radii, stats)
-    val lineLong = Seq("L", "LL", "LLW").map { st =>
-      longForm(lineWide,
+    val lineLong = longFormMulti(lineWide, year,
+      Seq("L", "LL", "LLW").map { st =>
         concat(lit(s"${prefix}_${st}_"),
-          lpad(col("radius").cast("int").cast("string"), 4, "0")),
-        year, col(st))
-    }.reduce(_ unionByName _)
-    val areaLong = Seq("a" -> col("a"), "p" -> col("p")).map { case (st, c) =>
-      longForm(areaWide,
+          lpad(col("radius").cast("int").cast("string"), 4, "0")) -> col(st)
+      })
+    val areaLong = longFormMulti(areaWide, year,
+      Seq("a" -> col("a"), "p" -> col("p")).map { case (st, c) =>
         concat(lit("LS"), col("code").cast("string"), lit("_"),
-          lpad(col("radius").cast("int").cast("string"), 4, "0"), lit(s"_$st")),
-        year, c)
-    }.reduce(_ unionByName _)
+          lpad(col("radius").cast("int").cast("string"), 4, "0"),
+          lit(s"_$st")) -> c
+      })
     append(lineLong).append(areaLong)
   }
 
@@ -96,13 +111,12 @@ final class GeoCalculator private (
   def landuseAreaRatio(features: DataFrame, radii: Seq[Double],
                        year: Option[Int] = None): GeoCalculator = {
     val ar = BufferStats.areaRatio(points, features, radii)
-    val long = Seq("a" -> col("a"), "p" -> col("p")).map { case (st, c) =>
-      longForm(ar,
+    append(longFormMulti(ar, year,
+      Seq("a" -> col("a"), "p" -> col("p")).map { case (st, c) =>
         concat(lit("LS"), col("code").cast("string"), lit("_"),
-          lpad(col("radius").cast("int").cast("string"), 4, "0"), lit(s"_$st")),
-        year, c)
-    }.reduce(_ unionByName _)
-    append(long)
+          lpad(col("radius").cast("int").cast("string"), 4, "0"),
+          lit(s"_$st")) -> c
+      }))
   }
 
   /** EXACT buffer∩polygon areas via the clipped_polygon_area native
@@ -127,11 +141,9 @@ final class GeoCalculator private (
     val stats = radii.flatMap(r => Seq(
       s"above20_${r.toInt}", s"below20_${r.toInt}",
       s"above50_${r.toInt}", s"below50_${r.toInt}"))
-    val long = (stats.map(stc =>
-      longForm(re, lit(s"${prefix}_$stc"), None, col(stc))) :+
-      longForm(re, lit(s"${prefix}_ref"), None, col("ref_elev")))
-      .reduce(_ unionByName _)
-    append(long)
+    append(longFormMulti(re, None,
+      stats.map(stc => (lit(s"${prefix}_$stc"): Column) -> col(stc)) :+
+        ((lit(s"${prefix}_ref"): Column) -> col("ref_elev"))))
   }
 
   /** Output-area intersection ratios, cached long-form under varname
@@ -148,12 +160,10 @@ final class GeoCalculator private (
     * already in the projected CRS, like the reference post-ingest). */
   def coordinates(): GeoCalculator = {
     val inv = points.withColumn("_g", Proj.inverse(col("x"), col("y")))
-    val long = Seq(
+    append(longFormMulti(inv, None, Seq(
       ("TM_X", col("x")), ("TM_Y", col("y")),
       ("WGS_X", col("_g.lon")), ("WGS_Y", col("_g.lat")))
-      .map { case (n, c) => longForm(inv, lit(n), None, c) }
-      .reduce(_ unionByName _)
-    append(long)
+      .map { case (n, c) => (lit(n): Column) -> c }))
   }
 
   /** Long-form result (id, varname, year, value). */
