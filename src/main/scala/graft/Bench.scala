@@ -131,13 +131,16 @@ object Bench {
     // extra samples, never their only one.
     var it = 1
     var lastIter = 0.0
-    def unsampled: Boolean = names.exists(n => samples(n).isEmpty)
+    // a query "has a sample" only when one SUCCEEDED — a watchdog-capped
+    // or failed run should be retried by a later (possibly quieter) pass
+    def good(n: String): Int = samples(n).count(_._1 >= 0)
+    def unsampled: Boolean = names.exists(good(_) == 0)
     while (elapsed < budget &&
-      (it == 1 || unsampled ||
+      (it == 1 || (unsampled && it <= iters + 3) ||
         (it <= iters && elapsed + lastIter * 1.1 < budget))) {
       val t0 = elapsed
       var curtailed = false
-      val order = names.sortBy(n => samples(n).size)
+      val order = names.sortBy(good)
       order.foreach { n =>
         if (elapsed < budget) samples(n) = samples(n) :+ exec(n, it)
         else curtailed = true
