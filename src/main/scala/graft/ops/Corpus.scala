@@ -217,6 +217,55 @@ object Corpus {
     FROM documents d JOIN r ON d.lang = r.rlang
     GROUP BY 1, 2, 3 ORDER BY lang"""
 
+  /** Per-document top-k TF-IDF terms — the classic text-featurization
+    * step (salient-term extraction feeds tagging, clustering and
+    * quality filters). Three aggregations, all map-side combining:
+    * per-(doc, term) counts, per-term document frequency (a
+    * vocabulary-sized table, broadcast back), then a bounded top-k per
+    * doc via sorted-slice aggregation — never a global sort, and the
+    * per-doc state is k structs, not the full term list. Scores are
+    * single IEEE ops off exact integer counts, rounded at 6 dp; ties
+    * break on the term string so both engines pick identical rows. */
+  def textTfidf(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val d = docs(s, dir)
+    val tf = d.select(col("doc_id"), explode(toks).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val total = d.select(count(lit(1)).as("n_docs"))
+    val df_ = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(df_), Seq("w"))
+      .join(broadcast(total))
+      .select(col("doc_id"), col("w"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6)
+          .as("score"))
+    scored.groupBy("doc_id")
+      .agg(slice(array_sort(collect_list(struct(
+          (-col("score")).as("neg"), col("w"), col("score")))), 1, k)
+        .as("top"))
+      .select(col("doc_id"), posexplode(col("top")))
+      .select(col("doc_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.w").as("term"), col("col.score").as("score"))
+      .orderBy("doc_id", "rank")
+  }
+
+  val textTfidfSql: String = """
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+    df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, tf.w AS w,
+             ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS score
+      FROM tf JOIN df ON tf.w = df.w CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, w, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, w) AS rank
+      FROM scored)
+    SELECT doc_id, CAST(rank AS INTEGER) AS rank, w AS term, score
+    FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank"""
+
   /** End-to-end fluent pipeline (graft.api.CorpusPipeline): exact
     * dedup → stratified sample → token-budget pack → shard stats, all
     * fused into one Catalyst plan. The oracle mirrors the chain as
@@ -254,5 +303,6 @@ object Corpus {
     QueryDef("text_entropy", textEntropy, Some(textEntropySql)),
     QueryDef("chunk_windows", (s, d) => chunkWindows(s, d), Some(chunkWindowsSql)),
     QueryDef("corpus_mix", corpusMix, Some(corpusMixSql)),
+    QueryDef("text_tfidf", (s, d) => textTfidf(s, d), Some(textTfidfSql)),
     QueryDef("corpus_pipeline", pipelineE2e, Some(pipelineE2eSql)))
 }
