@@ -99,7 +99,10 @@ object Bench {
           spark.sparkContext.cancelJobGroup(group)
         }
       }
-      watchdog.schedule(cancel, queryCap * 1000)
+      // repeating: cancelJobGroup only kills jobs running at that
+      // instant — a multi-job query (eager checkpoints) whose cancel
+      // lands between jobs would otherwise sail past the cap
+      watchdog.schedule(cancel, queryCap * 1000, 15000)
       val t0 = System.nanoTime()
       val c0 = osBean.getProcessCpuTime
       try {
