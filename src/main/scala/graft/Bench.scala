@@ -119,6 +119,10 @@ object Bench {
         cancel.cancel()
         spark.sparkContext.clearJobGroup()
         spark.catalog.clearCache() // no cross-query cache interference
+        // drop eager localCheckpoint blocks (Tables.hot) — ~95 queries
+        // × iterations of accumulated blocks otherwise grind the JVM
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
       }
     }
 
@@ -138,14 +142,25 @@ object Bench {
     // or failed run should be retried by a later (possibly quieter) pass
     def good(n: String): Int = samples(n).count(_._1 >= 0)
     def unsampled: Boolean = names.exists(good(_) == 0)
-    while (elapsed < budget &&
-      (it == 1 || (unsampled && it <= iters + 3) ||
-        (it <= iters && elapsed + lastIter * 1.1 < budget))) {
+    // Pass 1 is NOT budget-gated: under heavy host steal the round-4 run
+    // burned the whole budget on warmup+startup and emitted zero samples
+    // — an empty bench is strictly worse than an over-budget one (the
+    // per-query watchdog still bounds each query, and an external kill
+    // reaches the shutdown-hook emit with every sample so far).
+    while (it == 1 || (elapsed < budget &&
+      ((unsampled && it <= iters + 3) ||
+        (it <= iters && elapsed + lastIter * 1.1 < budget)))) {
       val t0 = elapsed
       var curtailed = false
-      val order = names.sortBy(good)
+      // retry passes (beyond `iters`) re-run ONLY still-unsampled
+      // queries — re-sampling healthy ones would spend the remaining
+      // budget on queries that already have their number
+      val order = {
+        val o = names.sortBy(good)
+        if (it <= iters) o else o.filter(good(_) == 0)
+      }
       order.foreach { n =>
-        if (elapsed < budget) samples(n) = samples(n) :+ exec(n, it)
+        if (it == 1 || elapsed < budget) samples(n) = samples(n) :+ exec(n, it)
         else curtailed = true
       }
       lastIter = elapsed - t0

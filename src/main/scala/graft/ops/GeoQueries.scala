@@ -181,8 +181,10 @@ object GeoQueries {
         Derive.feats(s, dir).select("x", "y", "elev"), reach = h)
       .filter(abs(col("x") - col("fx")) <= h && abs(col("y") - col("fy")) <= h)
       .groupBy("id")
-      .agg((sum(col("elev")) / count(lit(1))).as("raster_value"),
-        count(lit(1)).as("n_cells"))
+      // count(elev), not count(*): the oracle's COUNT(f.elev) skips
+      // NULL elevations — mirror it so a NULL cell can't diverge us
+      .agg((sum(col("elev")) / count(col("elev"))).as("raster_value"),
+        count(col("elev")).as("n_cells"))
     Derive.points(s, dir).select("id")
       .join(agged, Seq("id"), "left")
       .select(col("id"), col("raster_value"),
