@@ -57,6 +57,13 @@ object Bench {
       else SparkEntry.queries.keys.toSeq.sorted
     val samples =
       scala.collection.mutable.Map(names.map(n => n -> Vector.empty[(Double, Double)]): _*)
+    // the shutdown-hook emit snapshots `samples` while the main loop is
+    // still appending (hooks run CONCURRENTLY with main) — guard every
+    // access or the emergency emit can die on concurrent modification
+    // and the run yields nothing (observed: empty BENCH output)
+    val samplesLock = new Object
+    def record(n: String, v: (Double, Double)): Unit =
+      samplesLock.synchronized { samples(n) = samples(n) :+ v }
     var itersDone = 0
 
     def minOk(xs: Seq[Double]): Double = {
@@ -69,7 +76,7 @@ object Bench {
       * parseable result. Touches no Spark state.
       */
     def emit(): Unit = if (printed.compareAndSet(false, true)) {
-      val snap = samples.toMap
+      val snap = samplesLock.synchronized { samples.toMap }
       def obj(kvs: Seq[(String, String)]): String =
         kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       val wallMin = names.map(n => n -> minOk(snap(n).map(_._1)))
@@ -147,9 +154,10 @@ object Bench {
     // — an empty bench is strictly worse than an over-budget one (the
     // per-query watchdog still bounds each query, and an external kill
     // reaches the shutdown-hook emit with every sample so far).
-    while (it == 1 || (elapsed < budget &&
-      ((unsampled && it <= iters + 3) ||
-        (it <= iters && elapsed + lastIter * 1.1 < budget)))) {
+    while (!spark.sparkContext.isStopped &&
+      (it == 1 || (elapsed < budget &&
+        ((unsampled && it <= iters + 3) ||
+          (it <= iters && elapsed + lastIter * 1.1 < budget))))) {
       val t0 = elapsed
       var curtailed = false
       // retry passes (beyond `iters`) re-run ONLY still-unsampled
@@ -160,7 +168,11 @@ object Bench {
         if (it <= iters) o else o.filter(good(_) == 0)
       }
       order.foreach { n =>
-        if (it == 1 || elapsed < budget) samples(n) = samples(n) :+ exec(n, it)
+        // an externally-initiated JVM shutdown stops the SparkContext
+        // while this loop is still running — every further exec fails
+        // instantly and pollutes samples with -1s; stop cleanly instead
+        if (!spark.sparkContext.isStopped &&
+            (it == 1 || elapsed < budget)) record(n, exec(n, it))
         else curtailed = true
       }
       lastIter = elapsed - t0

@@ -162,10 +162,52 @@ object Events {
     SELECT ngram, COUNT(*) AS n FROM g
     GROUP BY ngram ORDER BY n DESC, ngram LIMIT 25"""
 
+  /** CDC latest-state compaction (MERGE/upsert semantics): collapse a
+    * change stream to one surviving row per key, latest (ts, event_id)
+    * wins. The plan is a SINGLE hash aggregate — max over a
+    * lexicographically-ordered struct — with map-side partial
+    * aggregation, not a window sort: at 100 TB the window formulation
+    * sorts every partition end-to-end while this one combines locally
+    * and shuffles only one struct per key per map task.
+    * Mirrors the compaction step a Delta/Hudi-style MERGE performs
+    * (reference has no CDC surface; this is engine bread-and-butter).
+    */
+  def cdcCompact(s: SparkSession, dir: String): DataFrame = {
+    Tables.loadEventsUs(s, dir)
+      .select(col("user_id"), col("event_type"),
+        struct(col("ts_us"), col("event_id"), col("value")).as("ver"))
+      .groupBy("user_id", "event_type")
+      .agg(max(col("ver")).as("m"), count(lit(1)).as("n_versions"))
+      .select(col("user_id"), col("event_type"),
+        col("m.ts_us").as("latest_ts_us"),
+        col("m.event_id").as("latest_event_id"),
+        round(col("m.value"), 6).as("latest_value"),
+        col("n_versions"))
+      .orderBy("user_id", "event_type")
+  }
+
+  val cdcCompactSql: String = """
+    WITH u AS (
+      SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             event_id, value
+      FROM events),
+    r AS (
+      SELECT *,
+        ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts_us DESC, event_id DESC) AS rn,
+        COUNT(*) OVER (PARTITION BY user_id, event_type) AS n_versions
+      FROM u)
+    SELECT user_id, event_type, ts_us AS latest_ts_us,
+           event_id AS latest_event_id, ROUND(value, 6) AS latest_value,
+           n_versions
+    FROM r WHERE rn = 1
+    ORDER BY user_id, event_type"""
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("q_retention", retention, Some(retentionSql)),
     QueryDef("q_top_ngrams", topNgrams, Some(topNgramsSql)),
     QueryDef("q_sessionize", sessionize, Some(sessionizeSql)),
     QueryDef("q_asof_join", asof, Some(asofSql)),
-    QueryDef("q_tumbling", tumbling, Some(tumblingSql)))
+    QueryDef("q_tumbling", tumbling, Some(tumblingSql)),
+    QueryDef("q_cdc_compact", cdcCompact, Some(cdcCompactSql)))
 }

@@ -366,6 +366,51 @@ object VectorOps {
     SELECT da, db, ROUND(cos, 6) AS cos
     FROM pairs WHERE cos >= $DedupCosT ORDER BY da, db"""
 
+  /** Per-vector symmetric int8 quantization — the storage/bandwidth
+    * path for a 100 TB embedding store (fp32 → int8 is 4× smaller and
+    * SIMD-friendly for downstream distance kernels). scale =
+    * max|x|/127; codes = round-half-up(x/scale) — written as
+    * floor(x/scale + 0.5) in BOTH engines so no rounding-mode
+    * ambiguity can diverge them; all-zero vectors quantize to zero
+    * codes with scale 0. Emits per-vector code statistics plus the max
+    * dequantization error, so the result doubles as a quantization
+    * quality report. Pure map stage: no shuffle, no UDF — array HOFs
+    * the optimizer sees through, embarrassingly parallel at any scale.
+    */
+  def embedQuantize(s: SparkSession, dir: String): DataFrame = {
+    emb(s, dir)
+      .withColumn("scale",
+        expr("aggregate(v, 0D, (a, x) -> greatest(a, abs(x)))") / lit(127.0))
+      .withColumn("codes", expr(
+        """transform(v, x -> CASE WHEN scale = 0D THEN 0L
+          |ELSE CAST(floor(x / scale + 0.5D) AS BIGINT) END)""".stripMargin))
+      .select(col("vec_id"), round(col("scale"), 9).as("scale9"),
+        expr("aggregate(codes, 0L, (a, c) -> a + c)").as("code_sum"),
+        expr("array_min(codes)").as("code_min"),
+        expr("array_max(codes)").as("code_max"),
+        round(expr(
+          """aggregate(zip_with(v, codes, (x, c) -> abs(x - c * scale)),
+            |0D, (a, e) -> greatest(a, e))""".stripMargin), 6).as("max_err6"))
+      .orderBy("vec_id")
+  }
+
+  val embedQuantizeSql: String = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s AS (SELECT vec_id, v,
+            list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+          FROM e),
+    c AS (SELECT vec_id, v, scale,
+            list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+              ELSE CAST(floor(x / scale + 0.5) AS BIGINT) END) AS codes
+          FROM s)
+    SELECT vec_id, ROUND(scale, 9) AS scale9,
+      CAST(list_sum(codes) AS BIGINT) AS code_sum,
+      CAST(list_min(codes) AS BIGINT) AS code_min,
+      CAST(list_max(codes) AS BIGINT) AS code_max,
+      ROUND(list_max(list_transform(generate_series(1, len(v)),
+        i -> abs(v[i] - codes[i] * scale))), 6) AS max_err6
+    FROM c ORDER BY vec_id"""
+
   /** Distributed Lloyd iterations: assign → per-cell per-dimension
     * mean; refines the IVF coarse centroids. Returns (cent_id, cv).
     * Fully shuffle-planned: one broadcast assign pass + one groupBy
@@ -397,5 +442,6 @@ object VectorOps {
     QueryDef("ann_lsh", annLsh, Some(annLshSql)),
     QueryDef("ann_ivf", annIvf, Some(annIvfSql)),
     QueryDef("dedup_embed", dedupEmbed, Some(dedupEmbedSql)),
-    QueryDef("dedup_embed_ivf", dedupEmbedIvf, Some(dedupEmbedIvfSql)))
+    QueryDef("dedup_embed_ivf", dedupEmbedIvf, Some(dedupEmbedIvfSql)),
+    QueryDef("embed_quantize", embedQuantize, Some(embedQuantizeSql)))
 }
