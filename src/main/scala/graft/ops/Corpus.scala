@@ -266,6 +266,91 @@ object Corpus {
     SELECT doc_id, CAST(rank AS INTEGER) AS rank, w AS term, score
     FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank"""
 
+  /** Benchmark decontamination: flag training documents that share
+    * word 5-grams with a benchmark/eval set (here: a deterministic
+    * held-out slice, doc_id % 31 = 0 — the shape of "is the test set
+    * leaking into the training corpus?"). The benchmark side of the
+    * join is a DISTINCT shingle set — benchmarks are small by nature,
+    * so at 100 TB it broadcasts and the corpus side never shuffles:
+    * explode → broadcast-hash semi-match → one aggregation by doc_id.
+    * Emits every corpus document with its overlapping-shingle count
+    * and a contaminated flag (any 5-gram hit; at 5 tokens a chance
+    * collision is ~vocab^-5, so hits mean real overlap). */
+  def textDecontam(s: SparkSession, dir: String, n: Int = 5): DataFrame = {
+    val d = docs(s, dir)
+    val g = Text.grams(n)
+    val bench = d.filter(col("doc_id") % 31 === 0)
+      .select(explode(g).as("g")).distinct()
+    val corpus = d.filter(col("doc_id") % 31 =!= 0)
+    val overlaps = corpus.select(col("doc_id"), explode(g).as("g"))
+      .join(broadcast(bench), Seq("g"))
+      .groupBy("doc_id").agg(countDistinct(col("g")).as("n_overlap"))
+    corpus.select(col("doc_id"))
+      .join(overlaps, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        coalesce(col("n_overlap") > 0, lit(false)).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  val textDecontamSql: String = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 4),
+            i -> array_to_string(w[i:i+4], ' '))) AS g FROM t),
+    b AS (SELECT DISTINCT g FROM g WHERE doc_id % 31 = 0),
+    o AS (SELECT c.doc_id, COUNT(DISTINCT c.g) AS n_overlap
+          FROM g c JOIN b USING (g) WHERE c.doc_id % 31 <> 0 GROUP BY 1)
+    SELECT d.doc_id,
+           COALESCE(o.n_overlap, 0) AS n_overlap,
+           COALESCE(o.n_overlap > 0, false) AS contaminated
+    FROM documents d LEFT JOIN o USING (doc_id)
+    WHERE d.doc_id % 31 <> 0 ORDER BY d.doc_id"""
+
+  /** Per-document repetition signals (the Gopher-style quality
+    * filters: repetitious documents are low-value training data):
+    * distinct-token ratio, fraction of bigram instances that are
+    * repeats (their bigram occurs ≥2× in the doc), and the share of
+    * the single most frequent bigram. Entirely within-row — nested
+    * array higher-order functions, so the whole operator is one map
+    * stage with ZERO shuffle at any scale (the per-doc O(len²)
+    * self-comparison is bounded by document length, not data size). */
+  def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    val g = Text.grams(2)
+    val counts = transform(g, x => size(filter(g, y => y === x)))
+    docs(s, dir).select(
+        col("doc_id"),
+        round(size(array_distinct(toks)).cast("double") / size(toks), 6)
+          .as("distinct_ratio"),
+        when(size(g) > 0,
+          round(size(filter(counts, c => c >= 2)).cast("double") / size(g), 6))
+          .otherwise(0.0).as("dup_gram_frac"),
+        when(size(g) > 0,
+          round(array_max(counts).cast("double") / size(g), 6))
+          .otherwise(0.0).as("top_gram_share"))
+      .orderBy("doc_id")
+  }
+
+  val textRepetitionSql: String = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g AS (SELECT doc_id, w,
+            CASE WHEN len(w) >= 2 THEN
+              list_transform(generate_series(1, len(w) - 1),
+                i -> array_to_string(w[i:i+1], ' '))
+            ELSE [] END AS g
+          FROM t),
+    c AS (SELECT doc_id, w, g,
+            list_transform(g, x -> len(list_filter(g, y -> y = x))) AS cnt
+          FROM g)
+    SELECT doc_id,
+      ROUND(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6) AS distinct_ratio,
+      CASE WHEN len(g) > 0 THEN
+        ROUND(CAST(len(list_filter(cnt, x -> x >= 2)) AS DOUBLE) / len(g), 6)
+      ELSE 0.0 END AS dup_gram_frac,
+      CASE WHEN len(g) > 0 THEN
+        ROUND(CAST(list_max(cnt) AS DOUBLE) / len(g), 6)
+      ELSE 0.0 END AS top_gram_share
+    FROM c ORDER BY doc_id"""
+
   /** End-to-end fluent pipeline (graft.api.CorpusPipeline): exact
     * dedup → stratified sample → token-budget pack → shard stats, all
     * fused into one Catalyst plan. The oracle mirrors the chain as
@@ -304,5 +389,7 @@ object Corpus {
     QueryDef("chunk_windows", (s, d) => chunkWindows(s, d), Some(chunkWindowsSql)),
     QueryDef("corpus_mix", corpusMix, Some(corpusMixSql)),
     QueryDef("text_tfidf", (s, d) => textTfidf(s, d), Some(textTfidfSql)),
+    QueryDef("text_decontam", (s, d) => textDecontam(s, d), Some(textDecontamSql)),
+    QueryDef("text_repetition", textRepetition, Some(textRepetitionSql)),
     QueryDef("corpus_pipeline", pipelineE2e, Some(pipelineE2eSql)))
 }

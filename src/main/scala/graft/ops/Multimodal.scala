@@ -195,6 +195,173 @@ object Multimodal {
            n_half, mean_half
     FROM f ORDER BY doc_id"""
 
+  // ── audio modality ──────────────────────────────────────────────
+  // Same contract as the image path: a REAL container format (RIFF/
+  // WAV, PCM16LE mono) written and parsed byte-for-byte, batch-staged
+  // through typed mapPartitions, with losslessness making the decoded
+  // sample statistics ANSI-SQL-expressible for the oracle.
+
+  final case class AudioRow(doc_id: Long, payload: Array[Byte],
+                            sr: Int, n_samples: Int)
+  final case class AudioFeat(doc_id: Long, sr: Int, n_samples: Int,
+                             peak: Int, rms: Double,
+                             n_frames: Int, frame_rms: Double)
+
+  /** WAV writer/parser — the 44-byte canonical RIFF header plus PCM16LE
+    * payload. Encode and decode are full-fidelity: decode validates the
+    * RIFF/WAVE/fmt/data magics and reads the format fields rather than
+    * assuming them. */
+  object Wav {
+    val SampleRate = 16000
+
+    private def le32(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = v.toByte; b(off + 1) = (v >> 8).toByte
+      b(off + 2) = (v >> 16).toByte; b(off + 3) = (v >> 24).toByte
+    }
+    private def rd32(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+        ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+    private def rd16(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
+
+    def encode(samples: Array[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val b = new Array[Byte](44 + dataLen)
+      "RIFF".getBytes.copyToArray(b, 0); le32(b, 4, 36 + dataLen)
+      "WAVE".getBytes.copyToArray(b, 8)
+      "fmt ".getBytes.copyToArray(b, 12); le32(b, 16, 16)
+      b(20) = 1; b(21) = 0 // PCM
+      b(22) = 1; b(23) = 0 // mono
+      le32(b, 24, SampleRate)
+      le32(b, 28, SampleRate * 2) // byte rate
+      b(32) = 2; b(33) = 0        // block align
+      b(34) = 16; b(35) = 0       // bits per sample
+      "data".getBytes.copyToArray(b, 36); le32(b, 40, dataLen)
+      var i = 0
+      while (i < samples.length) {
+        b(44 + 2 * i) = samples(i).toByte
+        b(45 + 2 * i) = (samples(i) >> 8).toByte
+        i += 1
+      }
+      b
+    }
+
+    /** Parse a WAV payload → (sampleRate, samples). Validates magics
+      * and format; a corrupt container fails loudly, never silently. */
+    def decode(b: Array[Byte]): (Int, Array[Short]) = {
+      def magic(off: Int, s: String): Unit =
+        require(new String(b, off, 4) == s, s"bad WAV: expected $s at $off")
+      magic(0, "RIFF"); magic(8, "WAVE"); magic(12, "fmt "); magic(36, "data")
+      require(rd16(b, 20) == 1 && rd16(b, 22) == 1 && rd16(b, 34) == 16,
+        "bad WAV: not PCM16 mono")
+      val sr = rd32(b, 24)
+      val dataLen = rd32(b, 40)
+      require(44 + dataLen <= b.length, "bad WAV: truncated data chunk")
+      val out = new Array[Short](dataLen / 2)
+      var i = 0
+      while (i < out.length) {
+        out(i) = ((b(44 + 2 * i) & 0xFF) | (b(45 + 2 * i) << 8)).toShort
+        i += 1
+      }
+      (sr, out)
+    }
+  }
+
+  /** Audio table: each document rendered as a real WAV payload whose
+    * samples derive deterministically from the text (sample i =
+    * (code-unit i mod 256 − 128) · 256 — full int16 dynamic range,
+    * lossless, so the oracle can recompute the waveform from the text
+    * in SQL). Typed metadata (sample rate, length) alongside, like a
+    * production pipeline carries container info. */
+  def audioTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.fanout(Tables.load(s, dir, "documents"))
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val n = text.length
+          require(n > 0, "cannot WAV-encode empty text (zero samples)")
+          val samples = new Array[Short](n)
+          var i = 0
+          while (i < n) {
+            samples(i) = (((text.charAt(i).toInt & 0xFF) - 128) * 256).toShort
+            i += 1
+          }
+          AudioRow(id, Wav.encode(samples), Wav.SampleRate, n)
+        }
+      }
+      .toDF()
+  }
+
+  /** Decode + frame-sample + featurize, one batch stage: parse the
+    * container, then emit peak (max |sample|), RMS, and the same stats
+    * over a 4:1 frame-sampled signal (every 4th sample — the
+    * frame-extraction shape for video/audio: decimate, then featurize).
+    * Integer sums of squares are exact in Long (≤ 2^30 per sample);
+    * the single sqrt(double) is correctly rounded in both engines. */
+  def audioPipeline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    audioTable(s, dir).as[AudioRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val (sr, smp) = Wav.decode(r.payload)
+          var peak = 0; var sq = 0L
+          var i = 0
+          while (i < smp.length) {
+            val v = math.abs(smp(i).toInt)
+            if (v > peak) peak = v
+            sq += v.toLong * v
+            i += 1
+          }
+          val nF = (smp.length + 3) / 4
+          var sqF = 0L
+          i = 0
+          while (i < nF) {
+            val v = smp(4 * i).toInt
+            sqF += v.toLong * v
+            i += 1
+          }
+          AudioFeat(r.doc_id, sr, smp.length, peak,
+            math.sqrt(sq.toDouble / smp.length),
+            nF, math.sqrt(sqF.toDouble / nF))
+        }
+      }
+      .toDF()
+      // round in the DataFrame layer: Spark round() ≡ DuckDB ROUND
+      // (the repo's proven HALF_UP pairing), unlike scala math.rint
+      .select(col("doc_id"), col("sr"), col("n_samples"), col("peak"),
+        round(col("rms"), 6).as("rms"), col("n_frames"),
+        round(col("frame_rms"), 6).as("frame_rms"))
+      .orderBy("doc_id")
+  }
+
+  /** WAV is lossless PCM, so decoded sample statistics equal the
+    * text-derived waveform statistics — recomputed here from the text
+    * alone (the oracle never sees the binary, which is the point: it
+    * certifies the container round-trip). */
+  val mmAudioSql: String = """
+    WITH c AS (
+      SELECT doc_id, length(text) AS n,
+        list_transform(string_split_regex(text, ''),
+          ch -> (unicode(ch) % 256 - 128) * 256) AS s
+      FROM documents),
+    f AS (
+      SELECT doc_id, 16000 AS sr, n,
+        list_max(list_transform(s, x -> abs(x))) AS peak,
+        list_sum(list_transform(s, x -> CAST(x AS BIGINT) * x)) AS sq,
+        (n + 3) // 4 AS n_frames,
+        list_sum(list_transform(generate_series(1, (n + 3) // 4),
+          i -> CAST(s[4*i - 3] AS BIGINT) * s[4*i - 3])) AS sq_f
+      FROM c)
+    SELECT doc_id, CAST(sr AS INTEGER) AS sr,
+           CAST(n AS INTEGER) AS n_samples,
+           CAST(peak AS INTEGER) AS peak,
+           ROUND(sqrt(CAST(sq AS DOUBLE) / n), 6) AS rms,
+           CAST(n_frames AS INTEGER) AS n_frames,
+           ROUND(sqrt(CAST(sq_f AS DOUBLE) / n_frames), 6) AS frame_rms
+    FROM f ORDER BY doc_id"""
+
   def all: Seq[QueryDef] = Seq(
-    QueryDef("mm_pipeline", mmPipeline, Some(mmPipelineSql)))
+    QueryDef("mm_pipeline", mmPipeline, Some(mmPipelineSql)),
+    QueryDef("mm_audio", audioPipeline, Some(mmAudioSql)))
 }

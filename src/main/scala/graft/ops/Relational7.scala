@@ -92,7 +92,43 @@ object Relational7 {
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
       AND l_shipdate < TIMESTAMP '1997-04-01'"""
 
+  /** Explicit GROUPING SETS — the third grouping-lattice shape next to
+    * q_rollup and q_cube: user-chosen set list rather than the full
+    * lattice ((nation, priority), (nation), (priority) — but NOT the
+    * grand total, which neither ROLLUP nor CUBE can omit). One
+    * Expand + one hash aggregate; GROUPING() markers disambiguate the
+    * NULL-as-subtotal rows from genuine NULLs. */
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "orders").createOrReplaceTempView("orders_gs")
+    Tables.load(s, dir, "customer").createOrReplaceTempView("customer_gs")
+    Tables.load(s, dir, "nation").createOrReplaceTempView("nation_gs")
+    s.sql("""
+      SELECT n_name, o_orderpriority,
+             CAST(GROUPING(n_name) AS INT) AS g_n,
+             CAST(GROUPING(o_orderpriority) AS INT) AS g_p,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders_gs
+      JOIN customer_gs ON o_custkey = c_custkey
+      JOIN nation_gs ON c_nationkey = n_nationkey
+      GROUP BY GROUPING SETS ((n_name, o_orderpriority), (n_name), (o_orderpriority))
+      ORDER BY g_n, g_p, n_name, o_orderpriority""")
+  }
+
+  val qGroupingSetsSql: String = """
+    SELECT n_name, o_orderpriority,
+           CAST(GROUPING(n_name) AS INTEGER) AS g_n,
+           CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_p,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((n_name, o_orderpriority), (n_name), (o_orderpriority))
+    ORDER BY g_n, g_p, n_name, o_orderpriority"""
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("q12_delay_bands", q12, Some(q12Sql)),
-    QueryDef("q14_promo_share", q14, Some(q14Sql)))
+    QueryDef("q14_promo_share", q14, Some(q14Sql)),
+    QueryDef("q_grouping_sets", qGroupingSets, Some(qGroupingSetsSql)))
 }

@@ -1,0 +1,85 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Invariant specs for the round-5 wave: decontamination, repetition
+  * signals, grouping sets, and the WAV audio modality (exact values
+  * are pinned by the DuckDB oracle gate; these pin the contracts). */
+class DecontamAudioSpec extends SparkSpec {
+
+  test("text_decontam: benchmark docs excluded; flags mean real 5-gram overlap") {
+    val out = Corpus.textDecontam(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getLong(0) % 31 != 0), "benchmark slice never flagged")
+    val flagged = out.filter(_.getBoolean(2))
+    assert(flagged.forall(_.getLong(1) > 0) &&
+      out.filterNot(_.getBoolean(2)).forall(_.getLong(1) == 0L),
+      "contaminated <=> n_overlap > 0")
+    // re-verify one flagged doc by hand: it must share a 5-gram with
+    // some benchmark document
+    flagged.headOption.foreach { r =>
+      val docId = r.getLong(0)
+      def grams(id: Long => Boolean) = graft.Tables
+        .load(spark, sfDir, "documents")
+        .filter(udf(id).apply(col("doc_id")))
+        .select(explode(graft.ops.Text.grams(5)).as("g"))
+        .collect().map(_.getString(0)).toSet
+      val docG = grams(_ == docId)
+      val benchG = grams(_ % 31 == 0)
+      assert(docG.intersect(benchG).size.toLong == r.getLong(1),
+        s"doc $docId overlap count mismatch")
+    }
+  }
+
+  test("text_repetition: signals bounded and consistent") {
+    val rows = Corpus.textRepetition(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (dr, dup, top) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(dr > 0 && dr <= 1, s"distinct_ratio $dr")
+      assert(dup >= 0 && dup <= 1, s"dup_gram_frac $dup")
+      assert(top > 0 && top <= 1, s"top_gram_share $top")
+      // every instance of the most frequent bigram is a repeat when it
+      // occurs >= 2 times, so dup covers at least the top share then
+      if (dup > 0) assert(dup + 1e-9 >= top, s"dup $dup < top $top")
+    }
+  }
+
+  test("q_grouping_sets: exactly the three requested sets, no grand total") {
+    val rows = Relational7.qGroupingSets(spark, sfDir).collect()
+    val markers = rows.map(r => (r.getInt(2), r.getInt(3))).toSet
+    assert(markers == Set((0, 0), (0, 1), (1, 0)),
+      s"marker combos $markers (grand total (1,1) must be absent)")
+    // each subtotal equals the sum of its detail rows
+    val detailN = rows.filter(r => r.getInt(2) == 0 && r.getInt(3) == 0)
+      .map(_.getLong(4)).sum
+    val nSubtotal = rows.filter(r => r.getInt(2) == 0 && r.getInt(3) == 1)
+      .map(_.getLong(4)).sum
+    assert(detailN == nSubtotal, "per-nation subtotals conserve row count")
+  }
+
+  test("WAV codec: bit-exact round trip and loud failure on corruption") {
+    val samples = Array[Short](0, 1, -1, 32767, -32768, 256, -129)
+    val wav = Multimodal.Wav.encode(samples)
+    assert(wav.length == 44 + samples.length * 2)
+    val (sr, back) = Multimodal.Wav.decode(wav)
+    assert(sr == Multimodal.Wav.SampleRate)
+    assert(back.sameElements(samples))
+    val corrupt = wav.clone(); corrupt(8) = 'X'.toByte
+    intercept[IllegalArgumentException](Multimodal.Wav.decode(corrupt))
+  }
+
+  test("mm_audio: decoded stats consistent with text-derived waveform") {
+    val out = Multimodal.audioPipeline(spark, sfDir).limit(50).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, peak, rms, nf, frms) =
+        (r.getInt(2), r.getInt(3), r.getDouble(4), r.getInt(5), r.getDouble(6))
+      assert(peak >= 0 && peak <= 32768)
+      assert(rms >= 0 && rms <= peak + 1e-6, s"rms $rms > peak $peak")
+      assert(frms >= 0 && frms <= peak + 1e-6)
+      assert(nf == (n + 3) / 4, "4:1 frame decimation count")
+    }
+  }
+}
