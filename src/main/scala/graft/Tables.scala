@@ -17,21 +17,37 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Events carry a nanosecond parquet timestamp, which Spark only reads
-    * as INT64 (spark.sql.legacy.parquet.nanosAsLong=true — set in Verify/
-    * Bench/specs). Normalize either representation to an epoch-microsecond
-    * `ts_us` BIGINT so downstream operators are unit-exact cross-engine.
+  /** Normalize a timestamp-ish column to an epoch-microsecond BIGINT,
+    * tolerant of every vintage the driver's generator has shipped:
+    *   - INT64 nanos (TIMESTAMP(NANOS) read with
+    *     spark.sql.legacy.parquet.nanosAsLong=true) → integer-divide,
+    *     NOT a double floor — ns epochs (~1.7e18) exceed double's 2^53
+    *     exact-integer range;
+    *   - TIMESTAMP (with local TZ) → unix_micros directly;
+    *   - TIMESTAMP_NTZ / DATE (current driver output) → cast to
+    *     timestamp first; the session TZ is pinned to UTC, so the cast
+    *     is a unit reinterpretation, not an instant shift.
+    * One helper for every table (events.ts, orders.o_orderdate) so a
+    * future parquet-type drift is a one-line fix here, not a scavenger
+    * hunt across operators.
     */
-  def loadEventsUs(spark: SparkSession, dir: String): DataFrame = {
+  def withMicros(df: DataFrame, srcCol: String, outCol: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.{LongType, TimestampType}
-    val raw = load(spark, dir, "events")
-    raw.schema("ts").dataType match {
-      case LongType      => raw.withColumn("ts_us", expr("ts DIV 1000"))
-      case TimestampType => raw.withColumn("ts_us", unix_micros(col("ts")))
-      case other => throw new IllegalStateException(s"events.ts: $other")
+    import org.apache.spark.sql.types.{DateType, LongType, TimestampNTZType, TimestampType}
+    df.schema(srcCol).dataType match {
+      case LongType         => df.withColumn(outCol, expr(s"$srcCol DIV 1000"))
+      case TimestampType    => df.withColumn(outCol, unix_micros(col(srcCol)))
+      case TimestampNTZType => df.withColumn(outCol, unix_micros(col(srcCol).cast(TimestampType)))
+      case DateType         => df.withColumn(outCol, unix_micros(col(srcCol).cast(TimestampType)))
+      case other => throw new IllegalStateException(
+        s"$srcCol: unsupported timestamp representation $other")
     }
   }
+
+  /** Events with `ts` normalized to an epoch-microsecond `ts_us` BIGINT
+    * so downstream operators are unit-exact cross-engine. */
+  def loadEventsUs(spark: SparkSession, dir: String): DataFrame =
+    withMicros(load(spark, dir, "events"), "ts", "ts_us")
 
   /** Spread a compact input across the cluster BEFORE a fan-out stage
     * (offset explode, shingle explode, multi-plane folds). Scans of

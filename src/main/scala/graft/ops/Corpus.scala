@@ -310,22 +310,49 @@ object Corpus {
     * filters: repetitious documents are low-value training data):
     * distinct-token ratio, fraction of bigram instances that are
     * repeats (their bigram occurs ≥2× in the doc), and the share of
-    * the single most frequent bigram. Entirely within-row — nested
-    * array higher-order functions, so the whole operator is one map
-    * stage with ZERO shuffle at any scale (the per-doc O(len²)
-    * self-comparison is bounded by document length, not data size). */
+    * the single most frequent bigram. Entirely within-row, so the
+    * whole operator is one map stage with ZERO shuffle at any scale —
+    * and linearithmic per document: sort the bigram array once, then a
+    * single `aggregate` fold over the sorted array accumulates run
+    * lengths (equal bigrams are adjacent after the sort), from which
+    * both signals derive. The naive nested-HOF counting
+    * (`transform(g, x => size(filter(g, y => y === x)))`) is O(len²)
+    * interpreted-expression work per document — measured 1052 CPU-s at
+    * sf0.1 vs ~10 CPU-s for this shape. */
   def textRepetition(s: SparkSession, dir: String): DataFrame = {
     val g = Text.grams(2)
-    val counts = transform(g, x => size(filter(g, y => y === x)))
-    docs(s, dir).select(
-        col("doc_id"),
+    // fold state: (prev bigram, current run length, Σ lengths of runs
+    // ≥2 so far, max run so far); finish folds in the trailing run
+    def closeRun(acc: org.apache.spark.sql.Column) =
+      when(acc.getField("run") >= 2, acc.getField("run")).otherwise(0L)
+    val folded = aggregate(
+      array_sort(g),
+      struct(lit("").as("prev"), lit(0L).as("run"),
+        lit(0L).as("dup"), lit(0L).as("mx")),
+      (acc, x) =>
+        when(acc.getField("run") > 0 && acc.getField("prev") === x,
+          struct(x.as("prev"), (acc.getField("run") + 1L).as("run"),
+            acc.getField("dup").as("dup"), acc.getField("mx").as("mx")))
+        .otherwise(
+          struct(x.as("prev"), lit(1L).as("run"),
+            (acc.getField("dup") + closeRun(acc)).as("dup"),
+            greatest(acc.getField("mx"), acc.getField("run")).as("mx"))),
+      acc => struct(
+        (acc.getField("dup") + closeRun(acc)).as("dup"),
+        greatest(acc.getField("mx"), acc.getField("run")).as("mx")))
+    docs(s, dir)
+      .select(col("doc_id"),
         round(size(array_distinct(toks)).cast("double") / size(toks), 6)
           .as("distinct_ratio"),
-        when(size(g) > 0,
-          round(size(filter(counts, c => c >= 2)).cast("double") / size(g), 6))
+        size(g).as("ng"),
+        // materialized once here so the two reads below don't re-fold
+        folded.as("f"))
+      .select(col("doc_id"), col("distinct_ratio"),
+        when(col("ng") > 0,
+          round(col("f.dup").cast("double") / col("ng"), 6))
           .otherwise(0.0).as("dup_gram_frac"),
-        when(size(g) > 0,
-          round(array_max(counts).cast("double") / size(g), 6))
+        when(col("ng") > 0,
+          round(col("f.mx").cast("double") / col("ng"), 6))
           .otherwise(0.0).as("top_gram_share"))
       .orderBy("doc_id")
   }

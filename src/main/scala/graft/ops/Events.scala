@@ -65,13 +65,10 @@ object Events {
   def asof(s: SparkSession, dir: String): DataFrame = {
     val dedupW = Window.partitionBy("o_custkey", "o_orderdate")
       .orderBy(col("o_orderkey").desc)
-    val od = Tables.load(s, dir, "orders")
+    val od = Tables.withMicros(Tables.load(s, dir, "orders"), "o_orderdate", "o_us")
       .withColumn("rn", row_number().over(dedupW))
       .filter(col("rn") === 1)
-      .select(col("o_custkey"),
-        // o_orderdate arrives as TIMESTAMP_NTZ; session TZ is UTC so the
-        // cast is a unit reinterpretation, not an instant shift.
-        unix_micros(col("o_orderdate").cast("timestamp")).as("o_us"),
+      .select(col("o_custkey"), col("o_us"),
         col("o_orderkey"), col("o_totalprice"))
     val e = Tables.loadEventsUs(s, dir)
       .select(col("event_id"), col("user_id"), col("ts_us"))

@@ -17,9 +17,8 @@ object Relational3 {
     * seconds) — the windowed-range idiom AQE can't replan away; one
     * sort per customer partition. */
   def qRangeFrame(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.load(s, dir, "orders")
-      .select(col("o_custkey"), col("o_orderkey"),
-        unix_micros(col("o_orderdate").cast("timestamp")).as("t_us"),
+    val o = Tables.withMicros(Tables.load(s, dir, "orders"), "o_orderdate", "t_us")
+      .select(col("o_custkey"), col("o_orderkey"), col("t_us"),
         col("o_totalprice"))
     val w = Window.partitionBy("o_custkey").orderBy("t_us")
       .rangeBetween(-30L * 86400 * 1000000, 0)

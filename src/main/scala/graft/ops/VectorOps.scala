@@ -30,8 +30,28 @@ object VectorOps {
       .select(col("vec_id"), Vec.asDouble(col("embedding")).as("v"))
   }
 
-  def annCosine(s: SparkSession, dir: String): DataFrame = {
+  /** Exact-baseline guardrail (mirrors dedup_ngram's): brute-force
+    * top-k broadcasts the query set and scans corpus × queries pairs —
+    * right for certifying the LSH/IVF variants at test scale, a
+    * disaster shape at 100 TB. Refuse loudly past the cap. */
+  val AllPairsMaxVecs = 500000L
+
+  private[ops] def guardAllPairs(name: String, e: DataFrame,
+                                 scalePath: String,
+                                 cap: Long = AllPairsMaxVecs): Unit = {
+    val n = e.count()
+    require(n <= cap,
+      s"$name is the small-scale exact baseline ($n vectors > cap " +
+        s"$cap); use $scalePath — same contract, " +
+        "candidate-pruned instead of all-pairs")
+  }
+
+  def annCosine(s: SparkSession, dir: String): DataFrame =
+    annCosineGuarded(s, dir, AllPairsMaxVecs)
+
+  def annCosineGuarded(s: SparkSession, dir: String, cap: Long): DataFrame = {
     val e = emb(s, dir)
+    guardAllPairs("ann_cosine", e, "ann_lsh or ann_ivf", cap)
     val q = e.filter(expr(QueryFilter))
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
@@ -229,8 +249,12 @@ object VectorOps {
   val DedupCosT = 0.45
   val DedupK = 8
 
-  def dedupEmbed(s: SparkSession, dir: String): DataFrame = {
+  def dedupEmbed(s: SparkSession, dir: String): DataFrame =
+    dedupEmbedGuarded(s, dir, AllPairsMaxVecs)
+
+  def dedupEmbedGuarded(s: SparkSession, dir: String, cap: Long): DataFrame = {
     val e = emb(s, dir)
+    guardAllPairs("dedup_embed", e, "dedup_embed_ivf", cap)
     val q = e.select(col("vec_id").as("qid"), col("v").as("qv"))
     // Threshold FIRST, then build the bounded graph: neighbors below
     // DedupCosT can never surface (the graph is thresholded at the

@@ -11,24 +11,25 @@ import org.apache.spark.sql.types._
   * directory stands in for any streaming source (Kafka etc. — the
   * transforms don't change).
   *
-  * The nanosecond parquet timestamp arrives as INT64 under
-  * nanosAsLong; `withTsCols` rebuilds both the µs bigint (exact) and a
-  * TIMESTAMP column (for watermarks/windows).
+  * The events timestamp has shipped as INT64 nanos, TIMESTAMP, and
+  * TIMESTAMP_NTZ across test-data vintages; `readEvents` takes the
+  * streaming schema from a one-footer batch read of the same file and
+  * normalizes through `Tables.withMicros`, yielding both the µs bigint
+  * (exact) and a TIMESTAMP column (for watermarks/windows).
   */
 object EventStream {
 
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
-  def readEvents(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(eventsSchema)
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    // readStream needs an explicit schema; derive it from the actual
+    // file footer so parquet-type drift can't desync batch vs stream
+    val eventsSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream.schema(eventsSchema)
       // file-stream source wants a directory; select just the events file
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts_us", expr("ts DIV 1000"))
+    graft.Tables.withMicros(raw, "ts", "ts_us")
       .withColumn("event_ts", timestamp_micros(col("ts_us")))
+  }
 
   /** Tumbling 1-hour windowed aggregation — streaming twin of
     * Events.tumbling. Watermark bounds state; Complete mode in specs. */
@@ -54,10 +55,10 @@ object EventStream {
       .partitionBy("o_custkey", "o_orderdate").orderBy(col("o_orderkey").desc)
     val nextW = org.apache.spark.sql.expressions.Window
       .partitionBy("o_custkey").orderBy("o_us")
-    val orders = graft.Tables.load(spark, dir, "orders")
+    val orders = graft.Tables
+      .withMicros(graft.Tables.load(spark, dir, "orders"), "o_orderdate", "o_us")
       .withColumn("rn", row_number().over(dedupW)).filter(col("rn") === 1)
-      .select(col("o_custkey"),
-        unix_micros(col("o_orderdate").cast("timestamp")).as("o_us"),
+      .select(col("o_custkey"), col("o_us"),
         col("o_orderkey"), col("o_totalprice"))
       .withColumn("valid_to",
         coalesce(lead(col("o_us"), 1).over(nextW), lit(Long.MaxValue)))

@@ -74,14 +74,23 @@ class PlanAuditSpec extends SparkSpec {
     // build-time driver rounds (documented in each operator):
     val skip = Set("dedup_cluster", "dedup_ngram", "geo_pivot",
       "geo_pipeline_wide", "geo_pipeline_long", "mm_pipeline")
+    // a query whose plan won't BUILD is its own named failure — it must
+    // not abort the sweep and shadow the audit of the other ~95 plans
+    // (round 5: the events loader threw on the first events query and
+    // the remaining queries were never audited)
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(skip)
       .flatMap { q =>
-        val cart = collectAll(initialPlan(q))
-          .collect { case c: CartesianProductExec => c }
-        if (cart.nonEmpty) Some(q) else None
+        scala.util.Try(collectAll(initialPlan(q))
+            .collect { case c: CartesianProductExec => c }) match {
+          case scala.util.Success(cart) =>
+            if (cart.nonEmpty) Some(s"$q: cartesian product") else None
+          case scala.util.Failure(e) =>
+            Some(s"$q: plan failed to build (${e.getClass.getSimpleName}: " +
+              s"${String.valueOf(e.getMessage).take(100)})")
+        }
       }
     assert(offenders.isEmpty,
-      s"cartesian products in: ${offenders.mkString(", ")}")
+      s"plan audit offenders:\n  ${offenders.mkString("\n  ")}")
   }
 }

@@ -46,6 +46,26 @@ class DecontamAudioSpec extends SparkSpec {
     }
   }
 
+  test("text_repetition: run-length fold equals naive quadratic counting") {
+    // the shipped operator folds run lengths over a sorted bigram
+    // array (O(n log n) per doc); pin it against the direct O(n²)
+    // per-instance count, affordable at sf0.001
+    val g = Text.grams(2)
+    val counts = transform(g, x => size(filter(g, y => y === x)))
+    val naive = graft.Tables.load(spark, sfDir, "documents").select(
+      col("doc_id"),
+      when(size(g) > 0,
+        round(size(filter(counts, c => c >= 2)).cast("double") / size(g), 6))
+        .otherwise(0.0).as("dup_gram_frac"),
+      when(size(g) > 0,
+        round(array_max(counts).cast("double") / size(g), 6))
+        .otherwise(0.0).as("top_gram_share"))
+    val fast = Corpus.textRepetition(spark, sfDir)
+      .select("doc_id", "dup_gram_frac", "top_gram_share")
+    assert(fast.except(naive).isEmpty && naive.except(fast).isEmpty,
+      "fold and naive repetition signals diverge")
+  }
+
   test("q_grouping_sets: exactly the three requested sets, no grand total") {
     val rows = Relational7.qGroupingSets(spark, sfDir).collect()
     val markers = rows.map(r => (r.getInt(2), r.getInt(3))).toSet

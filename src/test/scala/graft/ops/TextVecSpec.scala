@@ -121,6 +121,18 @@ class TextVecSpec extends SparkSpec {
     assert(e.getMessage.contains("dedup_minhash"))
   }
 
+  test("all-pairs vector baselines refuse oversized corpora, pointing at scale paths") {
+    val e1 = intercept[IllegalArgumentException] {
+      VectorOps.annCosineGuarded(spark, sfDir, cap = 3)
+    }
+    assert(e1.getMessage.contains("ann_lsh") ||
+      e1.getMessage.contains("ann_ivf"))
+    val e2 = intercept[IllegalArgumentException] {
+      VectorOps.dedupEmbedGuarded(spark, sfDir, cap = 3)
+    }
+    assert(e2.getMessage.contains("dedup_embed_ivf"))
+  }
+
   test("multimodal pipeline: PNG encode→decode round-trips pixel stats") {
     val out = Multimodal.decodeAll(spark, sfDir)
     assert(out.columns.toSeq ==
