@@ -1,0 +1,120 @@
+package graft.geo
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** WKT ingest/egress for the planar model — the engine-native
+  * replacement for the reference's WKT-based geometry registration
+  * (duckpipe/core.py:138-152 stores geometries as ST_AsText WKT and
+  * reprojects with ST_Transform on ingest; the landuse/OA feature
+  * tables arrive as polygon WKT).
+  *
+  * Everything is pure column machinery — regexp validation, split,
+  * array HOFs, the Proj column series for reprojection — so parsing
+  * runs codegen'd and fully distributed with no UDF boundary.
+  * Malformed input fails LOUDLY with the offending string (an ingest
+  * that silently drops or nulls bad geometries poisons every
+  * downstream join at 100 TB).
+  *
+  * Scope mirrors the engine's planar model: POINT and single-ring
+  * POLYGON (the vertex-array form every polygon operator consumes).
+  * Interior rings (holes) are rejected loudly, not ignored.
+  */
+object Wkt {
+
+  private val Num = "[-+]?(?:[0-9]+)(?:\\.[0-9]+)?(?:[eE][-+]?[0-9]+)?"
+  private val PointRe = s"^\\s*POINT\\s*\\(\\s*($Num)\\s+($Num)\\s*\\)\\s*$$"
+  // exterior ring only; a second "(" after the ring means holes
+  private val PolyRe =
+    s"^\\s*POLYGON\\s*\\(\\s*\\(\\s*($Num\\s+$Num(?:\\s*,\\s*$Num\\s+$Num)*)\\s*\\)\\s*\\)\\s*$$"
+
+  private def fail(kind: String, wkt: Column): Column =
+    raise_error(concat(lit(s"malformed WKT $kind: "),
+      coalesce(wkt, lit("NULL"))))
+
+  /** `POINT (x y)` → struct(x, y) doubles; anything else throws. */
+  def parsePoint(wkt: Column): Column =
+    when(wkt.rlike(PointRe), struct(
+      regexp_extract(wkt, PointRe, 1).cast("double").as("x"),
+      regexp_extract(wkt, PointRe, 2).cast("double").as("y")))
+    .otherwise(fail("POINT", wkt))
+
+  /** `POLYGON ((x y, …, x y))` → struct(xs, ys) OPEN vertex arrays
+    * (the closing vertex WKT mandates is validated then dropped —
+    * the engine's polygon operators close rings implicitly, matching
+    * `Derive.triangles`). Holes and unclosed rings throw. */
+  def parsePolygon(wkt: Column): Column = {
+    val ring = regexp_extract(wkt, PolyRe, 1)
+    val pts = transform(split(ring, ","),
+      p => split(trim(p), "\\s+"))
+    val xs = transform(pts, p => element_at(p, 1).cast("double"))
+    val ys = transform(pts, p => element_at(p, 2).cast("double"))
+    val closed = element_at(xs, 1) === element_at(xs, -1) &&
+      element_at(ys, 1) === element_at(ys, -1)
+    when(wkt.rlike(PolyRe) && size(pts) >= 4,
+      when(closed, struct(
+        slice(xs, lit(1), size(xs) - 1).as("xs"),
+        slice(ys, lit(1), size(ys) - 1).as("ys")))
+      .otherwise(fail("POLYGON (ring not closed)", wkt)))
+    .otherwise(fail(
+      "POLYGON (single exterior ring, >= 4 points incl. closing vertex)", wkt))
+  }
+
+  /** Reproject a parsed struct(x, y) from `epsg` into the reference
+    * CRS (EPSG:5179), the ingest-time ST_Transform of the reference:
+    * 4326 runs the forward TM series directly; projected TM/UTM codes
+    * pivot through geographic (`Proj.transform`); 5179 is identity. */
+  private def toRef(xy: Column, epsg: Int): Column = epsg match {
+    case 5179 => xy
+    case 4326 => Proj.forward(xy.getField("x"), xy.getField("y"))
+    case other => Proj.transform(
+      xy.getField("x"), xy.getField("y"), Proj.epsg(other), Proj.Epsg5179)
+  }
+
+  /** Ingest a POINT WKT column: adds planar `x`, `y` (reference CRS)
+    * next to the existing columns — `GeoCalculator.fromXY`'s contract,
+    * fed from WKT like duckpipe/core.py:138-152. */
+  def points(df: DataFrame, wktCol: String, epsg: Int = 5179): DataFrame = {
+    val p = toRef(parsePoint(col(wktCol)), epsg)
+    // two-step projection: parse once, read twice
+    df.withColumn("_pt", p)
+      .withColumn("x", col("_pt.x"))
+      .withColumn("y", col("_pt.y"))
+      .drop("_pt")
+  }
+
+  /** Ingest a POLYGON WKT column: adds open vertex arrays `xs`, `ys`
+    * (reference CRS) — the shape `PointInPolygon`/`Polygons` consume. */
+  def polygons(df: DataFrame, wktCol: String, epsg: Int = 5179): DataFrame = {
+    val ring = parsePolygon(col(wktCol))
+    val proj = epsg match {
+      case 5179 => ring
+      case _ =>
+        // reproject vertex-wise with the same column series; zip_with
+        // pairs xs/ys so each vertex projects exactly once
+        val prj = zip_with(ring.getField("xs"), ring.getField("ys"),
+          (vx, vy) => toRef(struct(vx.as("x"), vy.as("y")), epsg))
+        struct(transform(prj, v => v.getField("x")).as("xs"),
+          transform(prj, v => v.getField("y")).as("ys"))
+    }
+    df.withColumn("_ring", proj)
+      .withColumn("xs", col("_ring.xs"))
+      .withColumn("ys", col("_ring.ys"))
+      .drop("_ring")
+  }
+
+  /** struct-free egress: (x, y) → `POINT (x y)` (shortest round-trip
+    * double formatting — parse(format(v)) is bit-exact). */
+  def toWktPoint(x: Column, y: Column): Column =
+    concat(lit("POINT ("), x.cast("string"), lit(" "),
+      y.cast("string"), lit(")"))
+
+  /** Open vertex arrays → `POLYGON ((…))` with the ring closed
+    * textually, inverse of `parsePolygon`. */
+  def toWktPolygon(xs: Column, ys: Column): Column = {
+    val verts = zip_with(xs, ys,
+      (vx, vy) => concat(vx.cast("string"), lit(" "), vy.cast("string")))
+    concat(lit("POLYGON (("), concat_ws(", ", verts), lit(", "),
+      element_at(verts, 1), lit("))"))
+  }
+}

@@ -388,18 +388,48 @@ object GeoQueries {
     * point-on-surface containment check (native ray-cast). Every value
     * is deterministic column arithmetic mirrored operation-for-
     * operation in the oracle — hash-exact without rounding. */
-  def polyCentroid(s: SparkSession, dir: String): DataFrame = {
+  private def centroidOf(s: SparkSession, tris: DataFrame): DataFrame = {
     graft.GraftFunctions.register(s)
     // degenerate (collinear) rings have no centroid — drop them before
     // the shoelace division (ANSI mode would throw on /0)
-    val tris = Derive.triangles(s, dir)
-      .filter(Polygons.signedArea2(col("xs"), col("ys"), 3) =!= 0.0)
-    Polygons.pointOnSurface(tris, "xs", "ys", n = 3)
+    val nd = tris.filter(Polygons.signedArea2(col("xs"), col("ys"), 3) =!= 0.0)
+    Polygons.pointOnSurface(nd, "xs", "ys", n = 3)
       .withColumn("c", Polygons.centroid(col("xs"), col("ys"), 3))
       .select(col("poly_id"), col("c.cx").as("cx"), col("c.cy").as("cy"),
         col("_in").as("inside"), col("pos_x"), col("pos_y"))
       .orderBy("poly_id")
   }
+
+  def polyCentroid(s: SparkSession, dir: String): DataFrame =
+    centroidOf(s, Derive.triangles(s, dir))
+
+  // ---- WKT ingest (duckpipe/core.py:138-152 geometry registration) ---
+  /** Polygon WKT ingest certified end-to-end: serialize the triangle
+    * table to `POLYGON ((…))` text, re-ingest through `Wkt.polygons`,
+    * and run the centroid/point-on-surface pipeline on the PARSED
+    * vertex arrays — against the unchanged geo_poly_centroid oracle.
+    * WKT double formatting is shortest-round-trip, so parse∘format is
+    * bit-exact and any parser defect breaks the hash. */
+  def wktPolyCentroid(s: SparkSession, dir: String): DataFrame = {
+    val asWkt = Derive.triangles(s, dir).select(col("poly_id"),
+      graft.geo.Wkt.toWktPolygon(col("xs"), col("ys")).as("wkt"))
+    centroidOf(s, graft.geo.Wkt.polygons(asWkt, "wkt"))
+  }
+
+  /** Point WKT ingest: serialize the point table to `POINT (x y)`,
+    * re-ingest, emit the parsed planar coordinates — oracle is the
+    * plain point derivation (round-trip must be identity). */
+  def wktPoints(s: SparkSession, dir: String): DataFrame = {
+    val asWkt = Derive.points(s, dir).select(col("id"),
+      graft.geo.Wkt.toWktPoint(col("x"), col("y")).as("wkt"))
+    graft.geo.Wkt.points(asWkt, "wkt")
+      .select(col("id"), col("x"), col("y"))
+      .orderBy("id")
+  }
+
+  val wktPointsSql: String = s"""
+    WITH $pts
+    SELECT id, x, y FROM pts ORDER BY id"""
 
   /** Shoelace + ray-cast mirror; term order identical to
     * Polygons.centroid / PolyMath.contains. */
@@ -660,5 +690,7 @@ object GeoQueries {
     QueryDef("geo_area_clip", areaClip, Some(areaClipSql)),
     QueryDef("geo_pipeline_wide", pipelineWide, Some(pipelineWideSql)),
     QueryDef("geo_pipeline_long", pipelineLong, Some(pipelineLongSql)),
-    QueryDef("geo_coordinate", coordinate, Some(coordinateSql)))
+    QueryDef("geo_coordinate", coordinate, Some(coordinateSql)),
+    QueryDef("geo_wkt_points", wktPoints, Some(wktPointsSql)),
+    QueryDef("geo_wkt_poly", wktPolyCentroid, Some(polyCentroidSql)))
 }

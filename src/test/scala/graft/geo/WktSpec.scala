@@ -1,0 +1,84 @@
+package graft.geo
+
+import graft.SparkSpec
+import org.apache.spark.SparkException
+import org.apache.spark.sql.functions._
+
+/** WKT ingest contract: bit-exact round-trips into the planar model,
+  * reference-CRS reprojection on ingest (duckpipe/core.py:138-152),
+  * and LOUD failure on malformed geometry (silent nulls would poison
+  * every downstream geo join).
+  */
+class WktSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("POINT round-trip is bit-exact") {
+    val src = graft.geo.Derive.points(spark, sfDir)
+    val back = Wkt.points(
+      src.select(col("id"), Wkt.toWktPoint(col("x"), col("y")).as("wkt")),
+      "wkt").select("id", "x", "y")
+    assert(back.except(src).isEmpty && src.except(back).isEmpty)
+  }
+
+  test("POLYGON round-trip preserves open vertex arrays") {
+    val src = graft.geo.Derive.triangles(spark, sfDir)
+    val back = Wkt.polygons(
+      src.select(col("poly_id"),
+        Wkt.toWktPolygon(col("xs"), col("ys")).as("wkt")),
+      "wkt").select("poly_id", "xs", "ys")
+    assert(back.except(src).isEmpty && src.except(back).isEmpty)
+  }
+
+  test("EPSG:4326 POINT ingest equals the direct forward projection") {
+    val w = graft.geo.Derive.wgsPoints(spark, sfDir)
+    val viaWkt = Wkt.points(
+      w.select(col("id"), Wkt.toWktPoint(col("lon"), col("lat")).as("wkt")),
+      "wkt", epsg = 4326).select("id", "x", "y")
+    val direct = w.select(col("id"),
+        Proj.forward(col("lon"), col("lat")).as("p"))
+      .select(col("id"), col("p.x").as("x"), col("p.y").as("y"))
+    assert(viaWkt.except(direct).isEmpty && direct.except(viaWkt).isEmpty)
+  }
+
+  test("projected-CRS POLYGON ingest reprojects every vertex") {
+    // a triangle authored in EPSG:5186 (central belt) must land on the
+    // same 5179 coordinates as transforming its vertices directly
+    val tri = Seq((1L, "POLYGON ((200000 600000, 200100 600000, 200000 600100, 200000 600000))"))
+      .toDF("poly_id", "wkt")
+    val got = Wkt.polygons(tri, "wkt", epsg = 5186)
+      .select(explode(arrays_zip(col("xs"), col("ys"))).as("v"))
+      .select(col("v.xs").as("x"), col("v.ys").as("y"))
+    val want = Seq((200000.0, 600000.0), (200100.0, 600000.0),
+        (200000.0, 600100.0)).toDF("px", "py")
+      .select(Proj.transform(col("px"), col("py"),
+        Proj.epsg(5186), Proj.Epsg5179).as("t"))
+      .select(col("t.x").as("x"), col("t.y").as("y"))
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
+  test("malformed WKT fails loudly with the offending text") {
+    def boom(wkt: String, parse: org.apache.spark.sql.Column): String = {
+      val e = intercept[Exception] {
+        Seq(wkt).toDF("wkt").select(parse).collect()
+      }
+      // unwrap SparkException chains to the raise_error message
+      Iterator.iterate(e.asInstanceOf[Throwable])(_.getCause)
+        .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    }
+    assert(boom("POINT (1 2 3)", Wkt.parsePoint(col("wkt")))
+      .contains("malformed WKT POINT"))
+    assert(boom("LINESTRING (0 0, 1 1)", Wkt.parsePoint(col("wkt")))
+      .contains("malformed WKT POINT"))
+    // unclosed ring (4 points so the size guard passes first)
+    assert(boom("POLYGON ((0 0, 1 0, 1 1, 0 1))", Wkt.parsePolygon(col("wkt")))
+      .contains("ring not closed"))
+    // 3 points can never close a ring — caught by the size guard
+    assert(boom("POLYGON ((0 0, 1 0, 0 1))", Wkt.parsePolygon(col("wkt")))
+      .contains("malformed WKT POLYGON"))
+    // interior ring (hole) — unsupported, must not be silently dropped
+    assert(boom("POLYGON ((0 0, 4 0, 0 4, 0 0), (1 1, 2 1, 1 2, 1 1))",
+      Wkt.parsePolygon(col("wkt"))).contains("malformed WKT POLYGON"))
+    assert(boom("POLYGON ((0 0, 1 junk, 0 0))", Wkt.parsePolygon(col("wkt")))
+      .contains("malformed WKT POLYGON"))
+  }
+}
