@@ -201,6 +201,59 @@ object GeoQueries {
       ON abs(p.x - f.x) <= 300.0 AND abs(p.y - f.y) <= 300.0
     GROUP BY p.id ORDER BY p.id"""
 
+  // ---- zonal raster statistics (NDVI Statistics checklist row) -------
+  /** The reference checklist's "NDVI Statistics" row
+    * (checklist.md:23): zonal min/max/mean/stddev of raster cells
+    * within each point's buffer — the stats beyond the point-cell mean
+    * `geo_raster_value` covers. Same one-grid-join candidate set as the
+    * circular buffer family. Stddev derives from (n, Σz, Σz²): the
+    * cell values are integer-valued doubles, so the sums are exact
+    * (associative below 2^53) and the final doubles are IEEE-identical
+    * cross-engine — the hash gate holds without rounding. The
+    * `greatest(0, ·)` clamp kills the −ε a zero-variance group can
+    * produce in floating point; both engines clamp identically. */
+  def rasterZonal(s: SparkSession, dir: String): DataFrame = {
+    val r = 500.0
+    val agged = BufferStats.neighborJoin(
+        Derive.points(s, dir),
+        Derive.feats(s, dir).select("x", "y", "elev"), reach = r)
+      .filter(col("_d2") < r * r)
+      .groupBy("id")
+      .agg(count(col("elev")).as("n_cells"),
+        min(col("elev")).as("z_min"),
+        max(col("elev")).as("z_max"),
+        sum(col("elev")).as("zs"),
+        sum(col("elev") * col("elev")).as("zss"))
+    Derive.points(s, dir).select("id")
+      .join(agged, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_cells"), lit(0L)).as("n_cells"),
+        col("z_min"), col("z_max"),
+        (col("zs") / col("n_cells")).as("z_mean"),
+        when(col("n_cells") > 1,
+          sqrt(greatest(lit(0.0),
+            (col("zss") - col("zs") * col("zs") / col("n_cells"))
+              / (col("n_cells") - 1)))).as("z_std"))
+      .orderBy("id")
+  }
+
+  val rasterZonalSql: String = s"""
+    WITH $pts, $f,
+    cj AS (
+      SELECT p.id, f.elev FROM pts p JOIN f ON ${d2("p", "f")} < 250000.0),
+    agg AS (
+      SELECT id, COUNT(elev) AS n_cells, MIN(elev) AS z_min,
+             MAX(elev) AS z_max, SUM(elev) AS zs, SUM(elev * elev) AS zss
+      FROM cj GROUP BY id)
+    SELECT p.id, COALESCE(a.n_cells, 0) AS n_cells, a.z_min, a.z_max,
+      a.zs / a.n_cells AS z_mean,
+      CASE WHEN a.n_cells > 1 THEN
+        sqrt(GREATEST(0.0, (a.zss - a.zs * a.zs / a.n_cells)
+                             / (a.n_cells - 1)))
+      END AS z_std
+    FROM pts p LEFT JOIN agg a ON p.id = a.id
+    ORDER BY p.id"""
+
   // ---- Z-order key (chunking replacement) ----------------------------
   def zorder(s: SparkSession, dir: String): DataFrame = {
     val c = graft.Tables.load(s, dir, "customer")
@@ -691,6 +744,7 @@ object GeoQueries {
     QueryDef("geo_pipeline_wide", pipelineWide, Some(pipelineWideSql)),
     QueryDef("geo_pipeline_long", pipelineLong, Some(pipelineLongSql)),
     QueryDef("geo_coordinate", coordinate, Some(coordinateSql)),
+    QueryDef("geo_raster_zonal", rasterZonal, Some(rasterZonalSql)),
     QueryDef("geo_wkt_points", wktPoints, Some(wktPointsSql)),
     QueryDef("geo_wkt_poly", wktPolyCentroid, Some(polyCentroidSql)))
 }
