@@ -466,7 +466,9 @@ object GeoQueries {
   def wktPolyCentroid(s: SparkSession, dir: String): DataFrame = {
     val asWkt = Derive.triangles(s, dir).select(col("poly_id"),
       graft.geo.Wkt.toWktPolygon(col("xs"), col("ys")).as("wkt"))
-    centroidOf(s, graft.geo.Wkt.polygons(asWkt, "wkt"))
+    // spread before the parse: the regex validation is the expensive
+    // stage and the compact source arrives as one scan partition
+    centroidOf(s, graft.geo.Wkt.polygons(graft.Tables.fanout(asWkt), "wkt"))
   }
 
   /** Point WKT ingest: serialize the point table to `POINT (x y)`,
