@@ -378,6 +378,72 @@ object Corpus {
       ELSE 0.0 END AS top_gram_share
     FROM c ORDER BY doc_id"""
 
+  /** Fixed-SIZE deterministic per-stratum sample — k docs per source,
+    * the fixed-count companion to sample_stratified's fixed-fraction
+    * hash sampling. Selection ranks docs inside each source by a
+    * salted content hash (rerunnable: hash-derived, no RNG state) and
+    * keeps the k smallest. Two-level tournament so no stratum is ever
+    * sorted whole: per-(source, 64-way hash bucket) top-k windows run
+    * over partitions 64× smaller than the stratum, then a second
+    * window picks the global k from the ≤ 64·k survivors — the same
+    * rows a single global ranking would pick (every bucket keeps k, so
+    * no global winner can be eliminated early), which is exactly what
+    * the oracle's one-window QUALIFY computes. */
+  def sampleReservoir(s: SparkSession, dir: String,
+                      k: Int = 20): DataFrame = {
+    val ranked = docs(s, dir)
+      .select(col("source"), col("doc_id"),
+        md5(concat(lit("rsv1:"), col("doc_id").cast("string"))).as("hk"),
+        pmod(xxhash64(col("doc_id")), lit(64)).as("bkt"))
+    val w1 = Window.partitionBy("source", "bkt").orderBy("hk", "doc_id")
+    val w2 = Window.partitionBy("source").orderBy("hk", "doc_id")
+    ranked
+      .withColumn("r1", row_number().over(w1)).filter(col("r1") <= k)
+      .withColumn("r2", row_number().over(w2)).filter(col("r2") <= k)
+      .select(col("source"), col("doc_id"), col("hk"))
+      .orderBy("source", "doc_id")
+  }
+
+  val sampleReservoirSql: String = """
+    SELECT source, doc_id, md5('rsv1:' || CAST(doc_id AS VARCHAR)) AS hk
+    FROM documents
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY source
+      ORDER BY md5('rsv1:' || CAST(doc_id AS VARCHAR)), doc_id) <= 20
+    ORDER BY source, doc_id"""
+
+  /** Deterministic train/val/test assignment — the split step every
+    * training corpus needs, rerunnable at any cluster size: the split
+    * derives from a salted md5 of the doc id (hex-prefix bands ≈
+    * 5.1% val / 5.1% test / 89.8% train), never from RNG state, so a
+    * document lands in the same split on every run and any engine.
+    * Emits per-(source, split) doc counts and token sums — one
+    * map-side-combinable aggregation, one shuffle. */
+  def textHashSplit(s: SparkSession, dir: String): DataFrame = {
+    val h2 = substring(md5(concat(lit("split1:"),
+      col("doc_id").cast("string"))), 1, 2)
+    docs(s, dir)
+      .select(col("source"),
+        when(h2 < "0d", "val").when(h2 < "1a", "test")
+          .otherwise("train").as("split"),
+        size(toks).cast("long").as("n_tok"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tok_sum"))
+      .orderBy("source", "split")
+  }
+
+  val textHashSplitSql: String = """
+    WITH t AS (
+      SELECT source,
+        CASE WHEN substring(md5('split1:' || CAST(doc_id AS VARCHAR)), 1, 2) < '0d'
+               THEN 'val'
+             WHEN substring(md5('split1:' || CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+               THEN 'test'
+             ELSE 'train' END AS split,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents)
+    SELECT source, split, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tok_sum
+    FROM t GROUP BY 1, 2 ORDER BY source, split"""
+
   /** End-to-end fluent pipeline (graft.api.CorpusPipeline): exact
     * dedup → stratified sample → token-budget pack → shard stats, all
     * fused into one Catalyst plan. The oracle mirrors the chain as
@@ -411,6 +477,9 @@ object Corpus {
   def all: Seq[QueryDef] = Seq(
     QueryDef("pack_shards", (s, d) => packShards(s, d), Some(packShardsSql)),
     QueryDef("sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
+    QueryDef("sample_reservoir", (s, d) => sampleReservoir(s, d),
+      Some(sampleReservoirSql)),
+    QueryDef("text_hash_split", textHashSplit, Some(textHashSplitSql)),
     QueryDef("text_scrub", textScrub, Some(textScrubSql)),
     QueryDef("text_entropy", textEntropy, Some(textEntropySql)),
     QueryDef("chunk_windows", (s, d) => chunkWindows(s, d), Some(chunkWindowsSql)),

@@ -3,6 +3,7 @@ package graft.ops
 import graft.{QueryDef, Tables}
 import graft.QueryDef.dsum
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Seventh relational wave — the last two TPC-H plan shapes missing
@@ -127,8 +128,33 @@ object Relational7 {
     GROUP BY GROUPING SETS ((n_name, o_orderpriority), (n_name), (o_orderpriority))
     ORDER BY g_n, g_p, n_name, o_orderpriority"""
 
+  /** percent_rank + cume_dist per order priority — the rank-family
+    * windows q_ntile/q_nth_value don't cover. Fully tie-broken order
+    * (totalprice, orderkey) makes both fractions deterministic exact
+    * divisions of identical integers — hash-exact cross-engine. One
+    * sort per priority partition, no global window. */
+  def qPercentRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.load(s, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
+
+  val qPercentRankSql: String = """
+    SELECT o_orderpriority, o_orderkey,
+           PERCENT_RANK() OVER (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice, o_orderkey) AS pr,
+           CUME_DIST() OVER (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice, o_orderkey) AS cd
+    FROM orders
+    ORDER BY o_orderpriority, o_orderkey"""
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("q12_delay_bands", q12, Some(q12Sql)),
+    QueryDef("q_percent_rank", qPercentRank, Some(qPercentRankSql)),
     QueryDef("q14_promo_share", q14, Some(q14Sql)),
     QueryDef("q_grouping_sets", qGroupingSets, Some(qGroupingSetsSql)))
 }

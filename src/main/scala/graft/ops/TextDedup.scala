@@ -76,6 +76,32 @@ object TextDedup {
     SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n
     FROM documents GROUP BY 1 ORDER BY h"""
 
+  // ---- quality-aware canonical selection -----------------------------
+  /** Exact dedup with a QUALITY policy: among byte-identical texts keep
+    * the doc with the most characters (tie → lowest doc_id) — the
+    * production "keep the best copy" rule, vs dedup_exact's keep-first.
+    * The argmax is a single commutative max over (n_chars, −doc_id)
+    * structs — map-side combinable, one shuffle, no window sort; the
+    * oracle replays it as a ROW_NUMBER window with the same total
+    * order. */
+  def dedupKeepBest(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(max(struct(col("n_chars").as("nc"), (-col("doc_id")).as("nid")))
+        .as("b"), count(lit(1)).as("n"))
+      .select(col("h"), (-col("b.nid")).as("keep_id"),
+        col("b.nc").as("n_chars"), col("n"))
+      .orderBy("h")
+
+  val dedupKeepBestSql: String = """
+    SELECT h, doc_id AS keep_id, n_chars, n FROM (
+      SELECT md5(text) AS h, doc_id, n_chars,
+             COUNT(*) OVER (PARTITION BY md5(text)) AS n,
+             ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents)
+    WHERE rn = 1 ORDER BY h"""
+
   // ---- exact n-gram Jaccard near-dup (small-scale exact mode) --------
   /** Exact mode guardrail: the shingle self-join is quadratic-ish in
     * corpus size, so refuse corpora past `maxDocs` instead of silently
@@ -347,6 +373,7 @@ object TextDedup {
   def all: Seq[QueryDef] = Seq(
     QueryDef("text_normalize", textNormalize, Some(textNormalizeSql)),
     QueryDef("dedup_exact", dedupExact, Some(dedupExactSql)),
+    QueryDef("dedup_keep_best", dedupKeepBest, Some(dedupKeepBestSql)),
     QueryDef("dedup_ngram", dedupNgram, Some(dedupNgramSql)),
     QueryDef("dedup_minhash", dedupMinhash, Some(dedupNgramSql)),
     QueryDef("dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
