@@ -21,9 +21,19 @@ object LongWide {
       .pivot("varname", varnames)
       .agg(first("value"))
 
-  def pivotWideDiscover(long: DataFrame): DataFrame = {
+  /** Convenience ONLY — runs a driver-side collect of the distinct
+    * varnames (one extra job + a driver round-trip), so it must never
+    * sit inside a registered pipeline. The varname domain is bounded
+    * (it is about to become a column list), so the collect can't blow
+    * the driver, but the extra job still serializes the chain; cap it
+    * so a mistyped grouping column fails fast instead of pivoting
+    * into thousands of columns. */
+  def pivotWideDiscover(long: DataFrame, maxVars: Int = 10000): DataFrame = {
     val names = long.select("varname").distinct()
-      .collect().map(_.getString(0)).sorted.toSeq
+      .limit(maxVars + 1).collect().map(_.getString(0)).sorted.toSeq
+    require(names.size <= maxVars,
+      s"pivotWideDiscover found > $maxVars distinct varnames — " +
+        "pass the known list to pivotWide instead")
     pivotWide(long, names)
   }
 }

@@ -80,18 +80,37 @@ object TextDedup {
   /** Exact dedup with a QUALITY policy: among byte-identical texts keep
     * the doc with the most characters (tie → lowest doc_id) — the
     * production "keep the best copy" rule, vs dedup_exact's keep-first.
-    * The argmax is a single commutative max over (n_chars, −doc_id)
-    * structs — map-side combinable, one shuffle, no window sort; the
-    * oracle replays it as a ROW_NUMBER window with the same total
-    * order. */
-  def dedupKeepBest(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
+    * The argmax is a single commutative MAX over one bit-packed long —
+    * (n_chars << 43) | (2^43−1 − doc_id), so "longer wins, ties go to
+    * the smaller id" is the plain integer order. Packing matters for
+    * the plan: max/max_by over a (n_chars, −doc_id) STRUCT has a
+    * variable-width buffer, which HashAggregateExec can't hold, and
+    * the whole aggregation silently regresses to SortAggregate (a sort
+    * of every partition); a primitive long keeps it a true hash
+    * aggregate with map-side partials (PlanAuditSpec pins this). The
+    * packing is guarded — n_chars ≥ 2^20 or doc_id ≥ 2^43 fails
+    * loudly rather than mis-ranking. Reads the table directly: a pure
+    * aggregation needs no fanout repartition (partials shrink the
+    * data BEFORE the only shuffle). The oracle replays the argmax as
+    * a ROW_NUMBER window with the same total order. */
+  def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val idSpace = 1L << 43
+    val packed = when(
+      col("n_chars") >= 0 && col("n_chars") < (1L << 20) &&
+        col("doc_id") >= 0 && col("doc_id") < idSpace,
+      shiftleft(col("n_chars"), 43) +
+        (lit(idSpace - 1) - col("doc_id")))
+      .otherwise(raise_error(concat(
+        lit("dedup_keep_best: doc_id/n_chars outside packable range: "),
+        col("doc_id").cast("string"))))
+    Tables.load(s, dir, "documents")
       .groupBy(md5(col("text")).as("h"))
-      .agg(max(struct(col("n_chars").as("nc"), (-col("doc_id")).as("nid")))
-        .as("b"), count(lit(1)).as("n"))
-      .select(col("h"), (-col("b.nid")).as("keep_id"),
-        col("b.nc").as("n_chars"), col("n"))
+      .agg(max(packed).as("p"), count(lit(1)).as("n"))
+      .select(col("h"),
+        (lit(idSpace - 1) - (col("p") % idSpace)).as("keep_id"),
+        shiftright(col("p"), 43).as("n_chars"), col("n"))
       .orderBy("h")
+  }
 
   val dedupKeepBestSql: String = """
     SELECT h, doc_id AS keep_id, n_chars, n FROM (

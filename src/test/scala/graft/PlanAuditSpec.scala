@@ -70,6 +70,41 @@ class PlanAuditSpec extends SparkSpec {
       "partial HashAggregate must sit under the shuffle")
   }
 
+  test("round-6 operators keep their scale shapes") {
+    // sample_reservoir + q_percent_rank: every window/agg exchange must
+    // be hash-partitioned — a SinglePartition exchange would mean a
+    // global sort bottleneck hiding in the plan
+    for (q <- Seq("sample_reservoir", "q_percent_rank",
+        "dedup_keep_best", "text_hash_split")) {
+      val singles = collectAll(initialPlan(q)).collect {
+        case e: ShuffleExchangeExec
+            if e.outputPartitioning.toString.contains("SinglePartition") => e
+      }
+      assert(singles.isEmpty,
+        s"$q: SinglePartition exchange in the computation plan")
+    }
+    // dedup_keep_best: the argmax is ONE hash-based aggregation with a
+    // map-side partial below its exchange — never a window, never a
+    // SortAggregate (max over bare structs would regress to one)
+    val kb = collectAll(initialPlan("dedup_keep_best"))
+    assert(!kb.exists(_.nodeName.contains("Window")),
+      "dedup_keep_best must not use a window")
+    assert(!kb.exists(_.nodeName.contains("SortAggregate")),
+      "dedup_keep_best regressed to sort-based aggregation")
+    val kbEx = kb.collect { case e: ShuffleExchangeExec => e }
+    assert(kbEx.count(
+        _.outputPartitioning.toString.contains("hashpartitioning")) == 1,
+      "dedup_keep_best is a single-shuffle argmax")
+    assert(kbEx.forall(
+        !_.outputPartitioning.toString.contains("RoundRobin")),
+      "pure aggregation must not pre-shuffle its input")
+    val hashAgg = kbEx.find(
+      _.outputPartitioning.toString.contains("hashpartitioning")).get
+    assert(collectAll(hashAgg.child)
+      .exists(_.nodeName.contains("HashAggregate")),
+      "partial (Object)HashAggregate must sit under the shuffle")
+  }
+
   test("no registered query plans a cartesian product") {
     // build-time driver rounds (documented in each operator):
     val skip = Set("dedup_cluster", "dedup_ngram", "geo_pivot",
