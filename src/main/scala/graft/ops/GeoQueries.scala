@@ -464,11 +464,14 @@ object GeoQueries {
     * WKT double formatting is shortest-round-trip, so parse∘format is
     * bit-exact and any parser defect breaks the hash. */
   def wktPolyCentroid(s: SparkSession, dir: String): DataFrame = {
-    val asWkt = Derive.triangles(s, dir).select(col("poly_id"),
+    // spread FIRST: the compact source arrives as one scan partition,
+    // and both the WKT formatting and the regex-heavy parse must run
+    // after the shuffle (fanout on the formatted column would leave
+    // the format itself serialized on the single input partition)
+    val spread = graft.Tables.fanout(Derive.triangles(s, dir))
+    val asWkt = spread.select(col("poly_id"),
       graft.geo.Wkt.toWktPolygon(col("xs"), col("ys")).as("wkt"))
-    // spread before the parse: the regex validation is the expensive
-    // stage and the compact source arrives as one scan partition
-    centroidOf(s, graft.geo.Wkt.polygons(graft.Tables.fanout(asWkt), "wkt"))
+    centroidOf(s, graft.geo.Wkt.polygons(asWkt, "wkt"))
   }
 
   /** Point WKT ingest: serialize the point table to `POINT (x y)`,
