@@ -200,11 +200,44 @@ object Events {
     FROM r WHERE rn = 1
     ORDER BY user_id, event_type"""
 
+  /** SCD type-2 history build: each (user, event_type) observation
+    * becomes a validity interval [ts, next-ts-of-same-key), open (NULL
+    * valid_to, is_current) on the latest — the warehouse MERGE-history
+    * companion to q_cdc_compact's latest-state compaction. One lead
+    * window per (user_id, event_type) partition — a single shuffle on
+    * the key, no global sort; at 100 TB each key's history sorts
+    * independently. */
+  def scd2(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy("valid_from_us", "event_id")
+    Tables.loadEventsUs(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts_us").as("valid_from_us"))
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w))
+      .withColumn("is_current", col("valid_to_us").isNull)
+      .orderBy("user_id", "event_type", "valid_from_us", "event_id")
+  }
+
+  val scd2Sql: String = """
+    SELECT user_id, event_type, event_id,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS valid_from_us,
+           LEAD(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+             (PARTITION BY user_id, event_type
+              ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+             AS valid_to_us,
+           (LEAD(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+             (PARTITION BY user_id, event_type
+              ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) IS NULL)
+             AS is_current
+    FROM events
+    ORDER BY user_id, event_type, valid_from_us, event_id"""
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("q_retention", retention, Some(retentionSql)),
     QueryDef("q_top_ngrams", topNgrams, Some(topNgramsSql)),
     QueryDef("q_sessionize", sessionize, Some(sessionizeSql)),
     QueryDef("q_asof_join", asof, Some(asofSql)),
     QueryDef("q_tumbling", tumbling, Some(tumblingSql)),
-    QueryDef("q_cdc_compact", cdcCompact, Some(cdcCompactSql)))
+    QueryDef("q_cdc_compact", cdcCompact, Some(cdcCompactSql)),
+    QueryDef("q_scd2", scd2, Some(scd2Sql)))
 }
