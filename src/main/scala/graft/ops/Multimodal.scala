@@ -361,7 +361,157 @@ object Multimodal {
            ROUND(sqrt(CAST(sq_f AS DOUBLE) / n_frames), 6) AS frame_rms
     FROM f ORDER BY doc_id"""
 
+  // ── video modality ──────────────────────────────────────────────
+  // The third modality leg: a REAL multi-frame container (length-
+  // prefixed PNG frames under a validated magic — the moral shape of
+  // an MJPEG/fragmented-MP4 track), batch-staged like image/audio.
+  // The video-specific operator is FRAME SAMPLING: parse the
+  // container index, decode only every `stride`-th frame, featurize
+  // the sampled frames. Losslessness again makes the decoded stats
+  // ANSI-SQL-expressible from the source text.
+
+  final case class VideoRow(doc_id: Long, payload: Array[Byte],
+                            n_frames: Int, n_px_frame: Int)
+  final case class VideoFeat(doc_id: Long, n_frames: Int, n_sampled: Int,
+                             n_px_sampled: Long, mean_sampled: Double,
+                             mean_f0: Double)
+
+  /** GVID container: "GVID" magic, u32 frame count, then per frame a
+    * u32 byte length + the PNG payload. Decode validates the magic,
+    * the count, every length field, and exact consumption of the
+    * buffer — truncated or corrupt containers fail loudly. */
+  object Gvid {
+    private def be32(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = (v >>> 24).toByte; b(off + 1) = (v >>> 16).toByte
+      b(off + 2) = (v >>> 8).toByte; b(off + 3) = v.toByte
+    }
+    private def rd32(b: Array[Byte], off: Int): Int =
+      ((b(off) & 0xFF) << 24) | ((b(off + 1) & 0xFF) << 16) |
+        ((b(off + 2) & 0xFF) << 8) | (b(off + 3) & 0xFF)
+
+    def encode(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val total = 8 + frames.map(4 + _.length).sum
+      val out = new Array[Byte](total)
+      out(0) = 'G'; out(1) = 'V'; out(2) = 'I'; out(3) = 'D'
+      be32(out, 4, frames.length)
+      var off = 8
+      frames.foreach { f =>
+        be32(out, off, f.length)
+        System.arraycopy(f, 0, out, off + 4, f.length)
+        off += 4 + f.length
+      }
+      out
+    }
+
+    def decode(b: Array[Byte]): Array[Array[Byte]] = {
+      require(b.length >= 8 && b(0) == 'G' && b(1) == 'V' &&
+        b(2) == 'I' && b(3) == 'D', "GVID: bad magic")
+      val n = rd32(b, 4)
+      require(n >= 0, s"GVID: negative frame count $n")
+      val out = new Array[Array[Byte]](n)
+      var off = 8
+      var i = 0
+      while (i < n) {
+        require(off + 4 <= b.length, s"GVID: truncated at frame $i")
+        val len = rd32(b, off)
+        require(len >= 0 && off + 4 + len <= b.length,
+          s"GVID: bad frame length $len at frame $i")
+        out(i) = java.util.Arrays.copyOfRange(b, off + 4, off + 4 + len)
+        off += 4 + len
+        i += 1
+      }
+      require(off == b.length, "GVID: trailing bytes after last frame")
+      out
+    }
+  }
+
+  val VideoFrames = 4
+  val FrameStride = 2
+
+  /** Video table: each document rendered as a GVID container of
+    * `VideoFrames` PNG frames; frame f's pixels are the text's code
+    * bytes brightness-shifted by f (mod 256) — deterministic and
+    * SQL-recomputable, so the oracle certifies container + codec +
+    * sampling end-to-end without seeing the binary. */
+  def videoTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.fanout(Tables.load(s, dir, "documents"))
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        val codec = new graft.functions.RawPng() // once per partition
+        rows.map { case (id, text) =>
+          val n = text.length
+          require(n > 0, "cannot video-encode empty text (width-0 frames)")
+          val frames = (0 until VideoFrames).map { f =>
+            val px = new Array[Byte](n)
+            var i = 0
+            while (i < n) {
+              px(i) = (((text.charAt(i).toInt & 0xFF) + f) % 256).toByte
+              i += 1
+            }
+            codec.encode(px, n, 1)
+          }
+          VideoRow(id, Gvid.encode(frames), VideoFrames, n)
+        }
+      }
+      .toDF()
+  }
+
+  /** Parse container → sample every `FrameStride`-th frame → decode
+    * ONLY the sampled frames (the whole point of frame sampling: the
+    * skipped frames' PNG payloads are never inflated) → featurize.
+    * Integer pixel sums are exact in Long; each mean is one IEEE
+    * division of identical operands in both engines. */
+  def videoPipeline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    videoTable(s, dir).as[VideoRow]
+      .mapPartitions { rows =>
+        val codec = new graft.functions.RawPng()
+        rows.map { r =>
+          val payloads = Gvid.decode(r.payload)
+          val sampled = payloads.indices.by(FrameStride).toArray
+          var total = 0L; var nPx = 0L; var sumF0 = 0L; var nF0 = 0L
+          sampled.foreach { fi =>
+            val (w, h, px) = codec.decode(payloads(fi))
+            var i = 0; var s0 = 0L
+            while (i < px.length) { s0 += (px(i) & 0xFF); i += 1 }
+            total += s0; nPx += w.toLong * h
+            if (fi == 0) { sumF0 = s0; nF0 = w.toLong * h }
+          }
+          VideoFeat(r.doc_id, payloads.length, sampled.length, nPx,
+            total.toDouble / nPx, sumF0.toDouble / nF0)
+        }
+      }
+      .toDF()
+      .select(col("doc_id"), col("n_frames"), col("n_sampled"),
+        col("n_px_sampled"), col("mean_sampled"), col("mean_f0"))
+      .orderBy("doc_id")
+  }
+
+  /** Frames are PNG-lossless and the brightness shift is
+    * SQL-recomputable, so the sampled-frame means derive from the
+    * text: sampled frames are 0 and 2 (stride 2 of 4), mean over
+    * frame f = mean of (code + f) % 256. */
+  val mmVideoSql: String = s"""
+    WITH c AS (
+      SELECT doc_id, length(text) AS n,
+        list_transform(string_split_regex(text, ''),
+          ch -> unicode(ch) % 256) AS codes
+      FROM documents),
+    f AS (
+      SELECT doc_id, $VideoFrames AS n_frames, 2 AS n_sampled,
+        CAST(2 * n AS BIGINT) AS n_px_sampled,
+        list_sum(codes) AS s0,
+        list_sum(list_transform(codes, x -> (x + 2) % 256)) AS s2,
+        n
+      FROM c)
+    SELECT doc_id, n_frames, n_sampled, n_px_sampled,
+           CAST(s0 + s2 AS DOUBLE) / (2 * n) AS mean_sampled,
+           CAST(s0 AS DOUBLE) / n AS mean_f0
+    FROM f ORDER BY doc_id"""
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("mm_pipeline", mmPipeline, Some(mmPipelineSql)),
-    QueryDef("mm_audio", audioPipeline, Some(mmAudioSql)))
+    QueryDef("mm_audio", audioPipeline, Some(mmAudioSql)),
+    QueryDef("mm_video", videoPipeline, Some(mmVideoSql)))
 }

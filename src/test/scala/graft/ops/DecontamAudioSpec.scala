@@ -90,6 +90,38 @@ class DecontamAudioSpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.Wav.decode(corrupt))
   }
 
+  test("GVID video container: bit-exact round trip, loud failure on corruption") {
+    val frames = Seq(Array[Byte](1, 2, 3), Array.emptyByteArray,
+      Array[Byte](9, -1))
+    val enc = Multimodal.Gvid.encode(frames)
+    val back = Multimodal.Gvid.decode(enc)
+    assert(back.length == 3)
+    assert(back(0).sameElements(frames(0)) && back(1).isEmpty &&
+      back(2).sameElements(frames(2)))
+    val badMagic = enc.clone(); badMagic(0) = 'X'.toByte
+    intercept[IllegalArgumentException](Multimodal.Gvid.decode(badMagic))
+    intercept[IllegalArgumentException](
+      Multimodal.Gvid.decode(enc.take(enc.length - 1))) // truncated
+    intercept[IllegalArgumentException](
+      Multimodal.Gvid.decode(enc :+ 0.toByte)) // trailing bytes
+  }
+
+  test("mm_video: frame sampling shape and pixel accounting") {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val out = Multimodal.videoPipeline(spark, sfDir).collect()
+    assert(out.length == docs.size)
+    out.foreach { r =>
+      assert(r.getInt(1) == Multimodal.VideoFrames)
+      assert(r.getInt(2) == 2, "stride 2 of 4 frames samples exactly 2")
+      assert(r.getLong(3) == 2 * docs(r.getLong(0)),
+        "sampled pixels = 2 frames x n_chars")
+      val (ms, m0) = (r.getDouble(4), r.getDouble(5))
+      assert(m0 >= 0 && m0 <= 255 && ms >= 0 && ms <= 255)
+    }
+  }
+
   test("mm_audio: decoded stats consistent with text-derived waveform") {
     val out = Multimodal.audioPipeline(spark, sfDir).limit(50).collect()
     assert(out.nonEmpty)
