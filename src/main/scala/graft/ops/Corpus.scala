@@ -444,6 +444,64 @@ object Corpus {
     SELECT source, split, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tok_sum
     FROM t GROUP BY 1, 2 ORDER BY source, split"""
 
+  /** Sub-document (line-level) dedup signals — the C4/RefinedWeb-style
+    * pass that measures boilerplate shared ACROSS documents at finer
+    * grain than whole-doc dedup. The test corpus carries no newlines,
+    * so a "line" is a non-overlapping 10-token block (the operator's
+    * splitter is one expression — swap in split-on-newline for real
+    * text). Per doc: distinct blocks, blocks also present in ≥1 OTHER
+    * doc, and the duplicated fraction. Shape: explode blocks →
+    * distinct → one hash aggregation counting docs per block → join
+    * back on the block → per-doc aggregation. Two shuffles on the
+    * block key, both map-side combined; no broadcast of corpus-sized
+    * state. */
+  def dedupLines(s: SparkSession, dir: String): DataFrame = {
+    val blockArr = transform(
+      sequence(lit(1), floor(size(toks) / 10).cast("int")),
+      i => concat_ws(" ", slice(toks, (i - 1) * 10 + 1, lit(10))))
+    val blocks = docs(s, dir)
+      .select(col("doc_id"),
+        explode(when(size(toks) >= 10, blockArr)
+          .otherwise(array().cast("array<string>"))).as("blk"))
+      .distinct()
+    val perBlock = blocks.groupBy("blk")
+      .agg(count(lit(1)).as("n_docs")) // blocks distinct per doc
+    val perDoc = blocks.join(perBlock, Seq("blk"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup_blocks"))
+    docs(s, dir).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+        coalesce(col("n_dup_blocks"), lit(0L)).as("n_dup_blocks"),
+        when(coalesce(col("n_blocks"), lit(0L)) > 0,
+          round(col("n_dup_blocks").cast("double") / col("n_blocks"), 6))
+          .otherwise(0.0).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  val dedupLinesSql: String = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    b AS (
+      SELECT DISTINCT doc_id,
+        unnest(list_transform(generate_series(1, len(w) // 10),
+          i -> array_to_string(w[(i-1)*10+1:i*10], ' '))) AS blk
+      FROM t WHERE len(w) >= 10),
+    c AS (SELECT blk, COUNT(*) AS n_docs FROM b GROUP BY 1),
+    d AS (
+      SELECT b.doc_id, COUNT(*) AS n_blocks,
+             SUM(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) AS n_dup_blocks
+      FROM b JOIN c USING (blk) GROUP BY 1)
+    SELECT t.doc_id,
+           CAST(COALESCE(d.n_blocks, 0) AS BIGINT) AS n_blocks,
+           CAST(COALESCE(d.n_dup_blocks, 0) AS BIGINT) AS n_dup_blocks,
+           CASE WHEN COALESCE(d.n_blocks, 0) > 0 THEN
+             ROUND(CAST(d.n_dup_blocks AS DOUBLE) / d.n_blocks, 6)
+           ELSE 0.0 END AS dup_frac
+    FROM t LEFT JOIN d ON t.doc_id = d.doc_id
+    ORDER BY t.doc_id"""
+
   /** End-to-end fluent pipeline (graft.api.CorpusPipeline): exact
     * dedup → stratified sample → token-budget pack → shard stats, all
     * fused into one Catalyst plan. The oracle mirrors the chain as
@@ -480,6 +538,7 @@ object Corpus {
     QueryDef("sample_reservoir", (s, d) => sampleReservoir(s, d),
       Some(sampleReservoirSql)),
     QueryDef("text_hash_split", textHashSplit, Some(textHashSplitSql)),
+    QueryDef("dedup_lines", dedupLines, Some(dedupLinesSql)),
     QueryDef("text_scrub", textScrub, Some(textScrubSql)),
     QueryDef("text_entropy", textEntropy, Some(textEntropySql)),
     QueryDef("chunk_windows", (s, d) => chunkWindows(s, d), Some(chunkWindowsSql)),
