@@ -204,4 +204,10 @@ object GeoCalculator {
         .drop("_p")
       new GeoCalculator(p, Vector.empty)
     }
+
+  /** Ingest POINT WKT text in any supported EPSG — the reference's
+    * WKT registration path (core.py:138-152 stores ST_AsText and
+    * reprojects on ingest). Malformed WKT fails loudly (geo.Wkt). */
+  def fromWkt(df: DataFrame, wktCol: String, epsg: Int = 5179): GeoCalculator =
+    new GeoCalculator(graft.geo.Wkt.points(df, wktCol, epsg), Vector.empty)
 }

@@ -44,4 +44,24 @@ class ExampleWorkflowSpec extends SparkSpec {
     // every point got an airport distance
     assert(wide.filter(col("D_Airport").isNull).count() == 0)
   }
+
+  test("WKT ingest entry point feeds the same fluent chain") {
+    // same workflow, but the points arrive as WKT text in EPSG:4326 —
+    // the reference's ST_AsText registration path
+    val raw = Derive.wgsPoints(spark, sfDir).limit(50)
+      .select(col("id"), concat(lit("POINT ("),
+        col("lon").cast("string"), lit(" "),
+        col("lat").cast("string"), lit(")")).as("wkt"))
+    val viaWkt = GeoCalculator.fromWkt(raw, "wkt", epsg = 4326)
+      .nearestDistance(Derive.sites(spark, sfDir), "D_Supp")
+      .resultWide(Seq("D_Supp"))
+    val direct = GeoCalculator
+      .fromWgs84(Derive.wgsPoints(spark, sfDir).limit(50), "lon", "lat")
+      .nearestDistance(Derive.sites(spark, sfDir), "D_Supp")
+      .resultWide(Seq("D_Supp"))
+    val a = viaWkt.select("id", "D_Supp")
+    val b = direct.select("id", "D_Supp")
+    assert(a.except(b).isEmpty && b.except(a).isEmpty,
+      "WKT-ingested chain diverged from direct lon/lat ingest")
+  }
 }
