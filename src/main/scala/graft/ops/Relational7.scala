@@ -152,9 +152,89 @@ object Relational7 {
     FROM orders
     ORDER BY o_orderpriority, o_orderkey"""
 
+  /** Wide→long UNPIVOT — the inverse of the pivot family, as the
+    * declarative unpivot operator (compiles to one Expand, a pure map
+    * stage: zero shuffle beyond the presentation sort). Sampled down
+    * so the oracle artifact stays bounded. */
+  def qUnpivot(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 100 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("double").as("quantity"),
+        col("l_extendedprice").cast("double").as("extendedprice"),
+        col("l_discount").cast("double").as("discount"),
+        col("l_tax").cast("double").as("tax"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("quantity"), col("extendedprice"),
+          col("discount"), col("tax")),
+        "measure", "value")
+      .orderBy("l_orderkey", "l_linenumber", "measure")
+
+  /** UNION ALL mirror — value-identical to the Expand, engine-portable. */
+  val qUnpivotSql: String = """
+    WITH src AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_quantity AS DOUBLE) AS quantity,
+             CAST(l_extendedprice AS DOUBLE) AS extendedprice,
+             CAST(l_discount AS DOUBLE) AS discount,
+             CAST(l_tax AS DOUBLE) AS tax
+      FROM lineitem WHERE l_orderkey % 100 = 0)
+    SELECT l_orderkey, l_linenumber, measure, value FROM (
+      SELECT l_orderkey, l_linenumber, 'quantity' AS measure, quantity AS value FROM src
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'extendedprice', extendedprice FROM src
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'discount', discount FROM src
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'tax', tax FROM src)
+    ORDER BY l_orderkey, l_linenumber, measure"""
+
+  /** Ordered string aggregation (LISTAGG/string_agg): per nation, the
+    * 5 richest customers' names joined in rank order. Bounded top-k
+    * via map-side sorted-slice aggregation (k structs of state per
+    * group), then one in-row concat — never a window over the full
+    * customer set, and the unbounded-group-string risk is capped by
+    * construction. Deterministic: total order (acctbal DESC, name). */
+  def qStringAgg(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer")
+    val n = Tables.load(s, dir, "nation")
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        slice(array_sort(collect_list(struct(
+          (-col("c_acctbal")).cast("double").as("na"),
+          col("c_name").as("name")))), 1, 5).as("top"),
+        count(lit(1)).as("n_cust"))
+      .select(col("n_name"),
+        concat_ws(",", transform(col("top"), t => t.getField("name")))
+          .as("top_names"),
+        col("n_cust"))
+      .orderBy("n_name")
+  }
+
+  val qStringAggSql: String = """
+    WITH ranked AS (
+      SELECT n_name, c_name,
+             ROW_NUMBER() OVER (PARTITION BY n_name
+               ORDER BY c_acctbal DESC, c_name) AS rn
+      FROM customer JOIN nation ON c_nationkey = n_nationkey),
+    agg AS (
+      SELECT n_name, string_agg(c_name, ',' ORDER BY rn) AS top_names
+      FROM ranked WHERE rn <= 5 GROUP BY n_name),
+    cnt AS (
+      SELECT n_name, COUNT(*) AS n_cust
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name)
+    SELECT agg.n_name, agg.top_names, cnt.n_cust
+    FROM agg JOIN cnt USING (n_name)
+    ORDER BY n_name"""
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("q12_delay_bands", q12, Some(q12Sql)),
     QueryDef("q_percent_rank", qPercentRank, Some(qPercentRankSql)),
+    QueryDef("q_unpivot", qUnpivot, Some(qUnpivotSql)),
+    QueryDef("q_string_agg", qStringAgg, Some(qStringAggSql)),
     QueryDef("q14_promo_share", q14, Some(q14Sql)),
     QueryDef("q_grouping_sets", qGroupingSets, Some(qGroupingSetsSql)))
 }
