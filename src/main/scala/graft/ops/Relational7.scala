@@ -230,11 +230,43 @@ object Relational7 {
     FROM agg JOIN cnt USING (n_name)
     ORDER BY n_name"""
 
+  /** FULL OUTER JOIN — the one join type the registry didn't cover
+    * (inner/left/semi/anti/lateral/asof all have rows). Key domains
+    * deliberately mismatch (custkey%40 vs suppkey%55) so BOTH null
+    * sides appear and the outer semantics are hash-certified, nulls
+    * included. Aggregate-then-join: both sides shrink to ≤55 rows
+    * before the join, so the outer join itself is trivial at any
+    * scale. */
+  def qFullOuter(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer")
+      .groupBy((col("c_custkey") % 40).as("k"))
+      .agg(count(lit(1)).as("n_cust"))
+    val su = Tables.load(s, dir, "supplier")
+      .groupBy((col("s_suppkey") % 55).as("sk"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(su, col("k") === col("sk"), "full_outer")
+      .select(coalesce(col("k"), col("sk")).as("bucket"),
+        col("n_cust"), col("n_supp"))
+      .orderBy("bucket")
+  }
+
+  val qFullOuterSql: String = """
+    WITH c AS (
+      SELECT c_custkey % 40 AS k, COUNT(*) AS n_cust
+      FROM customer GROUP BY 1),
+    s AS (
+      SELECT s_suppkey % 55 AS sk, COUNT(*) AS n_supp
+      FROM supplier GROUP BY 1)
+    SELECT COALESCE(c.k, s.sk) AS bucket, c.n_cust, s.n_supp
+    FROM c FULL OUTER JOIN s ON c.k = s.sk
+    ORDER BY bucket"""
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("q12_delay_bands", q12, Some(q12Sql)),
     QueryDef("q_percent_rank", qPercentRank, Some(qPercentRankSql)),
     QueryDef("q_unpivot", qUnpivot, Some(qUnpivotSql)),
     QueryDef("q_string_agg", qStringAgg, Some(qStringAggSql)),
+    QueryDef("q_full_outer", qFullOuter, Some(qFullOuterSql)),
     QueryDef("q14_promo_share", q14, Some(q14Sql)),
     QueryDef("q_grouping_sets", qGroupingSets, Some(qGroupingSetsSql)))
 }
