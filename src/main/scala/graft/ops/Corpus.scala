@@ -502,6 +502,61 @@ object Corpus {
     FROM t LEFT JOIN d ON t.doc_id = d.doc_id
     ORDER BY t.doc_id"""
 
+  /** Heavy-hitter 3-grams above frequency N/k — the SKETCH-then-
+    * exact-verify companion to q_top_ngrams' exact histogram. At
+    * 100 TB the n-gram vocabulary is long-tailed enough that even the
+    * map-side-combined exact groupBy shuffles the full vocabulary;
+    * here each partition first runs a Misra–Gries summary (bounded k
+    * counters, classic decrement-on-overflow), and only the surviving
+    * CANDIDATE grams are recounted exactly. The MG guarantee makes
+    * the final output exact, not approximate: if a gram's global
+    * frequency exceeds N/k, then on at least one partition its local
+    * frequency exceeds that partition's share of N/k (else summing
+    * the per-partition bounds contradicts the global count), so it
+    * survives that partition's sketch and reaches the recount. The
+    * recount is a plain filtered aggregation, so every emitted count
+    * is exact and every qualifying gram is present — the sketch only
+    * prunes the shuffle. One scalar driver read (total instance
+    * count) sets the threshold, like dedup_ngram's guard count. */
+  def textHeavyHitters(s: SparkSession, dir: String,
+                       k: Int = 5000): DataFrame = {
+    import s.implicits._
+    def gramRows = Tables.fanout(Tables.load(s, dir, "documents"))
+      .select(explode(Text.grams(3)).as("g"))
+    val n = gramRows.count()
+    val thresh = n.toDouble / k
+    val candidates = gramRows.as[String].mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { g =>
+        if (m.contains(g) || m.size < k) m.update(g, m.getOrElse(g, 0L) + 1L)
+        else {
+          // decrement every counter; evict the zeroed (Misra–Gries)
+          val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+          m.keysIterator.foreach { key =>
+            val v = m(key) - 1L
+            if (v == 0L) dead += key else m.update(key, v)
+          }
+          dead.foreach(m.remove)
+        }
+      }
+      m.keysIterator
+    }.toDF("g").distinct()
+    gramRows.join(broadcast(candidates), Seq("g"))
+      .groupBy("g").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > thresh)
+      .orderBy(col("g"))
+  }
+
+  val textHeavyHittersSql: String = """
+    WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+    g AS (SELECT unnest(list_transform(generate_series(1, len(w) - 2),
+            i -> array_to_string(w[i:i+2], ' '))) AS g FROM t),
+    tot AS (SELECT COUNT(*) AS n FROM g)
+    SELECT g, COUNT(*) AS cnt FROM g
+    GROUP BY g
+    HAVING COUNT(*) > (SELECT n / 5000.0 FROM tot)
+    ORDER BY g"""
+
   /** End-to-end fluent pipeline (graft.api.CorpusPipeline): exact
     * dedup → stratified sample → token-budget pack → shard stats, all
     * fused into one Catalyst plan. The oracle mirrors the chain as
@@ -539,6 +594,8 @@ object Corpus {
       Some(sampleReservoirSql)),
     QueryDef("text_hash_split", textHashSplit, Some(textHashSplitSql)),
     QueryDef("dedup_lines", dedupLines, Some(dedupLinesSql)),
+    QueryDef("text_heavy_hitters", (s, d) => textHeavyHitters(s, d),
+      Some(textHeavyHittersSql)),
     QueryDef("text_scrub", textScrub, Some(textScrubSql)),
     QueryDef("text_entropy", textEntropy, Some(textEntropySql)),
     QueryDef("chunk_windows", (s, d) => chunkWindows(s, d), Some(chunkWindowsSql)),

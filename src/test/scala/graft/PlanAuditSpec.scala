@@ -108,7 +108,8 @@ class PlanAuditSpec extends SparkSpec {
   test("no registered query plans a cartesian product") {
     // build-time driver rounds (documented in each operator):
     val skip = Set("dedup_cluster", "dedup_ngram", "geo_pivot",
-      "geo_pipeline_wide", "geo_pipeline_long", "mm_pipeline")
+      "geo_pipeline_wide", "geo_pipeline_long", "mm_pipeline",
+      "text_heavy_hitters") // build-time driver count sets its threshold
     // a query whose plan won't BUILD is its own named failure — it must
     // not abort the sweep and shadow the audit of the other ~95 plans
     // (round 5: the events loader threw on the first events query and

@@ -44,6 +44,27 @@ class SamplingSplitSpec extends SparkSpec {
     assert(bySplit.getOrElse("test", 0L) / total < 0.12, s"test mass $bySplit")
   }
 
+  test("text_heavy_hitters: MG guarantee holds even at tiny sketch capacity") {
+    // k=2 forces constant eviction churn — the worst case for the
+    // Misra–Gries guarantee. The output must STILL be exactly the
+    // grams with global frequency > N/2 (here: none or a tiny set),
+    // and at k=50 exactly those above N/50, both equal to the direct
+    // exact computation.
+    for (k <- Seq(2, 50)) {
+      val got = Corpus.textHeavyHitters(spark, sfDir, k = k)
+      val g = graft.Tables.load(spark, sfDir, "documents")
+        .select(explode(graft.ops.Text.grams(3)).as("g"))
+      val n = g.count().toDouble
+      val want = g.groupBy("g").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > n / k)
+      assert(got.drop("cnt").except(want.drop("cnt")).isEmpty &&
+        want.drop("cnt").except(got.drop("cnt")).isEmpty,
+        s"k=$k heavy-hitter sets diverge")
+      assert(got.except(want).isEmpty && want.except(got).isEmpty,
+        s"k=$k heavy-hitter counts diverge")
+    }
+  }
+
   test("dedup_keep_best: the kept doc is a longest member of its group") {
     val docs = graft.Tables.load(spark, sfDir, "documents")
       .select(md5(col("text")).as("h"), col("doc_id"), col("n_chars"))
