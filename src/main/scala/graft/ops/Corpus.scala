@@ -521,8 +521,12 @@ object Corpus {
   def textHeavyHitters(s: SparkSession, dir: String,
                        k: Int = 5000): DataFrame = {
     import s.implicits._
-    def gramRows = Tables.fanout(Tables.load(s, dir, "documents"))
-      .select(explode(Text.grams(3)).as("g"))
+    // materialize the exploded grams ONCE (eager checkpoint): the
+    // threshold count, the MG sketch pass, and the exact recount all
+    // read the same blocks instead of re-exploding the corpus 3×
+    val gramRows = Tables.hot(
+      Tables.fanout(Tables.load(s, dir, "documents"))
+        .select(explode(Text.grams(3)).as("g")))
     val n = gramRows.count()
     val thresh = n.toDouble / k
     val candidates = gramRows.as[String].mapPartitions { it =>
@@ -556,6 +560,76 @@ object Corpus {
     GROUP BY g
     HAVING COUNT(*) > (SELECT n / 5000.0 FROM tot)
     ORDER BY g"""
+
+  /** The quality GATE every training pipeline runs before assembly:
+    * combine the in-row signals (token count band, distinct-token
+    * ratio, top-bigram share) into one keep/drop decision and report
+    * per-source survival. All signals are within-row expressions, so
+    * the whole gate is one scan + one map-side-combined aggregation —
+    * no joins, no windows, nothing that grows with corpus size beyond
+    * the scan itself. Thresholds follow the Gopher-style filters the
+    * individual signal operators document. */
+  def corpusQualityFilter(s: SparkSession, dir: String): DataFrame = {
+    val g = Text.grams(2)
+    val sorted = array_sort(g)
+    // max bigram run length over the sorted array (same fold shape as
+    // text_repetition, max-run only)
+    val mx = aggregate(
+      sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("mx")),
+      (acc, x) =>
+        when(acc.getField("run") > 0 && acc.getField("prev") === x,
+          struct(x.as("prev"), (acc.getField("run") + 1L).as("run"),
+            acc.getField("mx").as("mx")))
+        .otherwise(struct(x.as("prev"), lit(1L).as("run"),
+          greatest(acc.getField("mx"), acc.getField("run")).as("mx"))),
+      acc => greatest(acc.getField("mx"), acc.getField("run")))
+    docs(s, dir)
+      .select(col("source"),
+        size(toks).as("n_tok"),
+        (size(array_distinct(toks)).cast("double") / size(toks))
+          .as("dr"),
+        when(size(g) > 0, mx.cast("double") / size(g)).otherwise(0.0)
+          .as("tg"))
+      .select(col("source"),
+        (col("n_tok") >= 20 && col("n_tok") <= 100000 &&
+          col("dr") >= 0.1 && col("tg") <= 0.2).as("keep"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+      .select(col("source"), col("n_docs"), col("n_keep"),
+        round(col("n_keep").cast("double") / col("n_docs"), 6)
+          .as("keep_rate"))
+      .orderBy("source")
+  }
+
+  val corpusQualityFilterSql: String = """
+    WITH t AS (
+      SELECT source, string_split(text, ' ') AS w FROM documents),
+    g AS (SELECT source, w,
+            CASE WHEN len(w) >= 2 THEN
+              list_transform(generate_series(1, len(w) - 1),
+                i -> array_to_string(w[i:i+1], ' '))
+            ELSE [] END AS g
+          FROM t),
+    sig AS (
+      SELECT source, len(w) AS n_tok,
+        CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS dr,
+        CASE WHEN len(g) > 0 THEN
+          CAST(list_max(list_transform(g, x ->
+            len(list_filter(g, y -> y = x)))) AS DOUBLE) / len(g)
+        ELSE 0.0 END AS tg
+      FROM g),
+    flagged AS (
+      SELECT source,
+        (n_tok >= 20 AND n_tok <= 100000 AND dr >= 0.1 AND tg <= 0.2)
+          AS keep
+      FROM sig)
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           ROUND(CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS keep_rate
+    FROM flagged GROUP BY source ORDER BY source"""
 
   /** End-to-end fluent pipeline (graft.api.CorpusPipeline): exact
     * dedup → stratified sample → token-budget pack → shard stats, all
@@ -596,6 +670,8 @@ object Corpus {
     QueryDef("dedup_lines", dedupLines, Some(dedupLinesSql)),
     QueryDef("text_heavy_hitters", (s, d) => textHeavyHitters(s, d),
       Some(textHeavyHittersSql)),
+    QueryDef("corpus_quality_filter", corpusQualityFilter,
+      Some(corpusQualityFilterSql)),
     QueryDef("text_scrub", textScrub, Some(textScrubSql)),
     QueryDef("text_entropy", textEntropy, Some(textEntropySql)),
     QueryDef("chunk_windows", (s, d) => chunkWindows(s, d), Some(chunkWindowsSql)),
