@@ -69,10 +69,16 @@ object GraftFunctions {
       "minhash_signature"),
     (args: Seq[Expression]) => functions.MinHashSignature(args))
 
+  val bigramRunStatsFn: Fn = (
+    FunctionIdentifier("bigram_run_stats"),
+    new ExpressionInfo(classOf[functions.BigramRunStats].getName,
+      "bigram_run_stats"),
+    (args: Seq[Expression]) => functions.BigramRunStats(args.head))
+
   val all: Seq[Fn] =
     Seq(clippedSegmentLengthFn, hilbertIndexFn, pointInPolygonFn,
       normalizeTextFn, clippedPolygonAreaFn, vecDotFn, vecL2Fn,
-      minHashSignatureFn)
+      minHashSignatureFn, bigramRunStatsFn)
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (id, info, builder) =>

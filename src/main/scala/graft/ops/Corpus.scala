@@ -315,44 +315,28 @@ object Corpus {
     * and linearithmic per document: sort the bigram array once, then a
     * single `aggregate` fold over the sorted array accumulates run
     * lengths (equal bigrams are adjacent after the sort), from which
-    * both signals derive. The naive nested-HOF counting
-    * (`transform(g, x => size(filter(g, y => y === x)))`) is O(len²)
-    * interpreted-expression work per document — measured 1052 CPU-s at
-    * sf0.1 vs ~10 CPU-s for this shape. */
+    * both signals derive. Shipped as the native `bigram_run_stats`
+    * Catalyst expression (`functions/BigramRunStats.scala`) — the
+    * equivalent `array_sort` + `aggregate` HOF fold is interpreted
+    * per element (Catalyst HOFs have no codegen) and measured ~16
+    * CPU-s at sf0.1 vs ~4 for the native kernel; the naive nested-HOF
+    * counting (`transform(g, x => size(filter(g, y => y === x)))`) is
+    * O(len²) and measured 1052 CPU-s. Equivalence to the naive form
+    * is spec-pinned. */
   def textRepetition(s: SparkSession, dir: String): DataFrame = {
-    val g = Text.grams(2)
-    // fold state: (prev bigram, current run length, Σ lengths of runs
-    // ≥2 so far, max run so far); finish folds in the trailing run
-    def closeRun(acc: org.apache.spark.sql.Column) =
-      when(acc.getField("run") >= 2, acc.getField("run")).otherwise(0L)
-    val folded = aggregate(
-      array_sort(g),
-      struct(lit("").as("prev"), lit(0L).as("run"),
-        lit(0L).as("dup"), lit(0L).as("mx")),
-      (acc, x) =>
-        when(acc.getField("run") > 0 && acc.getField("prev") === x,
-          struct(x.as("prev"), (acc.getField("run") + 1L).as("run"),
-            acc.getField("dup").as("dup"), acc.getField("mx").as("mx")))
-        .otherwise(
-          struct(x.as("prev"), lit(1L).as("run"),
-            (acc.getField("dup") + closeRun(acc)).as("dup"),
-            greatest(acc.getField("mx"), acc.getField("run")).as("mx"))),
-      acc => struct(
-        (acc.getField("dup") + closeRun(acc)).as("dup"),
-        greatest(acc.getField("mx"), acc.getField("run")).as("mx")))
+    graft.GraftFunctions.register(s)
     docs(s, dir)
       .select(col("doc_id"),
         round(size(array_distinct(toks)).cast("double") / size(toks), 6)
           .as("distinct_ratio"),
-        size(g).as("ng"),
-        // materialized once here so the two reads below don't re-fold
-        folded.as("f"))
+        // one native pass; materialized once so the reads below share it
+        call_function("bigram_run_stats", toks).as("f"))
       .select(col("doc_id"), col("distinct_ratio"),
-        when(col("ng") > 0,
-          round(col("f.dup").cast("double") / col("ng"), 6))
+        when(col("f.ng") > 0,
+          round(col("f.dup").cast("double") / col("f.ng"), 6))
           .otherwise(0.0).as("dup_gram_frac"),
-        when(col("ng") > 0,
-          round(col("f.mx").cast("double") / col("ng"), 6))
+        when(col("f.ng") > 0,
+          round(col("f.mx").cast("double") / col("f.ng"), 6))
           .otherwise(0.0).as("top_gram_share"))
       .orderBy("doc_id")
   }
@@ -570,26 +554,16 @@ object Corpus {
     * the scan itself. Thresholds follow the Gopher-style filters the
     * individual signal operators document. */
   def corpusQualityFilter(s: SparkSession, dir: String): DataFrame = {
-    val g = Text.grams(2)
-    val sorted = array_sort(g)
-    // max bigram run length over the sorted array (same fold shape as
-    // text_repetition, max-run only)
-    val mx = aggregate(
-      sorted,
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("mx")),
-      (acc, x) =>
-        when(acc.getField("run") > 0 && acc.getField("prev") === x,
-          struct(x.as("prev"), (acc.getField("run") + 1L).as("run"),
-            acc.getField("mx").as("mx")))
-        .otherwise(struct(x.as("prev"), lit(1L).as("run"),
-          greatest(acc.getField("mx"), acc.getField("run")).as("mx"))),
-      acc => greatest(acc.getField("mx"), acc.getField("run")))
+    graft.GraftFunctions.register(s)
     docs(s, dir)
       .select(col("source"),
         size(toks).as("n_tok"),
         (size(array_distinct(toks)).cast("double") / size(toks))
           .as("dr"),
-        when(size(g) > 0, mx.cast("double") / size(g)).otherwise(0.0)
+        call_function("bigram_run_stats", toks).as("f"))
+      .select(col("source"), col("n_tok"), col("dr"),
+        when(col("f.ng") > 0,
+          col("f.mx").cast("double") / col("f.ng")).otherwise(0.0)
           .as("tg"))
       .select(col("source"),
         (col("n_tok") >= 20 && col("n_tok") <= 100000 &&
