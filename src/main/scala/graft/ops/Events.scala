@@ -200,6 +200,44 @@ object Events {
     FROM r WHERE rn = 1
     ORDER BY user_id, event_type"""
 
+  /** Range (interval) join — the second custom-join class the brief
+    * names next to as-of: each click attributed to the same user's
+    * purchases within the following hour. The equi key (user) carries
+    * the hash join; the range predicate rides the join condition as a
+    * post-probe filter, so this is a plain shuffled equi-join at any
+    * scale — never a cartesian, never a window. Batch twin of the
+    * stream-stream interval join (streaming.EventStream
+    * .clickPurchases; equality asserted in EventStreamSpec). */
+  def rangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.loadEventsUs(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts_us").as("click_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts_us").as("purchase_us"))
+    clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("purchase_us") >= col("click_us") &&
+          col("purchase_us") < col("click_us") + lit(3600000000L))
+      .select(col("click_id"), col("purchase_id"),
+        (col("purchase_us") - col("click_us")).as("lag_us"))
+      .orderBy("click_id", "purchase_id")
+  }
+
+  val rangeJoinSql: String = """
+    WITH e AS (
+      SELECT event_id, user_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events)
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           p.us - c.us AS lag_us
+    FROM e c JOIN e p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.us >= c.us AND p.us < c.us + 3600000000
+    ORDER BY click_id, purchase_id"""
+
   /** SCD type-2 history build: each (user, event_type) observation
     * becomes a validity interval [ts, next-ts-of-same-key), open (NULL
     * valid_to, is_current) on the latest — the warehouse MERGE-history
@@ -239,5 +277,6 @@ object Events {
     QueryDef("q_asof_join", asof, Some(asofSql)),
     QueryDef("q_tumbling", tumbling, Some(tumblingSql)),
     QueryDef("q_cdc_compact", cdcCompact, Some(cdcCompactSql)),
-    QueryDef("q_scd2", scd2, Some(scd2Sql)))
+    QueryDef("q_scd2", scd2, Some(scd2Sql)),
+    QueryDef("q_range_join", rangeJoin, Some(rangeJoinSql)))
 }
