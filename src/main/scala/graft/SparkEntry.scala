@@ -12,7 +12,7 @@ object SparkEntry {
     ops.Relational.all ++ ops.Relational2.all ++ ops.Relational3.all ++
       ops.Relational4.all ++ ops.Relational5.all ++ ops.Relational6.all ++
       ops.Relational7.all ++
-      ops.Events.all ++ ops.Corpus.all ++
+      ops.Events.all ++ ops.Corpus.all ++ ops.Privacy.all ++
       ops.GeoQueries.all ++ ops.TextDedup.all ++ ops.DedupCluster.all ++
       ops.VectorOps.all ++
       ops.Multimodal.all

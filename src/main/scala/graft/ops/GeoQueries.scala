@@ -30,6 +30,39 @@ object GeoQueries {
     FROM pts p CROSS JOIN st s
     GROUP BY p.id ORDER BY p.id"""
 
+  // ---- fused multi-class nearest distance ----------------------------
+  /** The reference runs one *DistanceCalculator per feature table — ten
+    * separate passes over the points (airport/bus/coastline/…; e.g.
+    * reference duckpipe/calculator/AirportDistanceCalculator.py:38-57,
+    * same template per class). graft fuses the family: tag each feature
+    * with its class, broadcast the union once, and resolve EVERY
+    * nearest-distance variable in a single scan — one conditional min
+    * per class inside one map-side-combined hash aggregate. At 100 TB
+    * that is 1 pass over the point table instead of 10. */
+  def nearestAll(s: SparkSession, dir: String): DataFrame = {
+    val st = broadcast(Derive.sites(s, dir)
+      .select((col("id") % 5).as("cls"),
+        col("x").as("fx"), col("y").as("fy")))
+    val dist = Geo.dist(col("x"), col("y"), col("fx"), col("fy"))
+    def cmin(k: Int) = min(when(col("cls") === k, dist))
+    Derive.points(s, dir).join(st)
+      .groupBy("id")
+      .agg(cmin(0).as("d_airport"), cmin(1).as("d_bus"),
+        cmin(2).as("d_port"), cmin(3).as("d_rail"), cmin(4).as("d_road"))
+      .orderBy("id")
+  }
+
+  val nearestAllSql: String = s"""
+    WITH $pts, $st
+    SELECT p.id,
+           MIN(CASE WHEN s.id % 5 = 0 THEN sqrt(${d2("p", "s")}) END) AS d_airport,
+           MIN(CASE WHEN s.id % 5 = 1 THEN sqrt(${d2("p", "s")}) END) AS d_bus,
+           MIN(CASE WHEN s.id % 5 = 2 THEN sqrt(${d2("p", "s")}) END) AS d_port,
+           MIN(CASE WHEN s.id % 5 = 3 THEN sqrt(${d2("p", "s")}) END) AS d_rail,
+           MIN(CASE WHEN s.id % 5 = 4 THEN sqrt(${d2("p", "s")}) END) AS d_road
+    FROM pts p CROSS JOIN st s
+    GROUP BY p.id ORDER BY p.id"""
+
   // ---- nearest distance (grid strategy, same semantics) --------------
   def nearestGrid(s: SparkSession, dir: String): DataFrame =
     NearestDistance.gridNearest(
@@ -729,6 +762,7 @@ object GeoQueries {
 
   def all: Seq[QueryDef] = Seq(
     QueryDef("geo_nearest", nearest, Some(nearestSql)),
+    QueryDef("geo_nearest_all", nearestAll, Some(nearestAllSql)),
     QueryDef("geo_nearest_grid", nearestGrid, Some(nearestGridSql)),
     QueryDef("geo_knn", knn, Some(knnSql)),
     QueryDef("geo_buffer_line", bufferLine, Some(bufferLineSql)),
