@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.{QueryDef, Tables}
 import graft.QueryDef.dsum
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -169,17 +169,26 @@ object Events {
     * Mirrors the compaction step a Delta/Hudi-style MERGE performs
     * (reference has no CDC surface; this is engine bread-and-butter).
     */
+  /** (ts_us, event_id) version order packed into one DECIMAL(38,0):
+    * ts_us · 10¹² + event_id — exact decimal arithmetic, 10¹² of id
+    * space per microsecond tick. A max over a bare STRUCT regresses
+    * the whole aggregation to SortAggregate (struct buffers are not
+    * mutable in UnsafeRow), which map-side SORTS every scan partition
+    * at 100 TB; decimal buffers stay in HashAggregate, so max /
+    * max_by over the packed order keep the one-shuffle hash-argmax
+    * shape (same trick as dedup_keep_best's bit-packed long — events
+    * need 10¹² ids × µs timestamps, which only decimal128 can hold). */
+  private def packedVer: Column =
+    expr("CAST(ts_us AS DECIMAL(38,0)) * 1000000000000 + event_id")
+
   def cdcCompact(s: SparkSession, dir: String): DataFrame = {
     Tables.loadEventsUs(s, dir)
-      .select(col("user_id"), col("event_type"),
-        struct(col("ts_us"), col("event_id"), col("value")).as("ver"))
+      .withColumn("ver", packedVer)
       .groupBy("user_id", "event_type")
-      .agg(max(col("ver")).as("m"), count(lit(1)).as("n_versions"))
-      .select(col("user_id"), col("event_type"),
-        col("m.ts_us").as("latest_ts_us"),
-        col("m.event_id").as("latest_event_id"),
-        round(col("m.value"), 6).as("latest_value"),
-        col("n_versions"))
+      .agg(max(col("ts_us")).as("latest_ts_us"),
+        max_by(col("event_id"), col("ver")).as("latest_event_id"),
+        round(max_by(col("value"), col("ver")), 6).as("latest_value"),
+        count(lit(1)).as("n_versions"))
       .orderBy("user_id", "event_type")
   }
 
@@ -270,8 +279,62 @@ object Events {
     FROM events
     ORDER BY user_id, event_type, valid_from_us, event_id"""
 
+  /** Snapshot state diff — the audit companion to q_cdc_compact /
+    * q_scd2: compact the stream to its latest state as of TWO cut
+    * times and classify each (user, type) key as added / changed /
+    * unchanged between them. ONE scan + ONE hash aggregate — each
+    * snapshot is a conditional max over the ordered version struct
+    * with map-side partials; never two state builds joined back
+    * (the naive twin shuffles the events twice and adds an outer
+    * join that dominates at 100 TB). */
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val t1 = 1704412800000000L // 2024-01-05 00:00 UTC, epoch µs
+    val t2 = 1704499200000000L // 2024-01-06 00:00 UTC
+    def unpackId(p: Column) =
+      (p % 1000000000000L).cast("bigint") // exact decimal mod
+    Tables.loadEventsUs(s, dir)
+      .filter(col("ts_us") <= t2)
+      .withColumn("ver", packedVer)
+      .groupBy("user_id", "event_type")
+      .agg(
+        max(when(col("ts_us") <= t1, col("ver"))).as("p1"),
+        max(col("ver")).as("p2"),
+        sum(when(col("ts_us") <= t1, 1L).otherwise(0L)).as("n1"),
+        count(lit(1)).as("n2"))
+      .select(col("user_id"), col("event_type"),
+        when(col("p1").isNull, "added")
+          .when(col("p1") =!= col("p2"), "changed")
+          .otherwise("unchanged").as("status"),
+        col("n1"), col("n2"),
+        unpackId(col("p1")).as("latest1"), unpackId(col("p2")).as("latest2"))
+      .orderBy("user_id", "event_type")
+  }
+
+  val snapshotDiffSql: String = """
+    WITH u AS (
+      SELECT user_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id
+      FROM events
+      WHERE epoch_us(CAST(ts AS TIMESTAMP)) <= 1704499200000000),
+    a AS (
+      SELECT user_id, event_type,
+        max(struct_pack(ts := ts_us, id := event_id))
+          FILTER (WHERE ts_us <= 1704412800000000) AS m1,
+        max(struct_pack(ts := ts_us, id := event_id)) AS m2,
+        COUNT(*) FILTER (WHERE ts_us <= 1704412800000000) AS n1,
+        COUNT(*) AS n2
+      FROM u GROUP BY 1, 2)
+    SELECT user_id, event_type,
+      CASE WHEN m1 IS NULL THEN 'added'
+           WHEN m1.id <> m2.id THEN 'changed'
+           ELSE 'unchanged' END AS status,
+      CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      m1.id AS latest1, m2.id AS latest2
+    FROM a ORDER BY user_id, event_type"""
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("q_retention", retention, Some(retentionSql)),
+    QueryDef("q_snapshot_diff", snapshotDiff, Some(snapshotDiffSql)),
     QueryDef("q_top_ngrams", topNgrams, Some(topNgramsSql)),
     QueryDef("q_sessionize", sessionize, Some(sessionizeSql)),
     QueryDef("q_asof_join", asof, Some(asofSql)),

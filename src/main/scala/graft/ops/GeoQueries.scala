@@ -63,6 +63,32 @@ object GeoQueries {
     FROM pts p CROSS JOIN st s
     GROUP BY p.id ORDER BY p.id"""
 
+  // ---- per-year nearest distance -------------------------------------
+  /** The reference loops calculator × year — each year is a separate
+    * DuckDB pass over every chunk (e.g. AirportDistanceCalculator.py
+    * iterates its year list, re-querying the feature table per year).
+    * graft makes `year` a GROUPING COLUMN (SURVEY §3): sites carry
+    * their survey year, and one broadcast pass resolves the minimum
+    * distance for every (id, year) cell — N years cost one scan of
+    * the point table, not N. */
+  def nearestYear(s: SparkSession, dir: String): DataFrame = {
+    val st = broadcast(Derive.sites(s, dir)
+      .select((col("id") % 3 + 2019).as("year"),
+        col("x").as("fx"), col("y").as("fy")))
+    Derive.points(s, dir).join(st)
+      .groupBy("id", "year")
+      .agg(min(Geo.dist(col("x"), col("y"), col("fx"), col("fy")))
+        .as("distance"))
+      .orderBy("id", "year")
+  }
+
+  val nearestYearSql: String = s"""
+    WITH $pts, $st
+    SELECT p.id, s.id % 3 + 2019 AS year,
+           MIN(sqrt(${d2("p", "s")})) AS distance
+    FROM pts p CROSS JOIN st s
+    GROUP BY 1, 2 ORDER BY p.id, year"""
+
   // ---- nearest distance (grid strategy, same semantics) --------------
   def nearestGrid(s: SparkSession, dir: String): DataFrame =
     NearestDistance.gridNearest(
@@ -763,6 +789,7 @@ object GeoQueries {
   def all: Seq[QueryDef] = Seq(
     QueryDef("geo_nearest", nearest, Some(nearestSql)),
     QueryDef("geo_nearest_all", nearestAll, Some(nearestAllSql)),
+    QueryDef("geo_nearest_year", nearestYear, Some(nearestYearSql)),
     QueryDef("geo_nearest_grid", nearestGrid, Some(nearestGridSql)),
     QueryDef("geo_knn", knn, Some(knnSql)),
     QueryDef("geo_buffer_line", bufferLine, Some(bufferLineSql)),

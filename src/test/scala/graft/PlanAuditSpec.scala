@@ -83,6 +83,16 @@ class PlanAuditSpec extends SparkSpec {
       assert(singles.isEmpty,
         s"$q: SinglePartition exchange in the computation plan")
     }
+    // the events argmax family (decimal-packed version order): a bare
+    // struct max would regress these to SortAggregate, which map-side
+    // sorts every scan partition — they must stay hash-based
+    for (q <- Seq("q_cdc_compact", "q_snapshot_diff")) {
+      val nodes = collectAll(initialPlan(q))
+      assert(!nodes.exists(_.nodeName.contains("SortAggregate")),
+        s"$q: version argmax regressed to sort-based aggregation")
+      assert(!nodes.exists(_.nodeName.contains("Window")),
+        s"$q: latest-state compaction must not use a window")
+    }
     // dedup_keep_best: the argmax is ONE hash-based aggregation with a
     // map-side partial below its exchange — never a window, never a
     // SortAggregate (max over bare structs would regress to one)
