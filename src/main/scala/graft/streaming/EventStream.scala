@@ -99,6 +99,48 @@ object EventStream {
         col("c_user").as("user_id"), col("click_us"), col("purchase_us"))
   }
 
+  // ---- running CDC latest-state --------------------------------------
+  final case class VerIn(user_id: Long, event_type: String, ts_us: Long,
+                         event_id: Long, value: Double)
+  final case class VerState(ts_us: Long, event_id: Long, value: Double,
+                            n: Long)
+  final case class LatestOut(user_id: Long, event_type: String,
+      latest_ts_us: Long, latest_event_id: Long, latest_value: Double,
+      n_versions: Long)
+
+  /** Running CDC compaction — the streaming twin of Events.cdcCompact:
+    * mapGroupsWithState keeps ONE (latest version, count) per
+    * (user, type) key and emits the refreshed row every batch (Update
+    * mode), so a sink always holds the current compacted state.
+    * Version order matches the batch decimal-packed order exactly:
+    * (ts_us, event_id) lexicographic. State is O(keys), not O(events),
+    * and never expires — latest-state is a permanent materialization,
+    * unlike the gap-bounded session state above. */
+  def latestState(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    readEvents(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts_us"),
+        col("event_id"), col("value")).as[VerIn]
+      .groupByKey(v => (v.user_id, v.event_type))
+      .mapGroupsWithState[VerState, LatestOut](GroupStateTimeout.NoTimeout) {
+        case ((user, typ), rows, state) =>
+          var st = state.getOption
+            .getOrElse(VerState(Long.MinValue, Long.MinValue, 0.0, 0L))
+          rows.foreach { v =>
+            val newer = v.ts_us > st.ts_us ||
+              (v.ts_us == st.ts_us && v.event_id > st.event_id)
+            st = VerState(
+              if (newer) v.ts_us else st.ts_us,
+              if (newer) v.event_id else st.event_id,
+              if (newer) v.value else st.value,
+              st.n + 1)
+          }
+          state.update(st)
+          LatestOut(user, typ, st.ts_us, st.event_id, st.value, st.n)
+      }
+      .toDF()
+  }
+
   // ---- stateful sessionization ---------------------------------------
   final case class Ev(user_id: Long, ts_us: Long)
   final case class SessionState(start: Long, end: Long, n: Long)

@@ -107,6 +107,30 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.select("event_id").distinct().count() == expected)
   }
 
+  test("streaming latest-state equals batch CDC compaction") {
+    val q = EventStream.latestState(spark, sfDir)
+      .writeStream.format("memory").queryName("cdc_state_out")
+      .outputMode(OutputMode.Update()).start()
+    try q.processAllAvailable() finally q.stop()
+    // Update mode appends each batch's refreshed rows; the final state
+    // per key is the one with the highest version count
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), math.round(r.getDouble(4) * 1e6),
+          r.getLong(5))).toMap
+    val streamed = key(spark.table("cdc_state_out")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id", "event_type")
+          .orderBy(col("n_versions").desc)))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_type", "latest_ts_us", "latest_event_id",
+        "latest_value", "n_versions"))
+    val batch = key(Events.cdcCompact(spark, sfDir))
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("streaming sessionization emits exactly the batch sessions closed in-stream") {
     val q = EventStream.sessions(spark, sfDir)
       .writeStream.format("memory").queryName("sessions_out")
