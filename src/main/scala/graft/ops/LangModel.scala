@@ -1,0 +1,78 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-language-model scoring — the perplexity-style quality filter
+  * of an LLM data pipeline (CCNet/Gopher practice: score each document
+  * under a language model trained on the corpus itself and drop the
+  * tails). Here the model is the corpus's own unigram distribution:
+  *
+  *   p(w) = c(w)/N          for in-vocabulary tokens (count ≥ minCount)
+  *   p(w) = 1/N             for rare/OOV tokens (floor probability)
+  *
+  * and each document reports its average negative log-likelihood
+  * (avg_nll — the log-perplexity proxy) plus its OOV fraction.
+  *
+  * Engine shape, chosen for 100 TB: the vocabulary is NOT broadcast —
+  * a web-scale corpus has an unbounded heavy tail of rare tokens, so
+  * the token→count table joins back to the exploded token stream as a
+  * plain token-key shuffle join (the per-key dim side is exactly one
+  * row, so hot tokens hash-partition without skew amplification), and
+  * both aggregations (vocab build, per-doc fold) run with map-side
+  * partial combine. The only broadcast is the one-row corpus total.
+  * Σ ln c is a float sum folded at 6 dp — per-document term count
+  * (~10²) bounds the cross-engine order-sensitivity near 1e-12, the
+  * same argument text_entropy's gate has held through every round.
+  */
+object LangModel {
+
+  /** Library entry point: score any (doc_id, text) DataFrame under its
+    * own unigram distribution. minCount sets the vocabulary floor —
+    * tokens below it score at the 1/N OOV floor probability. */
+  def scoreUnigram(docsDf: DataFrame, minCount: Int = 2): DataFrame = {
+    val w = docsDf.select(col("doc_id"), explode(Text.toks).as("w"))
+    val vocab = w.groupBy("w").agg(count(lit(1)).as("c"))
+    // shuffle_hash: the vocab must NEVER ride a broadcast — at web scale
+    // the rare-token tail is unbounded. The hint pins the shuffled hash
+    // join at every scale (PlanAuditSpec asserts it).
+    w.join(vocab.hint("shuffle_hash"), "w")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tok"),
+        sum(when(col("c") >= minCount, log(col("c").cast("double")))
+          .otherwise(lit(0.0))).as("s_ln"),
+        sum(when(col("c") < minCount, 1L).otherwise(0L)).as("n_oov"))
+      .crossJoin(broadcast(vocab.agg(sum("c").cast("double").as("nt"))))
+      .select(
+        col("doc_id"), col("n_tok"),
+        round(log(col("nt")) - col("s_ln") / col("n_tok"), 6).as("avg_nll"),
+        round(col("n_oov").cast("double") / col("n_tok"), 6).as("oov_frac"))
+  }
+
+  def textUnigramLp(s: SparkSession, dir: String): DataFrame =
+    scoreUnigram(Tables.fanout(Tables.load(s, dir, "documents")))
+      .orderBy("doc_id")
+
+  val textUnigramLpSql: String = """
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    v AS (
+      SELECT w, COUNT(*) AS c FROM w GROUP BY 1),
+    n AS (
+      SELECT CAST(SUM(c) AS DOUBLE) AS nt FROM v),
+    j AS (
+      SELECT doc_id, c FROM w JOIN v USING (w))
+    SELECT doc_id,
+           COUNT(*) AS n_tok,
+           ROUND(ln((SELECT nt FROM n))
+                 - SUM(CASE WHEN c >= 2 THEN ln(CAST(c AS DOUBLE))
+                       ELSE 0.0 END) / COUNT(*), 6) AS avg_nll,
+           ROUND(CAST(SUM(CASE WHEN c < 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS oov_frac
+    FROM j GROUP BY doc_id ORDER BY doc_id"""
+
+  def all: Seq[QueryDef] = Seq(
+    QueryDef("text_unigram_lp", textUnigramLp, Some(textUnigramLpSql)))
+}

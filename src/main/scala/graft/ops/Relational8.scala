@@ -1,0 +1,185 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import graft.QueryDef.dsum
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Eighth relational wave — three engine capabilities a 100 TB
+  * deployment leans on that no earlier key exercises directly:
+  *
+  *   q_incr_agg   incremental materialized-aggregate MAINTENANCE:
+  *                partial-state merge (the "never recompute the base"
+  *                contract behind every streaming/batch rollup)
+  *   q_bloom_join runtime pre-filter join: a 2-hash Bloom-style
+  *                bucket digest of the filtered dim side prunes the
+  *                fact BEFORE its shuffle — the manual twin of
+  *                Spark's runtime row-level filtering
+  *   q_profile    one-pass dataset profiling (null/distinct/min/max
+  *                per column) via a single Expand — the data-quality
+  *                report every ingest pipeline runs first
+  */
+object Relational8 {
+
+  private def rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  /** Incremental aggregate maintenance. The daily (day, event_type)
+    * rollup is maintained as mergeable partial state — (count,
+    * decimal sum, min, max) — in two independent slices (events up to
+    * a cut instant = the "materialized base", events after it = the
+    * "delta batch"), then MERGED by a second aggregation: counts and
+    * decimal sums add, min/max fold. The oracle recomputes the rollup
+    * directly over all events, so hash-equality certifies the merge
+    * algebra (merge(agg(base), agg(delta)) ≡ agg(base ∪ delta)) —
+    * the property that lets a 100 TB pipeline aggregate only the new
+    * day's data. Decimal-routed sums make the certificate exact: the
+    * one-sum and two-sums-then-add orders cannot diverge. The cut is
+    * data-derived ((min+max) DIV 2 epoch-µs) via a one-row aggregate
+    * broadcast — no driver round-trip. Two hash aggregates, both with
+    * map-side partials; no window, no sort beyond presentation. */
+  def qIncrAgg(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.loadEventsUs(s, dir)
+      .select(col("ts_us"), col("event_type"), col("value"))
+    val cut = e.agg(min("ts_us").as("mn"), max("ts_us").as("mx"))
+      .select(expr("(mn + mx) DIV 2").as("cut_us"))
+    val partials = e.crossJoin(broadcast(cut))
+      .withColumn("day_us", col("ts_us") - (col("ts_us") % lit(86400000000L)))
+      .withColumn("is_base", (col("ts_us") <= col("cut_us")).cast("int"))
+      .groupBy("day_us", "event_type", "is_base")
+      .agg(
+        count(lit(1)).as("pn"),
+        sum(col("value").cast(DecimalType(18, 4))).as("psum"),
+        min("value").as("pmin"),
+        max("value").as("pmax"))
+    partials
+      .groupBy("day_us", "event_type")
+      .agg(
+        sum("pn").as("n"),
+        sum("psum").cast("double").as("sum_value"),
+        min("pmin").as("min_value"),
+        max("pmax").as("max_value"))
+      .orderBy("day_us", "event_type")
+  }
+
+  val qIncrAggSql: String = """
+    SELECT epoch_us(CAST(ts AS TIMESTAMP))
+             - epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000 AS day_us,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** Runtime pre-filter join. The selective dim side (URGENT orders)
+    * is digested into a Bloom-style bucket set — TWO independent
+    * xxhash64 buckets per key in disjoint ranges [0, m) and [m, 2m) —
+    * and the fact side keeps a row only if BOTH of its buckets appear
+    * (two broadcast left-semi joins, pure map stages). False
+    * positives (~(k/m)² of the fact) flow into the exact equi-join,
+    * which removes them, so the digest is semantics-invisible — the
+    * oracle is the plain join. At 100 TB this is the shape that wins:
+    * the digest is ≤2m ints no matter how large the dim, and fact
+    * rows that cannot match never enter the join shuffle. (Spark's
+    * own runtime filtering does this under AQE; registering it as an
+    * explicit operator makes the contract testable and available on
+    * plans the optimizer won't rewrite.) */
+  def qBloomJoin(s: SparkSession, dir: String): DataFrame = {
+    val m = 1L << 16
+    def b1(k: Column): Column = pmod(xxhash64(lit(1), k), lit(m))
+    def b2(k: Column): Column = pmod(xxhash64(lit(2), k), lit(m)) + lit(m)
+    val dim = Tables.load(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val digest = dim.select(
+      explode(array(b1(col("o_orderkey")), b2(col("o_orderkey")))).as("b"))
+      .distinct()
+    val fact = Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val pruned = fact
+      .join(broadcast(digest), b1(col("l_orderkey")) === col("b"), "left_semi")
+      .join(broadcast(digest), b2(col("l_orderkey")) === col("b"), "left_semi")
+    pruned
+      .join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+        .cast("long").as("ym"))
+      .agg(count(lit(1)).as("n_lines"), dsum(rev, 4).as("revenue"))
+      .orderBy("ym")
+  }
+
+  val qBloomJoinSql: String = """
+    SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+             AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY 1 ORDER BY 1"""
+
+  /** One-pass dataset profiling: per column — row count, non-null
+    * count, exact distinct count, lexicographic min/max — the report
+    * every ingest job emits before a table enters the pipeline. All
+    * five columns profile in ONE scan: values are cast to strings
+    * through type-stable renderings (decimal(18,2) for the money
+    * column, DATE for the timestamp — both print identically in
+    * Spark and DuckDB) and stacked to long form by a single Expand,
+    * then one aggregation. Priority is routed through nullif so the
+    * null-handling paths (count vs count(col), distinct, min/max
+    * null-skipping) are actually exercised — the synthetic tables
+    * carry no natural NULLs. Expand is a map stage: the only shuffle
+    * is the 5-group aggregation. */
+  def qProfile(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "orders")
+      .select(
+        col("o_orderkey").cast("string").as("c_key"),
+        col("o_custkey").cast("string").as("c_cust"),
+        nullif(col("o_orderpriority"), lit("3-MEDIUM")).as("c_prio"),
+        col("o_totalprice").cast(DecimalType(18, 2)).cast("string")
+          .as("c_price"),
+        col("o_orderdate").cast("date").cast("string").as("c_date"))
+      .select(expr(
+        """stack(5,
+             'o_orderkey', c_key,
+             'o_custkey', c_cust,
+             'o_orderpriority', c_prio,
+             'o_totalprice', c_price,
+             'o_orderdate', c_date) AS (col_name, v)"""))
+      .groupBy("col_name")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("v")).as("n_filled"),
+        countDistinct(col("v")).as("n_distinct"),
+        min("v").as("min_v"),
+        max("v").as("max_v"))
+      .orderBy("col_name")
+  }
+
+  val qProfileSql: String = """
+    WITH src AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS c_key,
+             CAST(o_custkey AS VARCHAR) AS c_cust,
+             nullif(o_orderpriority, '3-MEDIUM') AS c_prio,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS c_price,
+             CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS c_date
+      FROM orders),
+    long AS (
+      SELECT 'o_orderkey' AS col_name, c_key AS v FROM src
+      UNION ALL SELECT 'o_custkey', c_cust FROM src
+      UNION ALL SELECT 'o_orderpriority', c_prio FROM src
+      UNION ALL SELECT 'o_totalprice', c_price FROM src
+      UNION ALL SELECT 'o_orderdate', c_date FROM src)
+    SELECT col_name,
+           COUNT(*) AS n_rows,
+           COUNT(v) AS n_filled,
+           CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
+           MIN(v) AS min_v,
+           MAX(v) AS max_v
+    FROM long GROUP BY 1 ORDER BY 1"""
+
+  def all: Seq[QueryDef] = Seq(
+    QueryDef("q_incr_agg", qIncrAgg, Some(qIncrAggSql)),
+    QueryDef("q_bloom_join", qBloomJoin, Some(qBloomJoinSql)),
+    QueryDef("q_profile", qProfile, Some(qProfileSql)))
+}

@@ -115,6 +115,44 @@ class PlanAuditSpec extends SparkSpec {
       "partial (Object)HashAggregate must sit under the shuffle")
   }
 
+  test("round-6b operators keep their scale shapes") {
+    // q_incr_agg: partial-state build + merge = exactly two hash
+    // aggregations, never a sort-based one, never a window
+    val ia = collectAll(initialPlan("q_incr_agg"))
+    assert(!ia.exists(_.nodeName.contains("SortAggregate")) &&
+      !ia.exists(_.nodeName.contains("Window")),
+      "q_incr_agg: state merge must stay hash-aggregate only")
+    assert(ia.collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.toString.contains("hashpartitioning") => e
+    }.length == 2, "q_incr_agg: build + merge = two hash exchanges")
+
+    // q_bloom_join: both digest prefilters are broadcast left-semi
+    // hash joins sitting on the fact side BEFORE the equi-join
+    val bj = collectAll(initialPlan("q_bloom_join"))
+    val semis = bj.collect {
+      case j: BroadcastHashJoinExec if j.joinType.toString == "LeftSemi" => j
+    }
+    assert(semis.length >= 2,
+      "q_bloom_join: expected two broadcast left-semi digest prefilters")
+
+    // q_profile: the stack lowers to one row-generating node (Generate)
+    // — profiling five columns must not scan the table five times
+    val pr = collectAll(initialPlan("q_profile"))
+    assert(pr.exists(p => p.nodeName.contains("Generate") ||
+        p.nodeName.contains("Expand")) &&
+      pr.collect { case s: FileSourceScanExec => s }.length == 1,
+      "q_profile: five columns profile from a single scan")
+
+    // text_unigram_lp: the vocab join must be a SHUFFLED hash join —
+    // a broadcast there dies at web scale (unbounded rare-token tail)
+    val lp = collectAll(initialPlan("text_unigram_lp"))
+    assert(lp.exists(_.nodeName.contains("ShuffledHashJoin")),
+      "text_unigram_lp: vocab join must be a shuffled hash join")
+    assert(!lp.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "text_unigram_lp: vocab must not be broadcast")
+  }
+
   test("no registered query plans a cartesian product") {
     // build-time driver rounds (documented in each operator):
     val skip = Set("dedup_cluster", "dedup_ngram", "geo_pivot",

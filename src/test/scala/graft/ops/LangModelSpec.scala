@@ -1,0 +1,33 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class LangModelSpec extends SparkSpec {
+
+  test("unigram scores match hand computation on a known corpus") {
+    import spark.implicits._
+    // counts: a=3 b=1 c=1 d=1, N=6; vocab (c>=2) = {a}
+    val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "d"))
+      .toDF("doc_id", "text")
+    val got = LangModel.scoreUnigram(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val ln = (x: Double) => math.log(x)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(got(0) == ((1L, 3L, r6(ln(6) - 2 * ln(3) / 3), 0.333333)))
+    assert(got(1) == ((2L, 2L, r6(ln(6) - ln(3) / 2), 0.5)))
+    assert(got(2) == ((3L, 1L, r6(ln(6)), 1.0)))
+  }
+
+  test("ordering: a doc of common tokens scores lower nll than a doc of rare ones") {
+    val rows = LangModel.textUnigramLp(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nll, oov) = (r.getDouble(2), r.getDouble(3))
+      assert(nll >= 0.0, s"avg_nll must be non-negative, got $nll")
+      assert(oov >= 0.0 && oov <= 1.0)
+    }
+    // all-rare docs sit at the ln N ceiling; every doc is bounded by it
+    val nTotal = rows.map(_.getLong(1)).sum.toDouble
+    rows.foreach(r => assert(r.getDouble(2) <= math.log(nTotal) + 1e-6))
+  }
+}
