@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.QueryDef
+import graft.{QueryDef, Tables}
 import graft.geo._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -515,6 +515,78 @@ object GeoQueries {
   def polyCentroid(s: SparkSession, dir: String): DataFrame =
     centroidOf(s, Derive.triangles(s, dir))
 
+  // ---- vector→raster: polygon grid coverage --------------------------
+  /** Rasterize polygons onto the engine's raster-cell model: every
+    * G×G grid cell whose CENTER lies inside the polygon (the
+    * cell-center rule §3 already uses for area ratios, and the model
+    * the reference's elevation/NDVI rasters live in). Per polygon the
+    * candidate set is its own bbox cells — a bounded map-side
+    * sequence-explode (never a polygon×cell join), the native
+    * ray-cast expression keeps the containment test inside codegen,
+    * and ONE hash aggregate folds the covered-cell facts. All outputs
+    * are integer-exact (cell indices/counts), so the gate needs no
+    * rounding. At 100 TB: fanout → explode → filter → one shuffle. */
+  /** Library form: cover any (poly_id, xs, ys) polygon table with G×G
+    * cells by the cell-center rule. Session must have the graft
+    * function registry (GraftFunctions.register). */
+  def gridCover(tris: DataFrame, g: Double): DataFrame =
+    tris
+      .withColumn("ix", explode(sequence(
+        floor(array_min(col("xs")) / g).cast("long"),
+        floor(array_max(col("xs")) / g).cast("long"))))
+      .withColumn("iy", explode(sequence(
+        floor(array_min(col("ys")) / g).cast("long"),
+        floor(array_max(col("ys")) / g).cast("long"))))
+      .filter(call_function("point_in_polygon",
+        col("ix").cast("double") * g + g / 2,
+        col("iy").cast("double") * g + g / 2,
+        col("xs"), col("ys")))
+      .groupBy("poly_id")
+      .agg(count(lit(1)).as("n_cells"),
+        min("ix").as("ix_min"), max("ix").as("ix_max"),
+        min("iy").as("iy_min"), max("iy").as("iy_max"))
+
+  def rasterize(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(s)
+    gridCover(Tables.fanout(Derive.triangles(s, dir)), 50.0)
+      .orderBy("poly_id")
+  }
+
+  /** Oracle: bbox cell ladder via two unnested generate_series stages,
+    * then the same edge-for-edge ray-cast as polyTagSql evaluated at
+    * the cell centers. */
+  val rasterizeSql: String = s"""
+    WITH tris AS (${Derive.trianglesSql}),
+    cx AS (
+      SELECT poly_id, xs, ys,
+             unnest(generate_series(
+               CAST(floor(list_min(xs) / 50.0) AS BIGINT),
+               CAST(floor(list_max(xs) / 50.0) AS BIGINT))) AS ix
+      FROM tris),
+    cxy AS (
+      SELECT poly_id, xs, ys, ix,
+             CAST(ix AS DOUBLE) * 50.0 + 25.0 AS px,
+             unnest(generate_series(
+               CAST(floor(list_min(ys) / 50.0) AS BIGINT),
+               CAST(floor(list_max(ys) / 50.0) AS BIGINT))) AS iy
+      FROM cx),
+    hits AS (
+      SELECT poly_id, ix, iy,
+             CAST(iy AS DOUBLE) * 50.0 + 25.0 AS py
+      FROM cxy
+      WHERE (len(list_filter(generate_series(1, len(xs)), i ->
+        ((ys[i] > CAST(iy AS DOUBLE) * 50.0 + 25.0) !=
+         (ys[CASE WHEN i = 1 THEN len(ys) ELSE i - 1 END] >
+          CAST(iy AS DOUBLE) * 50.0 + 25.0))
+        AND px < (xs[CASE WHEN i = 1 THEN len(xs) ELSE i - 1 END] - xs[i])
+                  * (CAST(iy AS DOUBLE) * 50.0 + 25.0 - ys[i])
+                  / (ys[CASE WHEN i = 1 THEN len(ys) ELSE i - 1 END] - ys[i])
+                  + xs[i])) % 2) = 1)
+    SELECT poly_id, COUNT(*) AS n_cells,
+           MIN(ix) AS ix_min, MAX(ix) AS ix_max,
+           MIN(iy) AS iy_min, MAX(iy) AS iy_max
+    FROM hits GROUP BY 1 ORDER BY 1"""
+
   // ---- WKT ingest (duckpipe/core.py:138-152 geometry registration) ---
   /** Polygon WKT ingest certified end-to-end: serialize the triangle
     * table to `POLYGON ((…))` text, re-ingest through `Wkt.polygons`,
@@ -804,6 +876,7 @@ object GeoQueries {
     QueryDef("geo_cluster_capped", clusterCapped, Some(clusterCappedSql)),
     QueryDef("geo_poly_tag", polyTag, Some(polyTagSql)),
     QueryDef("geo_poly_centroid", polyCentroid, Some(polyCentroidSql)),
+    QueryDef("geo_rasterize", rasterize, Some(rasterizeSql)),
     QueryDef("geo_pivot", pivot, Some(pivotSql)),
     QueryDef("geo_line_clip", lineClip, Some(lineClipSql)),
     QueryDef("geo_area_clip", areaClip, Some(areaClipSql)),

@@ -178,8 +178,51 @@ object Relational8 {
            MAX(v) AS max_v
     FROM long GROUP BY 1 ORDER BY 1"""
 
+  /** Trailing-window distinct: per event day, how many DISTINCT users
+    * were active in the trailing 7 days. SQL window frames cannot
+    * express COUNT(DISTINCT) OVER RANGE, and the naive per-day rescan
+    * is quadratic — the scalable decomposition is contribution
+    * explode: dedup to (user, day) once, fan each active day out to
+    * the ≤7 report days it contributes to (map-side sequence explode
+    * over epoch-µs day buckets), keep report days that exist in the
+    * data (tiny day-list broadcast), and count distinct per report
+    * day. Work is O(active-pairs × 7) with two narrow shuffles —
+    * independent of the window's row count, the property that
+    * survives 100 TB. The oracle states the same semantics as a
+    * range join, so hash-equality certifies the decomposition. */
+  def qSlidingDistinct(s: SparkSession, dir: String): DataFrame = {
+    val day = lit(86400000000L)
+    val du = Tables.loadEventsUs(s, dir)
+      .select((col("ts_us") - (col("ts_us") % day)).as("day_us"),
+        col("user_id"))
+      .distinct()
+    val days = du.select("day_us").distinct()
+    du.withColumn("report_day_us",
+        explode(sequence(col("day_us"), col("day_us") + day * 6, day)))
+      .join(broadcast(days.withColumnRenamed("day_us", "report_day_us")),
+        Seq("report_day_us"), "left_semi")
+      .groupBy("report_day_us")
+      .agg(countDistinct("user_id").as("n_active_7d"))
+      .orderBy("report_day_us")
+  }
+
+  val qSlidingDistinctSql: String = """
+    WITH du AS (
+      SELECT DISTINCT
+             epoch_us(CAST(ts AS TIMESTAMP))
+               - epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000 AS day_us,
+             user_id
+      FROM events),
+    days AS (SELECT DISTINCT day_us FROM du)
+    SELECT d.day_us AS report_day_us,
+           COUNT(DISTINCT du.user_id) AS n_active_7d
+    FROM days d JOIN du
+      ON du.day_us BETWEEN d.day_us - 6 * 86400000000 AND d.day_us
+    GROUP BY 1 ORDER BY 1"""
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("q_incr_agg", qIncrAgg, Some(qIncrAggSql)),
     QueryDef("q_bloom_join", qBloomJoin, Some(qBloomJoinSql)),
+    QueryDef("q_sliding_distinct", qSlidingDistinct, Some(qSlidingDistinctSql)),
     QueryDef("q_profile", qProfile, Some(qProfileSql)))
 }

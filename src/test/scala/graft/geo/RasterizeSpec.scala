@@ -1,0 +1,52 @@
+package graft.geo
+
+import graft.SparkSpec
+import graft.ops.{GeoQueries, Relational8}
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+class RasterizeSpec extends SparkSpec {
+
+  test("gridCover: hand-checked right triangle") {
+    import spark.implicits._
+    graft.GraftFunctions.register(spark)
+    // (0,0)-(110,0)-(0,110): G=50 centers (25,25) (75,25) (25,75) are
+    // inside (x+y<110); (75,75) is out; ix/iy range is bbox-derived 0..2
+    val tri = Seq((1L, Seq(0.0, 110.0, 0.0), Seq(0.0, 0.0, 110.0)))
+      .toDF("poly_id", "xs", "ys")
+    val r = GeoQueries.gridCover(tri, 50.0).collect()(0)
+    assert(r.getLong(1) == 3L, s"expected 3 covered cells, got ${r.getLong(1)}")
+    assert(r.getLong(2) == 0L && r.getLong(3) == 1L, "ix range 0..1")
+    assert(r.getLong(4) == 0L && r.getLong(5) == 1L, "iy range 0..1")
+  }
+
+  test("geo_rasterize: coverage is bbox-bounded and non-degenerate") {
+    val rows = GeoQueries.rasterize(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, ixm, ixx, iym, iyx) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(n >= 1)
+      assert(ixm <= ixx && iym <= iyx)
+      assert(n <= (ixx - ixm + 1) * (iyx - iym + 1),
+        "covered cells cannot exceed the reported cell-range box")
+    }
+  }
+
+  test("q_sliding_distinct equals the per-day brute force") {
+    val day = 86400000000L
+    val du = Tables.loadEventsUs(spark, sfDir)
+      .select((col("ts_us") - (col("ts_us") % day)).as("day_us"),
+        col("user_id"))
+      .distinct()
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = du.map(_._1).distinct.sorted.map { d =>
+      d -> du.filter { case (dd, _) => dd >= d - 6 * day && dd <= d }
+        .map(_._2).distinct.length.toLong
+    }
+    val got = Relational8.qSlidingDistinct(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.toSeq == expected.toSeq)
+  }
+}
