@@ -461,8 +461,126 @@ object VectorOps {
     cents
   }
 
+  // ---- product quantization (PQ) --------------------------------------
+  /** PQ codebook build + encode — the vector-store compression behind
+    * billion-scale ANN (64-dim fp32 → 4 bytes of codes): the vector
+    * splits into SubS subspaces, each learning PqK centroids (seeded
+    * from the first PqK vectors' subvectors, one distributed Lloyd
+    * refinement with decimal-exact means — the ann_ivf machinery on
+    * slices), and each vector encodes as its per-subspace argmin code.
+    * Reported reconstruction error = Σ per-subspace residual L2², the
+    * number a recall-budget decision is made on.
+    *
+    * Scale shape: the codebook is SubS×PqK rows (tiny, broadcast); the
+    * encode is ONE broadcast join + hash-aggregate argmin (map-side
+    * partials, same tie-break as ivfAssign) + a conditional-aggregation
+    * pivot — no window over the vector×centroid space, no shuffle of
+    * the vectors beyond the argmin aggregation. In production the
+    * codebook trains once on a sample; encode is the 100 TB map pass.
+    * Determinism: residuals come from the native vec_l2 expression
+    * (same accumulation order as the oracle's list_sum) and the error
+    * sums its 4 terms in fixed left-to-right order — exact at 6 dp. */
+  val SubS = 4
+  val SubDim = 16
+  val PqK = 16
+
+  private def pqSlice(v: org.apache.spark.sql.Column,
+                      sub: org.apache.spark.sql.Column) =
+    slice(v, (sub * SubDim + 1).cast("int"), lit(SubDim))
+
+  /** Per-subspace codebook: (sub, cent_id, cv). iters=0 yields the raw
+    * seed codebook (specs use it to certify the Lloyd refinement). */
+  def pqCodebook(e: DataFrame, iters: Int = 1): DataFrame =
+    (0 until SubS).map { sIdx =>
+      val sub = e.select(col("vec_id"),
+        slice(col("v"), sIdx * SubDim + 1, SubDim).as("v"))
+      val seed = sub.filter(col("vec_id") < PqK)
+        .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+      kmeansIterate(sub, seed, iters, dim = SubDim)
+        .withColumn("sub", lit(sIdx.toLong))
+    }.reduce(_ unionByName _)
+
+  /** Encode a corpus against a codebook: (vec_id, code0..3, recon_err). */
+  def pqEncode(e: DataFrame, codebook: DataFrame): DataFrame = {
+    val cents = broadcast(Tables.hot(codebook))
+    val assigned = e.join(cents)
+      .select(col("vec_id"), col("sub"), col("cent_id"),
+        l2(pqSlice(col("v"), col("sub")), col("cv")).as("cd"))
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("cd"), col("cent_id"))).as("m"))
+      .select(col("vec_id"), col("sub"),
+        col("m.cd").as("cd"), col("m.cent_id").as("code"))
+    def pick(sIdx: Int, c: String) = max(when(col("sub") === sIdx, col(c)))
+    assigned.groupBy("vec_id")
+      .agg(
+        pick(0, "code").as("code0"), pick(1, "code").as("code1"),
+        pick(2, "code").as("code2"), pick(3, "code").as("code3"),
+        pick(0, "cd").as("e0"), pick(1, "cd").as("e1"),
+        pick(2, "cd").as("e2"), pick(3, "cd").as("e3"))
+      .select(col("vec_id"),
+        col("code0"), col("code1"), col("code2"), col("code3"),
+        round(col("e0") + col("e1") + col("e2") + col("e3"), 6)
+          .as("recon_err"))
+  }
+
+  def embedPq(s: SparkSession, dir: String): DataFrame =
+    pqEncode(emb(s, dir), pqCodebook(emb(s, dir))).orderBy("vec_id")
+
+  val embedPqSql: String = {
+    val subL2 =
+      "list_sum(list_transform(generate_series(1, 16), i -> (sv[i] - cv[i]) * (sv[i] - cv[i])))"
+    s"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    subs AS (
+      SELECT vec_id, s.s AS sub,
+             list_slice(v, s.s * $SubDim + 1, s.s * $SubDim + $SubDim) AS sv
+      FROM e, (SELECT unnest(generate_series(0, ${SubS - 1})) AS s) s(s)),
+    seed AS (
+      SELECT sub, vec_id AS cent_id, sv AS cv FROM subs WHERE vec_id < $PqK),
+    -- one unrolled Lloyd iteration per subspace (mirrors kmeansIterate)
+    k_ranked AS (
+      SELECT b.vec_id, b.sub, b.sv, c.cent_id,
+        ROW_NUMBER() OVER (PARTITION BY b.vec_id, b.sub ORDER BY
+          ${subL2.replace("sv[i]", "b.sv[i]").replace("cv[i]", "c.cv[i]")},
+          c.cent_id) AS crk
+      FROM subs b JOIN seed c ON b.sub = c.sub),
+    k_assigned AS (SELECT vec_id, sub, sv, cent_id FROM k_ranked WHERE crk = 1),
+    k_dims AS (
+      SELECT sub, cent_id, t.i AS i,
+        CAST(SUM(CAST(sv[t.i] AS DECIMAL(18,$MeanScale))) AS DOUBLE)
+          / COUNT(*) AS m
+      FROM k_assigned, generate_series(1, $SubDim) t(i)
+      GROUP BY sub, cent_id, t.i),
+    cents AS (
+      SELECT sub, cent_id, list(m ORDER BY i) AS cv
+      FROM k_dims GROUP BY sub, cent_id),
+    enc_ranked AS (
+      SELECT b.vec_id, b.sub, c.cent_id,
+        ${subL2.replace("sv[i]", "b.sv[i]").replace("cv[i]", "c.cv[i]")} AS cd,
+        ROW_NUMBER() OVER (PARTITION BY b.vec_id, b.sub ORDER BY
+          ${subL2.replace("sv[i]", "b.sv[i]").replace("cv[i]", "c.cv[i]")},
+          c.cent_id) AS crk
+      FROM subs b JOIN cents c ON b.sub = c.sub),
+    enc AS (SELECT vec_id, sub, cent_id, cd FROM enc_ranked WHERE crk = 1),
+    piv AS (
+      SELECT vec_id,
+        MAX(CASE WHEN sub = 0 THEN cent_id END) AS code0,
+        MAX(CASE WHEN sub = 1 THEN cent_id END) AS code1,
+        MAX(CASE WHEN sub = 2 THEN cent_id END) AS code2,
+        MAX(CASE WHEN sub = 3 THEN cent_id END) AS code3,
+        MAX(CASE WHEN sub = 0 THEN cd END) AS e0,
+        MAX(CASE WHEN sub = 1 THEN cd END) AS e1,
+        MAX(CASE WHEN sub = 2 THEN cd END) AS e2,
+        MAX(CASE WHEN sub = 3 THEN cd END) AS e3
+      FROM enc GROUP BY vec_id)
+    SELECT vec_id, code0, code1, code2, code3,
+           ROUND(e0 + e1 + e2 + e3, 6) AS recon_err
+    FROM piv ORDER BY vec_id"""
+  }
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("ann_cosine", annCosine, Some(annCosineSql)),
+    QueryDef("embed_pq", embedPq, Some(embedPqSql)),
     QueryDef("ann_lsh", annLsh, Some(annLshSql)),
     QueryDef("ann_ivf", annIvf, Some(annIvfSql)),
     QueryDef("dedup_embed", dedupEmbed, Some(dedupEmbedSql)),
