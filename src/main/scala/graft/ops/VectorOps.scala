@@ -500,16 +500,20 @@ object VectorOps {
         .withColumn("sub", lit(sIdx.toLong))
     }.reduce(_ unionByName _)
 
-  /** Encode a corpus against a codebook: (vec_id, code0..3, recon_err). */
-  def pqEncode(e: DataFrame, codebook: DataFrame): DataFrame = {
-    val cents = broadcast(Tables.hot(codebook))
-    val assigned = e.join(cents)
+  /** Long-form code assignment: (vec_id, sub, cd, code) — one broadcast
+    * join + hash-aggregate argmin (map-side partials, cent_id ties). */
+  def pqAssign(e: DataFrame, cents: DataFrame): DataFrame =
+    e.join(cents)
       .select(col("vec_id"), col("sub"), col("cent_id"),
         l2(pqSlice(col("v"), col("sub")), col("cv")).as("cd"))
       .groupBy("vec_id", "sub")
       .agg(min(struct(col("cd"), col("cent_id"))).as("m"))
       .select(col("vec_id"), col("sub"),
         col("m.cd").as("cd"), col("m.cent_id").as("code"))
+
+  /** Encode a corpus against a codebook: (vec_id, code0..3, recon_err). */
+  def pqEncode(e: DataFrame, codebook: DataFrame): DataFrame = {
+    val assigned = pqAssign(e, broadcast(Tables.hot(codebook)))
     def pick(sIdx: Int, c: String) = max(when(col("sub") === sIdx, col(c)))
     assigned.groupBy("vec_id")
       .agg(
@@ -526,11 +530,15 @@ object VectorOps {
   def embedPq(s: SparkSession, dir: String): DataFrame =
     pqEncode(emb(s, dir), pqCodebook(emb(s, dir))).orderBy("vec_id")
 
-  val embedPqSql: String = {
-    val subL2 =
-      "list_sum(list_transform(generate_series(1, 16), i -> (sv[i] - cv[i]) * (sv[i] - cv[i])))"
-    s"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  /** Shared oracle CTE chain: subvectors → seed → one Lloyd step →
+    * refined cents → per-(vec, sub) argmin codes. Used by embed_pq
+    * (pivot to wide codes) and ann_pq (ADC scoring over the codes). */
+  private val pqSubL2 =
+    "list_sum(list_transform(generate_series(1, 16), i -> (sv[i] - cv[i]) * (sv[i] - cv[i])))"
+
+  private val pqEncSqlCtes: String = {
+    val subL2 = pqSubL2
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     subs AS (
       SELECT vec_id, s.s AS sub,
              list_slice(v, s.s * $SubDim + 1, s.s * $SubDim + $SubDim) AS sv
@@ -561,7 +569,11 @@ object VectorOps {
           ${subL2.replace("sv[i]", "b.sv[i]").replace("cv[i]", "c.cv[i]")},
           c.cent_id) AS crk
       FROM subs b JOIN cents c ON b.sub = c.sub),
-    enc AS (SELECT vec_id, sub, cent_id, cd FROM enc_ranked WHERE crk = 1),
+    enc AS (SELECT vec_id, sub, cent_id, cd FROM enc_ranked WHERE crk = 1)"""
+  }
+
+  val embedPqSql: String = s"""
+    WITH $pqEncSqlCtes,
     piv AS (
       SELECT vec_id,
         MAX(CASE WHEN sub = 0 THEN cent_id END) AS code0,
@@ -576,11 +588,76 @@ object VectorOps {
     SELECT vec_id, code0, code1, code2, code3,
            ROUND(e0 + e1 + e2 + e3, 6) AS recon_err
     FROM piv ORDER BY vec_id"""
+
+  /** ADC (asymmetric distance) search over the PQ codes — how a PQ
+    * store is actually queried at scale: each query precomputes its
+    * distance TABLE (per-subspace L2² to every codebook centroid,
+    * |Q|·SubS·PqK tiny rows, broadcast), and every corpus vector is
+    * scored by FOUR table lookups on its codes — the original vectors
+    * are never touched again. Approximate by construction (quantized
+    * corpus side); the invariant ADC(q, q's own codes) ≡ recon_err(q)
+    * is spec-pinned, and the 4-term sum is folded in fixed order so
+    * ranking is bit-deterministic cross-engine. Scale shape: codes
+    * join the broadcast table map-side, one hash aggregate per
+    * (query, vector), top-k windows partitioned by query. */
+  def annPq(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cents = broadcast(Tables.hot(pqCodebook(e)))
+    val codes = pqAssign(e, cents)
+    val dt = broadcast(e.filter(expr(QueryFilter)).join(cents)
+      .select(col("vec_id").as("qid"),
+        l2(pqSlice(col("v"), col("sub")), col("cv")).as("dd"),
+        col("sub").as("dsub"), col("cent_id").as("dcent")))
+    def pick(i: Int) = max(when(col("dsub") === i, col("dd")))
+    val w = Window.partitionBy("qid").orderBy(col("ad"), col("cid"))
+    codes.join(dt, col("sub") === col("dsub") && col("code") === col("dcent"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id").as("cid"))
+      .agg(pick(0).as("d0"), pick(1).as("d1"),
+        pick(2).as("d2"), pick(3).as("d3"))
+      .select(col("qid"), col("cid"),
+        (col("d0") + col("d1") + col("d2") + col("d3")).as("ad"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+      .select(col("qid"), col("cid"), round(col("ad"), 6).as("adist"),
+        col("rn"))
+      .orderBy("qid", "rn")
+  }
+
+  val annPqSql: String = {
+    val dtL2 = pqSubL2.replace("sv[i]", "b.sv[i]").replace("cv[i]", "c.cv[i]")
+    s"""
+    WITH $pqEncSqlCtes,
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE $QueryFilter),
+    qsubs AS (
+      SELECT qid, s.s AS sub,
+             list_slice(qv, s.s * $SubDim + 1, s.s * $SubDim + $SubDim) AS sv
+      FROM q, (SELECT unnest(generate_series(0, ${SubS - 1})) AS s) s(s)),
+    dt AS (
+      SELECT b.qid, b.sub, c.cent_id, $dtL2 AS dd
+      FROM qsubs b JOIN cents c ON b.sub = c.sub),
+    scored AS (
+      SELECT d.qid, enc.vec_id AS cid,
+        MAX(CASE WHEN enc.sub = 0 THEN d.dd END) AS d0,
+        MAX(CASE WHEN enc.sub = 1 THEN d.dd END) AS d1,
+        MAX(CASE WHEN enc.sub = 2 THEN d.dd END) AS d2,
+        MAX(CASE WHEN enc.sub = 3 THEN d.dd END) AS d3
+      FROM enc JOIN dt d ON d.sub = enc.sub AND d.cent_id = enc.cent_id
+      WHERE enc.vec_id != d.qid
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT qid, cid, d0 + d1 + d2 + d3 AS ad,
+        ROW_NUMBER() OVER (PARTITION BY qid
+          ORDER BY d0 + d1 + d2 + d3, cid) AS rn
+      FROM scored)
+    SELECT qid, cid, ROUND(ad, 6) AS adist, rn
+    FROM ranked WHERE rn <= $K ORDER BY qid, rn"""
   }
 
   def all: Seq[QueryDef] = Seq(
     QueryDef("ann_cosine", annCosine, Some(annCosineSql)),
     QueryDef("embed_pq", embedPq, Some(embedPqSql)),
+    QueryDef("ann_pq", annPq, Some(annPqSql)),
     QueryDef("ann_lsh", annLsh, Some(annLshSql)),
     QueryDef("ann_ivf", annIvf, Some(annIvfSql)),
     QueryDef("dedup_embed", dedupEmbed, Some(dedupEmbedSql)),

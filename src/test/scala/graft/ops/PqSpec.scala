@@ -24,6 +24,28 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("ADC distance of a vector to its own codes equals its reconstruction error") {
+    val corpus = e
+    val cents = broadcast(Tables.hot(VectorOps.pqCodebook(corpus)))
+    val codes = VectorOps.pqAssign(corpus, cents)
+    // the per-(vec, sub) argmin residual IS the ADC lookup for the
+    // vector's own code — their fixed-order sum must equal recon_err
+    val selfAdc = codes.groupBy("vec_id")
+      .agg(
+        max(when(col("sub") === 0, col("cd"))).as("d0"),
+        max(when(col("sub") === 1, col("cd"))).as("d1"),
+        max(when(col("sub") === 2, col("cd"))).as("d2"),
+        max(when(col("sub") === 3, col("cd"))).as("d3"))
+      .select(col("vec_id"),
+        round(col("d0") + col("d1") + col("d2") + col("d3"), 6).as("self_ad"))
+    val enc = VectorOps.pqEncode(corpus, VectorOps.pqCodebook(corpus))
+      .select(col("vec_id"), col("recon_err"))
+    val diff = selfAdc.join(enc, "vec_id")
+      .filter(abs(col("self_ad") - col("recon_err")) > 1e-9)
+      .count()
+    assert(diff == 0, s"$diff vectors violate the self-ADC identity")
+  }
+
   test("one Lloyd refinement does not worsen mean reconstruction error") {
     def meanErr(iters: Int): Double =
       VectorOps.pqEncode(e, VectorOps.pqCodebook(e, iters))
