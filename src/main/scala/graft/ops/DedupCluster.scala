@@ -97,6 +97,79 @@ object DedupCluster {
            doc_id = cluster_id AS keep
     FROM lbl ORDER BY doc_id"""
 
+  /** The end-to-end near-dedup DECISION a corpus pipeline actually
+    * runs, as one operator: minhash-LSH verified pairs → connected
+    * components → quality-aware canonical per cluster (longest doc,
+    * ties to lowest id — the dedup_keep_best rule applied to NEAR-dup
+    * clusters instead of exact-hash groups; singletons keep
+    * themselves) → per-source survival report. The canonical argmax
+    * is the same bit-packed primitive-MAX hash aggregate (a struct
+    * max would regress to SortAggregate), and the report is one
+    * conditional aggregation — beyond the CC rounds nothing here
+    * adds more than two narrow shuffles. */
+  def corpusNearDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.fanout(Tables.load(s, dir, "documents"))
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val lbl = dedupCluster(s, dir).select("doc_id", "cluster_id")
+    val idSpace = 1L << 43
+    val packed = when(
+      col("n_chars") >= 0 && col("n_chars") < (1L << 20) &&
+        col("doc_id") >= 0 && col("doc_id") < idSpace,
+      shiftleft(col("n_chars"), 43) + (lit(idSpace - 1) - col("doc_id")))
+      .otherwise(raise_error(concat(
+        lit("corpus_near_dedup: doc_id/n_chars outside packable range: "),
+        col("doc_id").cast("string"))))
+    val grouped = d.join(lbl, Seq("doc_id"), "left")
+      .withColumn("grp", coalesce(col("cluster_id"), col("doc_id")))
+    val keepers = grouped.groupBy("grp")
+      .agg(max(packed).as("p"))
+      .select((lit(idSpace - 1) - (col("p") % idSpace)).as("keep_id"))
+    grouped
+      .join(keepers, col("doc_id") === col("keep_id"), "left")
+      .withColumn("kept", col("keep_id").isNotNull)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("n_chars")).otherwise(0L))
+          .as("chars_kept"))
+      .orderBy("source")
+  }
+
+  /** Oracle: the recursive-CTE closure (as dedupClusterSql), then the
+    * same keep-best rule as a ROW_NUMBER and the same survival sums. */
+  val corpusNearDedupSql: String = s"""
+    WITH RECURSIVE pairs AS (${TextDedup.dedupNgramSql}),
+    und AS (
+      SELECT da AS src, db AS dst FROM pairs
+      UNION ALL
+      SELECT db AS src, da AS dst FROM pairs),
+    reach AS (
+      SELECT src, dst FROM und
+      UNION
+      SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src),
+    lbl AS (
+      SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+      FROM reach GROUP BY src),
+    grp AS (
+      SELECT d.doc_id, d.source, d.n_chars,
+             COALESCE(l.cluster_id, d.doc_id) AS grp
+      FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id),
+    keepers AS (
+      SELECT doc_id AS keep_id FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY grp
+                 ORDER BY n_chars DESC, doc_id) AS rn
+        FROM grp) WHERE rn = 1)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN k.keep_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN k.keep_id IS NOT NULL THEN g.n_chars
+                    ELSE 0 END) AS BIGINT) AS chars_kept
+    FROM grp g LEFT JOIN keepers k ON g.doc_id = k.keep_id
+    GROUP BY source ORDER BY source"""
+
   def all: Seq[QueryDef] = Seq(
-    QueryDef("dedup_cluster", dedupCluster, Some(dedupClusterSql)))
+    QueryDef("dedup_cluster", dedupCluster, Some(dedupClusterSql)),
+    QueryDef("corpus_near_dedup", corpusNearDedup, Some(corpusNearDedupSql)))
 }

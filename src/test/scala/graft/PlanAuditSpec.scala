@@ -155,7 +155,8 @@ class PlanAuditSpec extends SparkSpec {
 
   test("no registered query plans a cartesian product") {
     // build-time driver rounds (documented in each operator):
-    val skip = Set("dedup_cluster", "dedup_ngram", "geo_pivot",
+    val skip = Set("dedup_cluster", "corpus_near_dedup", "dedup_ngram",
+      "geo_pivot",
       "geo_pipeline_wide", "geo_pipeline_long", "mm_pipeline",
       "text_heavy_hitters") // build-time driver count sets its threshold
     // a query whose plan won't BUILD is its own named failure — it must

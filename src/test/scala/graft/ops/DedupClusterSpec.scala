@@ -46,4 +46,22 @@ class DedupClusterSpec extends SparkSpec {
     }
     out.unpersist()
   }
+
+  test("corpus_near_dedup: survivors = one per near-dup group") {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val nDocs = docs.count()
+    val lbl = DedupCluster.dedupCluster(spark, sfDir)
+      .select("doc_id", "cluster_id")
+    val nGroups = docs.join(lbl, Seq("doc_id"), "left")
+      .select(coalesce(col("cluster_id"), col("doc_id")).as("grp"))
+      .distinct().count()
+    val report = DedupCluster.corpusNearDedup(spark, sfDir).collect()
+    val totDocs = report.map(_.getLong(1)).sum
+    val totKept = report.map(_.getLong(2)).sum
+    assert(totDocs == nDocs, "report must cover every document")
+    assert(totKept == nGroups,
+      s"one survivor per group: kept=$totKept groups=$nGroups")
+    report.foreach(r => assert(r.getLong(2) <= r.getLong(1) &&
+      r.getLong(3) >= 0L))
+  }
 }
