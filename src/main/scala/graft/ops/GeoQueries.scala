@@ -526,10 +526,10 @@ object GeoQueries {
     * and ONE hash aggregate folds the covered-cell facts. All outputs
     * are integer-exact (cell indices/counts), so the gate needs no
     * rounding. At 100 TB: fanout → explode → filter → one shuffle. */
-  /** Library form: cover any (poly_id, xs, ys) polygon table with G×G
-    * cells by the cell-center rule. Session must have the graft
-    * function registry (GraftFunctions.register). */
-  def gridCover(tris: DataFrame, g: Double): DataFrame =
+  /** Library form: the G×G cells covering each (poly_id, xs, ys)
+    * polygon by the cell-center rule — (poly_id, ix, iy) rows. Session
+    * must have the graft function registry (GraftFunctions.register). */
+  def gridCells(tris: DataFrame, g: Double): DataFrame =
     tris
       .withColumn("ix", explode(sequence(
         floor(array_min(col("xs")) / g).cast("long"),
@@ -541,6 +541,11 @@ object GeoQueries {
         col("ix").cast("double") * g + g / 2,
         col("iy").cast("double") * g + g / 2,
         col("xs"), col("ys")))
+      .select(col("poly_id"), col("ix"), col("iy"))
+
+  /** Per-polygon coverage summary over gridCells. */
+  def gridCover(tris: DataFrame, g: Double): DataFrame =
+    gridCells(tris, g)
       .groupBy("poly_id")
       .agg(count(lit(1)).as("n_cells"),
         min("ix").as("ix_min"), max("ix").as("ix_max"),
@@ -552,28 +557,26 @@ object GeoQueries {
       .orderBy("poly_id")
   }
 
-  /** Oracle: bbox cell ladder via two unnested generate_series stages,
-    * then the same edge-for-edge ray-cast as polyTagSql evaluated at
-    * the cell centers. */
-  val rasterizeSql: String = s"""
-    WITH tris AS (${Derive.trianglesSql}),
-    cx AS (
+  /** Oracle cell-cover ladder shared by geo_rasterize and geo_overlay:
+    * bbox cells via two unnested generate_series stages, then the same
+    * edge-for-edge ray-cast as polyTagSql at the cell centers. */
+  private val coverCellsSqlCtes: String = s"""tris AS (${Derive.trianglesSql}),
+    cov_cx AS (
       SELECT poly_id, xs, ys,
              unnest(generate_series(
                CAST(floor(list_min(xs) / 50.0) AS BIGINT),
                CAST(floor(list_max(xs) / 50.0) AS BIGINT))) AS ix
       FROM tris),
-    cxy AS (
+    cov_cxy AS (
       SELECT poly_id, xs, ys, ix,
              CAST(ix AS DOUBLE) * 50.0 + 25.0 AS px,
              unnest(generate_series(
                CAST(floor(list_min(ys) / 50.0) AS BIGINT),
                CAST(floor(list_max(ys) / 50.0) AS BIGINT))) AS iy
-      FROM cx),
-    hits AS (
-      SELECT poly_id, ix, iy,
-             CAST(iy AS DOUBLE) * 50.0 + 25.0 AS py
-      FROM cxy
+      FROM cov_cx),
+    cov_cells AS (
+      SELECT poly_id, ix, iy
+      FROM cov_cxy
       WHERE (len(list_filter(generate_series(1, len(xs)), i ->
         ((ys[i] > CAST(iy AS DOUBLE) * 50.0 + 25.0) !=
          (ys[CASE WHEN i = 1 THEN len(ys) ELSE i - 1 END] >
@@ -581,11 +584,61 @@ object GeoQueries {
         AND px < (xs[CASE WHEN i = 1 THEN len(xs) ELSE i - 1 END] - xs[i])
                   * (CAST(iy AS DOUBLE) * 50.0 + 25.0 - ys[i])
                   / (ys[CASE WHEN i = 1 THEN len(ys) ELSE i - 1 END] - ys[i])
-                  + xs[i])) % 2) = 1)
+                  + xs[i])) % 2) = 1)"""
+
+  val rasterizeSql: String = s"""
+    WITH $coverCellsSqlCtes
     SELECT poly_id, COUNT(*) AS n_cells,
            MIN(ix) AS ix_min, MAX(ix) AS ix_max,
            MIN(iy) AS iy_min, MAX(iy) AS iy_max
-    FROM hits GROUP BY 1 ORDER BY 1"""
+    FROM cov_cells GROUP BY 1 ORDER BY 1"""
+
+  // ---- polygon×polygon overlay (landuse ∩ OA) on the cell grid ------
+  /** The reference's Landuse/IntersectingOA calculators measure
+    * polygon∩polygon areas (LanduseCalculator.py) — the operation that
+    * does NOT distribute as exact geometry (a polygon×polygon join has
+    * no equi key). The 100 TB shape is overlay on the raster grid:
+    * rasterize BOTH layers once (bounded per-polygon explode), then
+    * the intersection is a plain EQUI-join on the cell key (ix, iy) —
+    * shuffle-partitionable like any other join — and areas/ratios are
+    * exact cell counts. OA layer = odd poly ids, landuse layer = even
+    * ids carrying their feats code (code ≡ poly_id % 5, same integer
+    * derivation both engines); landuse cells dedup per (code, cell) so
+    * overlapping same-code polygons don't double-count. */
+  def overlay(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(s)
+    val cells = Tables.hot(
+      gridCells(Tables.fanout(Derive.triangles(s, dir)), 50.0))
+    val oa = cells.filter(col("poly_id") % 2 === 1)
+      .select(col("poly_id").as("oa_id"), col("ix"), col("iy"))
+    val lu = cells.filter(col("poly_id") % 2 === 0)
+      .select((col("poly_id") % 5).as("code"), col("ix"), col("iy"))
+      .distinct()
+    val tot = oa.groupBy("oa_id").agg(count(lit(1)).as("n_oa"))
+    oa.join(lu, Seq("ix", "iy"))
+      .groupBy("oa_id", "code")
+      .agg(count(lit(1)).as("n_cells"))
+      .join(tot, Seq("oa_id"))
+      .select(col("oa_id"), col("code"), col("n_cells"),
+        (col("n_cells").cast("double") / col("n_oa")).as("ratio"))
+      .orderBy("oa_id", "code")
+  }
+
+  val overlaySql: String = s"""
+    WITH $coverCellsSqlCtes,
+    oa AS (
+      SELECT poly_id AS oa_id, ix, iy FROM cov_cells WHERE poly_id % 2 = 1),
+    lu AS (
+      SELECT DISTINCT poly_id % 5 AS code, ix, iy
+      FROM cov_cells WHERE poly_id % 2 = 0),
+    ov AS (
+      SELECT oa_id, code, COUNT(*) AS n_cells
+      FROM oa JOIN lu USING (ix, iy) GROUP BY 1, 2),
+    tot AS (SELECT oa_id, COUNT(*) AS n_oa FROM oa GROUP BY 1)
+    SELECT ov.oa_id, ov.code, ov.n_cells,
+           CAST(ov.n_cells AS DOUBLE) / tot.n_oa AS ratio
+    FROM ov JOIN tot ON ov.oa_id = tot.oa_id
+    ORDER BY ov.oa_id, ov.code"""
 
   // ---- WKT ingest (duckpipe/core.py:138-152 geometry registration) ---
   /** Polygon WKT ingest certified end-to-end: serialize the triangle
@@ -877,6 +930,7 @@ object GeoQueries {
     QueryDef("geo_poly_tag", polyTag, Some(polyTagSql)),
     QueryDef("geo_poly_centroid", polyCentroid, Some(polyCentroidSql)),
     QueryDef("geo_rasterize", rasterize, Some(rasterizeSql)),
+    QueryDef("geo_overlay", overlay, Some(overlaySql)),
     QueryDef("geo_pivot", pivot, Some(pivotSql)),
     QueryDef("geo_line_clip", lineClip, Some(lineClipSql)),
     QueryDef("geo_area_clip", areaClip, Some(areaClipSql)),

@@ -33,6 +33,24 @@ class RasterizeSpec extends SparkSpec {
     }
   }
 
+  test("geo_overlay: ratios are cell-count fractions in (0, 1]") {
+    graft.GraftFunctions.register(spark)
+    val rows = GeoQueries.overlay(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, ratio) = (r.getLong(2), r.getDouble(3))
+      assert(n >= 1 && ratio > 0.0 && ratio <= 1.0 + 1e-12)
+      assert(r.getLong(1) >= 0 && r.getLong(1) < 5, "code domain")
+    }
+    // per OA polygon, summed per-code cells can exceed its own cell
+    // count only through multi-code coverage of the same cell — each
+    // single code's count cannot
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val maxRatio = rs.map(_.getDouble(3)).max
+      assert(maxRatio <= 1.0 + 1e-12)
+    }
+  }
+
   test("q_sliding_distinct equals the per-day brute force") {
     val day = 86400000000L
     val du = Tables.loadEventsUs(spark, sfDir)
