@@ -510,8 +510,74 @@ object Multimodal {
            CAST(s0 AS DOUBLE) / n AS mean_f0
     FROM f ORDER BY doc_id"""
 
+  // ── image augmentation stage ────────────────────────────────────
+  final case class AugFeat(doc_id: Long, n_px: Int, checksum: Long,
+                           mean_aug: Double)
+
+  /** Augmentation as a REAL re-encode pipeline: decode PNG →
+    * horizontal flip → brightness shift (+16, clipped at 255) →
+    * encode back to PNG → decode again → featurize. Two typed
+    * mapPartitions codec stages with a genuine binary intermediate —
+    * the shape of an image-augmentation pass in a training pipeline
+    * (the middle column IS a valid PNG a downstream tool could read).
+    * Certification: PNG losslessness end-to-end means the final
+    * POSITION-weighted checksum pins the flip order exactly (a stats-
+    * only oracle would pass an unflipped image); the oracle recomputes
+    * flip+clip directly on the source characters. All sums are exact
+    * integer arithmetic; the mean is one IEEE division. */
+  def mmAugment(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir).as[MediaRow]
+      .mapPartitions { rows =>
+        val codec = new graft.functions.RawPng()
+        rows.map { r =>
+          val (w, h, px) = codec.decode(r.payload)
+          val out = new Array[Byte](px.length)
+          var i = 0
+          while (i < px.length) {
+            out(i) = math.min(px(px.length - 1 - i) + 16, 255).toByte
+            i += 1
+          }
+          MediaRow(r.doc_id, codec.encode(out, w, h), w, h)
+        }
+      }
+      .mapPartitions { rows =>
+        val codec = new graft.functions.RawPng()
+        rows.map { r =>
+          val (_, _, px) = codec.decode(r.payload)
+          var cs = 0L
+          var sum = 0L
+          var i = 0
+          while (i < px.length) {
+            cs += (i + 1).toLong * px(i); sum += px(i); i += 1
+          }
+          AugFeat(r.doc_id, px.length, cs, sum.toDouble / px.length)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  val mmAugmentSql: String = """
+    WITH c AS (
+      SELECT doc_id, length(text) AS n,
+        list_transform(string_split_regex(text, ''),
+          ch -> unicode(ch) % 256) AS codes
+      FROM documents),
+    aug AS (
+      SELECT doc_id, n,
+        list_transform(generate_series(1, n),
+          i -> least(codes[n + 1 - i] + 16, 255)) AS a
+      FROM c)
+    SELECT doc_id, CAST(n AS INTEGER) AS n_px,
+      CAST(list_sum(list_transform(generate_series(1, n),
+        i -> i * a[i])) AS BIGINT) AS checksum,
+      CAST(list_sum(a) AS DOUBLE) / n AS mean_aug
+    FROM aug ORDER BY doc_id"""
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("mm_pipeline", mmPipeline, Some(mmPipelineSql)),
+    QueryDef("mm_augment", mmAugment, Some(mmAugmentSql)),
     QueryDef("mm_audio", audioPipeline, Some(mmAudioSql)),
     QueryDef("mm_video", videoPipeline, Some(mmVideoSql)))
 }

@@ -220,9 +220,102 @@ object Relational8 {
       ON du.day_us BETWEEN d.day_us - 6 * 86400000000 AND d.day_us
     GROUP BY 1 ORDER BY 1"""
 
+  /** Deterministic HyperLogLog whose ESTIMATE is itself hash-exact
+    * cross-engine — unlike q_approx (Spark's HLL sketch, rows-only by
+    * construction), this one puts an approximate-distinct sketch
+    * under the full oracle gate. Everything is reproducible integer
+    * arithmetic: a 60-bit md5-derived hash (the dedup_simhash trick),
+    * bucket = h mod 256, rank ρ from the binary-string length (both
+    * engines' bin/%b render without leading zeros), registers as a
+    * MAX hash aggregate — the associative merge that makes HLL state
+    * mergeable across partitions/days, which is the whole point at
+    * 100 TB — and the harmonic sum as SCALED INTEGERS (Σ 2^(53−ρ) in
+    * BIGINT): summing 2^−ρ in doubles would make the total depend on
+    * accumulation order at ulp scale, the scaled-integer sum is exact
+    * in any order. One IEEE division yields the raw estimate, and the
+    * standard small-range correction (linear counting over empty
+    * registers when raw ≤ 2.5m) applies on top — the branch condition
+    * compares exact values, and the single ln rounds at 4 dp, so the
+    * gate still holds. rel_err against the exact count is emitted as
+    * evidence the estimator actually works. */
+  def qHllSketch(s: SparkSession, dir: String): DataFrame = {
+    val m = 256L
+    val scale = 9007199254740992L // 2^53
+    val e = Tables.load(s, dir, "events").select("event_type", "user_id")
+    val regs = e
+      .withColumn("h", expr(
+        "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"))
+      .withColumn("bucket", pmod(col("h"), lit(m)))
+      .withColumn("rho", when(expr("h DIV 256") === 0, lit(53))
+        .otherwise(lit(53) - length(bin(expr("h DIV 256")))))
+      .groupBy("event_type", "bucket")
+      .agg(max("rho").as("rho"))
+    val est = regs.groupBy("event_type")
+      .agg(
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - rho AS INT))"))
+          .as("ss"),
+        count(lit(1)).as("nb"))
+      .select(col("event_type"), col("nb"),
+        (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) * lit(65536.0) *
+          lit(scale.toDouble) /
+          (col("ss") + (lit(m) - col("nb")) * lit(scale)).cast("double"))
+          .as("raw"))
+      .select(col("event_type"),
+        when(col("nb") < m && col("raw") <= lit(2.5 * 256.0),
+          lit(256.0) * log(lit(256.0) / (lit(m) - col("nb"))
+            .cast("double")))
+          .otherwise(col("raw")).as("raw"))
+    val exact = e.groupBy("event_type")
+      .agg(countDistinct("user_id").as("n_exact"))
+    est.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("n_exact"),
+        round(col("raw"), 4).as("hll_est"),
+        round(col("raw") / col("n_exact") - 1.0, 6).as("rel_err"))
+      .orderBy("event_type")
+  }
+
+  val qHllSketchSql: String = """
+    WITH h AS (
+      SELECT event_type, user_id,
+        CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+          AS UBIGINT)::BIGINT AS h
+      FROM events),
+    b AS (
+      SELECT event_type, h % 256 AS bucket,
+        CASE WHEN h // 256 = 0 THEN 53
+             ELSE 53 - length(printf('%b', h // 256)) END AS rho
+      FROM h),
+    regs AS (
+      SELECT event_type, bucket, MAX(rho) AS rho FROM b GROUP BY 1, 2),
+    agg AS (
+      SELECT event_type,
+        SUM(CAST(1 AS BIGINT) << (53 - rho)) AS ss,
+        COUNT(*) AS nb
+      FROM regs GROUP BY 1),
+    est0 AS (
+      SELECT event_type, nb,
+        0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 9007199254740992.0
+          / CAST(ss + (256 - nb) * 9007199254740992 AS DOUBLE) AS raw
+      FROM agg),
+    est AS (
+      SELECT event_type,
+        CASE WHEN nb < 256 AND raw <= 2.5 * 256.0
+             THEN 256.0 * ln(256.0 / CAST(256 - nb AS DOUBLE))
+             ELSE raw END AS raw
+      FROM est0),
+    ex AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+      FROM events GROUP BY 1)
+    SELECT est.event_type, ex.n_exact,
+           ROUND(raw, 4) AS hll_est,
+           ROUND(raw / n_exact - 1.0, 6) AS rel_err
+    FROM est JOIN ex ON est.event_type = ex.event_type
+    ORDER BY est.event_type"""
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("q_incr_agg", qIncrAgg, Some(qIncrAggSql)),
     QueryDef("q_bloom_join", qBloomJoin, Some(qBloomJoinSql)),
     QueryDef("q_sliding_distinct", qSlidingDistinct, Some(qSlidingDistinctSql)),
+    QueryDef("q_hll_sketch", qHllSketch, Some(qHllSketchSql)),
     QueryDef("q_profile", qProfile, Some(qProfileSql)))
 }

@@ -70,6 +70,18 @@ class Relational8Spec extends SparkSpec {
     assert(Relational8.qBloomJoin(spark, sfDir).collect().toSeq == expected.toSeq)
   }
 
+  test("q_hll_sketch: estimates land within HLL error bounds") {
+    val rows = Relational8.qHllSketch(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (exact, est, rel) = (r.getLong(1), r.getDouble(2), r.getDouble(3))
+      assert(exact > 0 && est > 0.0)
+      // m=256 → σ ≈ 6.5%; 0.5 is a very loose 7σ-plus sanity bound
+      assert(math.abs(rel) < 0.5,
+        s"HLL estimate $est vs exact $exact: rel_err $rel out of bounds")
+    }
+  }
+
   test("q_profile: one pass yields per-column null/distinct/min-max facts") {
     val o = Tables.load(spark, sfDir, "orders")
     val nRows = o.count()
