@@ -141,6 +141,44 @@ object EventStream {
       .toDF()
   }
 
+  // ---- sliding-window distinct actives --------------------------------
+  final case class DayUser(report_day_us: Long, user_id: Long)
+  final case class ActiveState(users: Array[Long])
+  final case class ActiveOut(report_day_us: Long, n_active_7d: Long)
+
+  /** Trailing 7-day distinct actives — the streaming twin of
+    * q_sliding_distinct. Each event fans out to the 7 report days it
+    * contributes to (the batch contribution-explode, streamed);
+    * mapGroupsWithState keeps the distinct user set per report day and
+    * re-emits the refreshed count every batch (Update mode), so counts
+    * are monotone non-decreasing per day across batches. Exact state
+    * is O(users-per-window); at production scale the state value would
+    * be q_hll_sketch's 256-byte register array instead (same operator
+    * shape, mergeable state). Streaming emits report days for ANY
+    * window containing an event; the batch operator emits only days
+    * that themselves have events — the equality spec compares on the
+    * batch day set. */
+  def slidingActive(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val day = 86400000000L
+    readEvents(spark, dir)
+      .select(col("ts_us"), col("user_id")).as[(Long, Long)]
+      .flatMap { case (ts, u) =>
+        val d0 = ts - ts % day
+        (0 to 6).map(k => DayUser(d0 + k * day, u))
+      }
+      .groupByKey(_.report_day_us)
+      .mapGroupsWithState[ActiveState, ActiveOut](GroupStateTimeout.NoTimeout) {
+        case (dayUs, rows, state) =>
+          val prev = state.getOption
+            .map(_.users.toSet).getOrElse(Set.empty[Long])
+          val cur = prev ++ rows.map(_.user_id)
+          state.update(ActiveState(cur.toArray))
+          ActiveOut(dayUs, cur.size.toLong)
+      }
+      .toDF()
+  }
+
   // ---- stateful sessionization ---------------------------------------
   final case class Ev(user_id: Long, ts_us: Long)
   final case class SessionState(start: Long, end: Long, n: Long)

@@ -131,6 +131,27 @@ class EventStreamSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("streaming sliding distinct actives equals the batch decomposition") {
+    val q = EventStream.slidingActive(spark, sfDir)
+      .writeStream.format("memory").queryName("sliding_out")
+      .outputMode(OutputMode.Update()).start()
+    try q.processAllAvailable() finally q.stop()
+    // Update mode: counts are monotone per day — the max is the final
+    val streamed = spark.table("sliding_out")
+      .groupBy("report_day_us").agg(max("n_active_7d").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = graft.ops.Relational8.qSlidingDistinct(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(batch.nonEmpty)
+    // streaming emits a superset of report days (any window containing
+    // an event); on the batch day set the counts must agree exactly
+    batch.foreach { case (d, n) =>
+      assert(streamed.get(d).contains(n),
+        s"day $d: streamed=${streamed.get(d)} batch=$n")
+    }
+    assert(streamed.keySet.size >= batch.size)
+  }
+
   test("streaming sessionization emits exactly the batch sessions closed in-stream") {
     val q = EventStream.sessions(spark, sfDir)
       .writeStream.format("memory").queryName("sessions_out")
