@@ -640,6 +640,120 @@ object GeoQueries {
     FROM ov JOIN tot ON ov.oa_id = tot.oa_id
     ORDER BY ov.oa_id, ov.code"""
 
+  // ---- line rasterization: road length per grid cell -----------------
+  /** Road-density raster: per G×G cell, the total EXACT length of road
+    * within the cell (the line-layer companion to geo_rasterize's
+    * polygon coverage; the reference's road-length rasters live in
+    * this model). Candidate cells come from each segment's bbox — a
+    * bounded map-side explode (segments ≤ ~28 m span ≤ 2×2 cells) —
+    * and the in-cell length is Liang–Barsky parametric clipping as
+    * PURE column arithmetic (per-axis t-interval intersection; no UDF,
+    * no new native expression needed). The oracle replays every
+    * operation in the same order, and per-term DECIMAL(18,9)
+    * quantization makes the per-cell sums accumulation-order-proof
+    * (the geo_line_clip precedent). One hash aggregate on the cell
+    * key; at 100 TB this is scan → explode → map → one shuffle. */
+  def lineDensity(s: SparkSession, dir: String): DataFrame = {
+    val g = 50.0
+    val inf = 1e300
+    Tables.fanout(Derive.segments(s, dir))
+      .withColumn("ix", explode(sequence(
+        floor(least(col("x1"), col("x2")) / g).cast("long"),
+        floor(greatest(col("x1"), col("x2")) / g).cast("long"))))
+      .withColumn("iy", explode(sequence(
+        floor(least(col("y1"), col("y2")) / g).cast("long"),
+        floor(greatest(col("y1"), col("y2")) / g).cast("long"))))
+      .withColumn("dx", col("x2") - col("x1"))
+      .withColumn("dy", col("y2") - col("y1"))
+      .withColumn("xmin", col("ix").cast("double") * g)
+      .withColumn("xmax", col("ix").cast("double") * g + g)
+      .withColumn("ymin", col("iy").cast("double") * g)
+      .withColumn("ymax", col("iy").cast("double") * g + g)
+      .withColumn("txl",
+        when(col("dx") =!= 0.0, least((col("xmin") - col("x1")) / col("dx"),
+          (col("xmax") - col("x1")) / col("dx")))
+          .when(col("x1") >= col("xmin") && col("x1") <= col("xmax"),
+            lit(-inf)).otherwise(lit(inf)))
+      .withColumn("txh",
+        when(col("dx") =!= 0.0, greatest((col("xmin") - col("x1")) / col("dx"),
+          (col("xmax") - col("x1")) / col("dx")))
+          .when(col("x1") >= col("xmin") && col("x1") <= col("xmax"),
+            lit(inf)).otherwise(lit(-inf)))
+      .withColumn("tyl",
+        when(col("dy") =!= 0.0, least((col("ymin") - col("y1")) / col("dy"),
+          (col("ymax") - col("y1")) / col("dy")))
+          .when(col("y1") >= col("ymin") && col("y1") <= col("ymax"),
+            lit(-inf)).otherwise(lit(inf)))
+      .withColumn("tyh",
+        when(col("dy") =!= 0.0, greatest((col("ymin") - col("y1")) / col("dy"),
+          (col("ymax") - col("y1")) / col("dy")))
+          .when(col("y1") >= col("ymin") && col("y1") <= col("ymax"),
+            lit(inf)).otherwise(lit(-inf)))
+      .withColumn("len",
+        sqrt(col("dx") * col("dx") + col("dy") * col("dy")) *
+          greatest(lit(0.0),
+            least(lit(1.0), col("txh"), col("tyh")) -
+              greatest(lit(0.0), col("txl"), col("tyl"))))
+      .filter(col("len") > 0.0)
+      .groupBy("ix", "iy")
+      .agg(count(lit(1)).as("n_segs"),
+        sum(col("len").cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+          .cast("double").as("total_len"))
+      .orderBy("ix", "iy")
+  }
+
+  val lineDensitySql: String = s"""
+    WITH segs AS (${Derive.segmentsSql}),
+    d_cx AS (
+      SELECT fid, x1, y1, x2, y2,
+             unnest(generate_series(
+               CAST(floor(least(x1, x2) / 50.0) AS BIGINT),
+               CAST(floor(greatest(x1, x2) / 50.0) AS BIGINT))) AS ix
+      FROM segs),
+    d_cxy AS (
+      SELECT fid, x1, y1, x2, y2, ix,
+             unnest(generate_series(
+               CAST(floor(least(y1, y2) / 50.0) AS BIGINT),
+               CAST(floor(greatest(y1, y2) / 50.0) AS BIGINT))) AS iy
+      FROM d_cx),
+    d_c1 AS (
+      SELECT fid, ix, iy, x1, y1,
+             x2 - x1 AS dx, y2 - y1 AS dy,
+             CAST(ix AS DOUBLE) * 50.0 AS xmin,
+             CAST(ix AS DOUBLE) * 50.0 + 50.0 AS xmax,
+             CAST(iy AS DOUBLE) * 50.0 AS ymin,
+             CAST(iy AS DOUBLE) * 50.0 + 50.0 AS ymax
+      FROM d_cxy),
+    d_c2 AS (
+      SELECT *,
+        CASE WHEN dx <> 0.0
+             THEN least((xmin - x1) / dx, (xmax - x1) / dx)
+             WHEN x1 >= xmin AND x1 <= xmax THEN -1e300 ELSE 1e300
+        END AS txl,
+        CASE WHEN dx <> 0.0
+             THEN greatest((xmin - x1) / dx, (xmax - x1) / dx)
+             WHEN x1 >= xmin AND x1 <= xmax THEN 1e300 ELSE -1e300
+        END AS txh,
+        CASE WHEN dy <> 0.0
+             THEN least((ymin - y1) / dy, (ymax - y1) / dy)
+             WHEN y1 >= ymin AND y1 <= ymax THEN -1e300 ELSE 1e300
+        END AS tyl,
+        CASE WHEN dy <> 0.0
+             THEN greatest((ymin - y1) / dy, (ymax - y1) / dy)
+             WHEN y1 >= ymin AND y1 <= ymax THEN 1e300 ELSE -1e300
+        END AS tyh
+      FROM d_c1),
+    d_c3 AS (
+      SELECT ix, iy,
+        sqrt(dx * dx + dy * dy) *
+          greatest(0.0, least(1.0, txh, tyh) - greatest(0.0, txl, tyl))
+          AS len
+      FROM d_c2)
+    SELECT ix, iy, COUNT(*) AS n_segs,
+           CAST(SUM(CAST(len AS DECIMAL(18,9))) AS DOUBLE) AS total_len
+    FROM d_c3 WHERE len > 0.0
+    GROUP BY 1, 2 ORDER BY 1, 2"""
+
   // ---- WKT ingest (duckpipe/core.py:138-152 geometry registration) ---
   /** Polygon WKT ingest certified end-to-end: serialize the triangle
     * table to `POLYGON ((…))` text, re-ingest through `Wkt.polygons`,
@@ -931,6 +1045,7 @@ object GeoQueries {
     QueryDef("geo_poly_centroid", polyCentroid, Some(polyCentroidSql)),
     QueryDef("geo_rasterize", rasterize, Some(rasterizeSql)),
     QueryDef("geo_overlay", overlay, Some(overlaySql)),
+    QueryDef("geo_line_density", lineDensity, Some(lineDensitySql)),
     QueryDef("geo_pivot", pivot, Some(pivotSql)),
     QueryDef("geo_line_clip", lineClip, Some(lineClipSql)),
     QueryDef("geo_area_clip", areaClip, Some(areaClipSql)),

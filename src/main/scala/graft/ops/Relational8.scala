@@ -312,10 +312,68 @@ object Relational8 {
     FROM est JOIN ex ON est.event_type = ex.event_type
     ORDER BY est.event_type"""
 
+  /** Time-series resampling with gap fill: per series, a dense daily
+    * grid over the observed span with missing days carried forward
+    * (LOCF — the standard sensor/metric resample before a model sees
+    * the data; days before a series' first observation stay NULL,
+    * flagged by `filled`). Scale shape: the day grid is a broadcast
+    * 1-row span × per-series sequence-explode (bounded by the span,
+    * never a cross join of rows), the observed rollup is one
+    * map-side-combined aggregate, and the carry-forward is one
+    * last_value(ignoreNulls) window per series — a single shuffle on
+    * the series key. Decimal-routed observed sums make the carried
+    * values exact cross-engine. */
+  def qGapFill(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val day = 86400000000L
+    val obs = Tables.loadEventsUs(s, dir)
+      .select((col("user_id") % 100).as("series"),
+        (col("ts_us") - (col("ts_us") % lit(day))).as("day_us"),
+        col("value"))
+      .groupBy("series", "day_us")
+      .agg(dsum(col("value"), 4).as("v"))
+    val span = obs.agg(min("day_us").as("d0"), max("day_us").as("d1"))
+    val grid = obs.select("series").distinct()
+      .crossJoin(broadcast(span))
+      .select(col("series"),
+        explode(sequence(col("d0"), col("d1"), lit(day))).as("day_us"))
+    val w = Window.partitionBy("series").orderBy("day_us")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq("series", "day_us"), "left")
+      .withColumn("observed", col("v").isNotNull)
+      .withColumn("value", last(col("v"), ignoreNulls = true).over(w))
+      .select("series", "day_us", "value", "observed")
+      .orderBy("series", "day_us")
+  }
+
+  val qGapFillSql: String = """
+    WITH obs AS (
+      SELECT user_id % 100 AS series,
+             epoch_us(CAST(ts AS TIMESTAMP))
+               - epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000 AS day_us,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2),
+    span AS (SELECT MIN(day_us) AS d0, MAX(day_us) AS d1 FROM obs),
+    days AS (
+      SELECT unnest(generate_series(d0, d1, 86400000000)) AS day_us
+      FROM span),
+    grid AS (
+      SELECT s.series, d.day_us
+      FROM (SELECT DISTINCT series FROM obs) s CROSS JOIN days d)
+    SELECT g.series, g.day_us,
+           last_value(o.v IGNORE NULLS) OVER (
+             PARTITION BY g.series ORDER BY g.day_us
+             ROWS UNBOUNDED PRECEDING) AS value,
+           o.v IS NOT NULL AS observed
+    FROM grid g LEFT JOIN obs o
+      ON g.series = o.series AND g.day_us = o.day_us
+    ORDER BY g.series, g.day_us"""
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("q_incr_agg", qIncrAgg, Some(qIncrAggSql)),
     QueryDef("q_bloom_join", qBloomJoin, Some(qBloomJoinSql)),
     QueryDef("q_sliding_distinct", qSlidingDistinct, Some(qSlidingDistinctSql)),
     QueryDef("q_hll_sketch", qHllSketch, Some(qHllSketchSql)),
+    QueryDef("q_gap_fill", qGapFill, Some(qGapFillSql)),
     QueryDef("q_profile", qProfile, Some(qProfileSql)))
 }

@@ -51,6 +51,19 @@ class RasterizeSpec extends SparkSpec {
     }
   }
 
+  test("geo_line_density conserves total segment length across cells") {
+    val cells = GeoQueries.lineDensity(spark, sfDir)
+      .agg(sum("total_len")).collect()(0).getDouble(0)
+    val segTotal = Derive.segments(spark, sfDir)
+      .select(sqrt((col("x2") - col("x1")) * (col("x2") - col("x1")) +
+        (col("y2") - col("y1")) * (col("y2") - col("y1"))).as("l"))
+      .agg(sum("l")).collect()(0).getDouble(0)
+    // cell t-intervals tile [0,1] per segment, so the rasterized total
+    // must equal the true total up to the 1e-9 per-term quantization
+    assert(math.abs(cells - segTotal) < 1e-4,
+      s"length not conserved: cells=$cells segments=$segTotal")
+  }
+
   test("q_sliding_distinct equals the per-day brute force") {
     val day = 86400000000L
     val du = Tables.loadEventsUs(spark, sfDir)

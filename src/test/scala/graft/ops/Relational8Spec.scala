@@ -82,6 +82,29 @@ class Relational8Spec extends SparkSpec {
     }
   }
 
+  test("q_gap_fill: dense grid, LOCF semantics") {
+    val rows = Relational8.qGapFill(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    val bySeries = rows.groupBy(_._1)
+    val gridSizes = bySeries.values.map(_.length).toSet
+    assert(gridSizes.size == 1, "every series spans the same dense grid")
+    bySeries.values.foreach { sr =>
+      val sorted = sr.sortBy(_._2)
+      var lastObserved: Option[Double] = None
+      sorted.foreach { case (_, _, v, observed) =>
+        if (observed) {
+          assert(v.isDefined)
+          lastObserved = v
+        } else {
+          assert(v == lastObserved,
+            "carried value must equal the last observation (or stay null)")
+        }
+      }
+    }
+  }
+
   test("q_profile: one pass yields per-column null/distinct/min-max facts") {
     val o = Tables.load(spark, sfDir, "orders")
     val nRows = o.count()
