@@ -369,11 +369,60 @@ object Relational8 {
       ON g.series = o.series AND g.day_us = o.day_us
     ORDER BY g.series, g.day_us"""
 
+  /** Statistical anomaly flagging — the outlier-filter stage of a
+    * metrics/quality pipeline: per event type, events beyond ±3σ of
+    * the type's value distribution. Two-pass shape: one map-side-
+    * combined aggregate builds (n, Σv, Σv²) per type from DECIMAL
+    * power sums (the q_stats policy — partial-order-proof), the tiny
+    * stats table broadcasts back, and a second conditional aggregate
+    * counts the flags. Every z is derived from identical doubles in
+    * both engines, so the >3 threshold compares deterministically. */
+  def qAnomaly(s: SparkSession, dir: String): DataFrame = {
+    def d(c: Column, sc: Int) = c.cast(DecimalType(28, sc))
+    val e = Tables.load(s, dir, "events").select("event_type", "value")
+    val stats = e.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(d(col("value"), 6)).cast("double").as("sx"),
+        sum(d(col("value") * col("value"), 8)).cast("double").as("sx2"))
+      .select(col("event_type"), col("n"),
+        (col("sx") / col("n")).as("mean"),
+        sqrt((col("sx2") * col("n") - col("sx") * col("sx")) /
+          (col("n") * (col("n") - 1))).as("sd"))
+    val z = (col("value") - col("mean")) / col("sd")
+    e.join(broadcast(stats), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(z > 3.0, 1L).otherwise(0L)).as("n_hi"),
+        sum(when(z < -3.0, 1L).otherwise(0L)).as("n_lo"),
+        round(max(z), 6).as("max_z"))
+      .orderBy("event_type")
+  }
+
+  val qAnomalySql: String = """
+    WITH stats AS (
+      SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+        CAST(SUM(CAST(value * value AS DECIMAL(28,8))) AS DOUBLE) AS sx2
+      FROM events GROUP BY 1),
+    m AS (
+      SELECT event_type, n, sx / n AS mean,
+             sqrt((sx2 * n - sx * sx) / (n * (n - 1))) AS sd
+      FROM stats)
+    SELECT e.event_type, COUNT(*) AS n,
+      CAST(SUM(CASE WHEN (e.value - m.mean) / m.sd > 3.0
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+      CAST(SUM(CASE WHEN (e.value - m.mean) / m.sd < -3.0
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+      ROUND(MAX((e.value - m.mean) / m.sd), 6) AS max_z
+    FROM events e JOIN m ON e.event_type = m.event_type
+    GROUP BY 1 ORDER BY 1"""
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("q_incr_agg", qIncrAgg, Some(qIncrAggSql)),
     QueryDef("q_bloom_join", qBloomJoin, Some(qBloomJoinSql)),
     QueryDef("q_sliding_distinct", qSlidingDistinct, Some(qSlidingDistinctSql)),
     QueryDef("q_hll_sketch", qHllSketch, Some(qHllSketchSql)),
     QueryDef("q_gap_fill", qGapFill, Some(qGapFillSql)),
+    QueryDef("q_anomaly", qAnomaly, Some(qAnomalySql)),
     QueryDef("q_profile", qProfile, Some(qProfileSql)))
 }

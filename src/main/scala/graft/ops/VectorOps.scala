@@ -660,8 +660,160 @@ object VectorOps {
     FROM ranked WHERE rn <= $K ORDER BY qid, rn"""
   }
 
+  // ---- IVF-PQ: coarse cells + residual product quantization -----------
+  /** The full composite vector index (the FAISS IVF-PQ shape): vectors
+    * partition into Lloyd-refined coarse cells (ivfAssign), each
+    * vector's RESIDUAL against its cell centroid is product-quantized
+    * (pqCodebook/pqAssign on residuals — residuals are smaller than
+    * raw vectors, so the same 4-byte code budget buys more precision),
+    * and queries probe their NProbe nearest cells scoring candidates
+    * by ADC lookups against a PER-CELL distance table built from the
+    * query's residual in THAT cell. Corpus vectors are touched once at
+    * index build; search reads only codes. All distances reuse the
+    * native vec_l2 accumulation order and the fixed-order 4-term fold,
+    * so the oracle (which unrolls coarse Lloyd, residuals, per-subspace
+    * Lloyd, and the ADC scoring in SQL) matches hash-exactly. */
+  def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val (assigned, cents) = ivfAssign(s, dir)
+    val resid = Tables.hot(assigned.join(cents, Seq("cent_id"))
+      .select(col("vec_id"), col("cent_id").as("cell"),
+        zip_with(col("v"), col("cv"), (a, b) => a - b).as("v")))
+    val codebook = broadcast(Tables.hot(
+      pqCodebook(resid.select("vec_id", "v"))))
+    val codes = pqAssign(resid.select("vec_id", "v"), codebook)
+      .join(resid.select("vec_id", "cell"), Seq("vec_id"))
+    val qProbes = e.filter(expr(QueryFilter)).join(cents)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("cent_id"),
+        l2(col("v"), col("cv")).as("cd"))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cd"), col("cent_id"))))
+      .filter(col("crk") <= NProbe)
+      .select(col("qid"), col("qv"), col("cent_id"))
+    val qResid = qProbes.join(cents, Seq("cent_id"))
+      .select(col("qid"), col("cent_id").as("cell"),
+        zip_with(col("qv"), col("cv"), (a, b) => a - b).as("v"))
+    val qSubs = qResid.select(col("qid"), col("cell"),
+        posexplode(array((0 until SubS).map(i =>
+          slice(col("v"), i * SubDim + 1, SubDim)): _*)))
+      .select(col("qid"), col("cell"),
+        col("pos").cast("long").as("sub"), col("col").as("sv"))
+    val dt = broadcast(qSubs.join(codebook, Seq("sub"))
+      .select(col("qid"), col("cell").as("dcell"),
+        l2(col("sv"), col("cv")).as("dd"),
+        col("sub").as("dsub"), col("cent_id").as("dcent")))
+    def pick(i: Int) = max(when(col("dsub") === i, col("dd")))
+    val w = Window.partitionBy("qid").orderBy(col("ad"), col("cid"))
+    codes.join(dt, col("cell") === col("dcell") &&
+        col("sub") === col("dsub") && col("code") === col("dcent"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id").as("cid"))
+      .agg(pick(0).as("d0"), pick(1).as("d1"),
+        pick(2).as("d2"), pick(3).as("d3"))
+      .select(col("qid"), col("cid"),
+        (col("d0") + col("d1") + col("d2") + col("d3")).as("ad"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+      .select(col("qid"), col("cid"), round(col("ad"), 6).as("adist"),
+        col("rn"))
+      .orderBy("qid", "rn")
+  }
+
+  val annIvfPqSql: String = {
+    val vL2 = (a: String, b: String) =>
+      s"list_sum(list_transform(generate_series(1, len($a)), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+    val svL2 = "list_sum(list_transform(generate_series(1, 16), i -> (b.sv[i] - c.cv[i]) * (b.sv[i] - c.cv[i])))"
+    s"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents0 AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < $NCells),
+    k_ranked AS (
+      SELECT e.vec_id, e.v, c.cent_id,
+        ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+          ${vL2("e.v", "c.cv")}, c.cent_id) AS crk
+      FROM e CROSS JOIN cents0 c),
+    k_assigned AS (SELECT vec_id, v, cent_id FROM k_ranked WHERE crk = 1),
+    k_dims AS (
+      SELECT cent_id, t.i AS i,
+        CAST(SUM(CAST(v[t.i] AS DECIMAL(18,$MeanScale))) AS DOUBLE) / COUNT(*) AS m
+      FROM k_assigned, generate_series(1, 64) t(i)
+      GROUP BY cent_id, t.i),
+    cents AS (SELECT cent_id, list(m ORDER BY i) AS cv FROM k_dims GROUP BY cent_id),
+    a_ranked AS (
+      SELECT e.vec_id, e.v, c.cent_id,
+        ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+          ${vL2("e.v", "c.cv")}, c.cent_id) AS crk
+      FROM e CROSS JOIN cents c),
+    assigned AS (SELECT vec_id, v, cent_id FROM a_ranked WHERE crk = 1),
+    resid AS (
+      SELECT a.vec_id, a.cent_id AS cell,
+        list_transform(generate_series(1, 64), i -> a.v[i] - c.cv[i]) AS v
+      FROM assigned a JOIN cents c ON a.cent_id = c.cent_id),
+    p_subs AS (
+      SELECT vec_id, cell, s.s AS sub,
+             list_slice(v, s.s * $SubDim + 1, s.s * $SubDim + $SubDim) AS sv
+      FROM resid, (SELECT unnest(generate_series(0, ${SubS - 1})) AS s) s(s)),
+    p_seed AS (
+      SELECT sub, vec_id AS cent_id, sv AS cv FROM p_subs WHERE vec_id < $PqK),
+    p_kr AS (
+      SELECT b.vec_id, b.sub, b.sv, c.cent_id,
+        ROW_NUMBER() OVER (PARTITION BY b.vec_id, b.sub ORDER BY
+          $svL2, c.cent_id) AS crk
+      FROM p_subs b JOIN p_seed c ON b.sub = c.sub),
+    p_ka AS (SELECT vec_id, sub, sv, cent_id FROM p_kr WHERE crk = 1),
+    p_dims AS (
+      SELECT sub, cent_id, t.i AS i,
+        CAST(SUM(CAST(sv[t.i] AS DECIMAL(18,$MeanScale))) AS DOUBLE)
+          / COUNT(*) AS m
+      FROM p_ka, generate_series(1, $SubDim) t(i)
+      GROUP BY sub, cent_id, t.i),
+    p_cents AS (
+      SELECT sub, cent_id, list(m ORDER BY i) AS cv
+      FROM p_dims GROUP BY sub, cent_id),
+    p_enc_r AS (
+      SELECT b.vec_id, b.cell, b.sub, c.cent_id,
+        ROW_NUMBER() OVER (PARTITION BY b.vec_id, b.sub ORDER BY
+          $svL2, c.cent_id) AS crk
+      FROM p_subs b JOIN p_cents c ON b.sub = c.sub),
+    p_enc AS (SELECT vec_id, cell, sub, cent_id FROM p_enc_r WHERE crk = 1),
+    qp_ranked AS (
+      SELECT e.vec_id AS qid, e.v AS qv, c.cent_id,
+        ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+          ${vL2("e.v", "c.cv")}, c.cent_id) AS crk
+      FROM e CROSS JOIN cents c WHERE $QueryFilter),
+    qprobes AS (SELECT qid, qv, cent_id FROM qp_ranked WHERE crk <= $NProbe),
+    q_resid AS (
+      SELECT q.qid, q.cent_id AS cell,
+        list_transform(generate_series(1, 64), i -> q.qv[i] - c.cv[i]) AS v
+      FROM qprobes q JOIN cents c ON q.cent_id = c.cent_id),
+    q_subs AS (
+      SELECT qid, cell, s.s AS sub,
+             list_slice(v, s.s * $SubDim + 1, s.s * $SubDim + $SubDim) AS sv
+      FROM q_resid, (SELECT unnest(generate_series(0, ${SubS - 1})) AS s) s(s)),
+    dt AS (
+      SELECT b.qid, b.cell, b.sub, c.cent_id, $svL2 AS dd
+      FROM q_subs b JOIN p_cents c ON b.sub = c.sub),
+    scored AS (
+      SELECT d.qid, enc.vec_id AS cid,
+        MAX(CASE WHEN enc.sub = 0 THEN d.dd END) AS d0,
+        MAX(CASE WHEN enc.sub = 1 THEN d.dd END) AS d1,
+        MAX(CASE WHEN enc.sub = 2 THEN d.dd END) AS d2,
+        MAX(CASE WHEN enc.sub = 3 THEN d.dd END) AS d3
+      FROM p_enc enc JOIN dt d
+        ON d.cell = enc.cell AND d.sub = enc.sub AND d.cent_id = enc.cent_id
+      WHERE enc.vec_id != d.qid
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT qid, cid, d0 + d1 + d2 + d3 AS ad,
+        ROW_NUMBER() OVER (PARTITION BY qid
+          ORDER BY d0 + d1 + d2 + d3, cid) AS rn
+      FROM scored)
+    SELECT qid, cid, ROUND(ad, 6) AS adist, rn
+    FROM ranked WHERE rn <= $K ORDER BY qid, rn"""
+  }
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("ann_cosine", annCosine, Some(annCosineSql)),
+    QueryDef("ann_ivf_pq", annIvfPq, Some(annIvfPqSql)),
     QueryDef("embed_pq", embedPq, Some(embedPqSql)),
     QueryDef("ann_pq", annPq, Some(annPqSql)),
     QueryDef("ann_lsh", annLsh, Some(annLshSql)),

@@ -46,6 +46,22 @@ class PqSpec extends SparkSpec {
     assert(diff == 0, s"$diff vectors violate the self-ADC identity")
   }
 
+  test("ann_ivf_pq: per-query ranking is well-formed and distances sane") {
+    val rows = VectorOps.annIvfPq(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (qid, rs) =>
+      val sorted = rs.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to sorted.length),
+        s"query $qid: rn must be consecutive from 1")
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).sorted.toSeq,
+        s"query $qid: adist must be non-decreasing in rank")
+      sorted.foreach { case (_, cid, ad, _) =>
+        assert(ad >= 0.0 && cid != qid)
+      }
+    }
+  }
+
   test("one Lloyd refinement does not worsen mean reconstruction error") {
     def meanErr(iters: Int): Double =
       VectorOps.pqEncode(e, VectorOps.pqCodebook(e, iters))
