@@ -11,7 +11,7 @@ object SparkEntry {
   private def registries: Seq[QueryDef] =
     ops.Relational.all ++ ops.Relational2.all ++ ops.Relational3.all ++
       ops.Relational4.all ++ ops.Relational5.all ++ ops.Relational6.all ++
-      ops.Relational7.all ++ ops.Relational8.all ++
+      ops.Relational7.all ++ ops.Relational8.all ++ ops.Relational9.all ++
       ops.Events.all ++ ops.Corpus.all ++ ops.Privacy.all ++
       ops.LangModel.all ++
       ops.GeoQueries.all ++ ops.TextDedup.all ++ ops.DedupCluster.all ++

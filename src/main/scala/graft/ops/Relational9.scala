@@ -1,0 +1,119 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ninth relational wave — warehouse data-quality and sequence shapes:
+  *
+  *   q_integrity  referential-integrity audit across the star schema
+  *                (orphan counts per foreign-key edge, one anti-join
+  *                aggregate per edge, results unioned)
+  *   q_streaks    gaps-and-islands: longest consecutive-day activity
+  *                streak per user (the day − dense_rank island trick)
+  */
+object Relational9 {
+
+  /** Orphan counts for every foreign-key edge of the schema. Each edge
+    * is one left-anti join reduced to a single count — the anti side
+    * is the key set only (column-pruned scan), and small key sets
+    * broadcast. The edges audit in parallel as independent plans
+    * under one union — Spark runs them as one job with shared scans
+    * where possible. Zero orphans expected on the generator's data;
+    * the oracle certifies the zeros are COMPUTED, not assumed. */
+  def qIntegrity(s: SparkSession, dir: String): DataFrame = {
+    def edge(name: String, fact: DataFrame, fk: String,
+             dim: DataFrame, pk: String): DataFrame =
+      fact.select(col(fk))
+        .join(dim.select(col(pk)), col(fk) === col(pk), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+        .select(lit(name).as("edge"), col("n_orphans"))
+    val o = Tables.load(s, dir, "orders")
+    val c = Tables.load(s, dir, "customer")
+    val l = Tables.load(s, dir, "lineitem")
+    val p = Tables.load(s, dir, "part")
+    val su = Tables.load(s, dir, "supplier")
+    val n = Tables.load(s, dir, "nation")
+    val r = Tables.load(s, dir, "region")
+    Seq(
+      edge("orders->customer", o, "o_custkey", c, "c_custkey"),
+      edge("lineitem->orders", l, "l_orderkey", o, "o_orderkey"),
+      edge("lineitem->part", l, "l_partkey", p, "p_partkey"),
+      edge("lineitem->supplier", l, "l_suppkey", su, "s_suppkey"),
+      edge("customer->nation", c, "c_nationkey", n, "n_nationkey"),
+      edge("supplier->nation", su, "s_nationkey", n, "n_nationkey"),
+      edge("nation->region", n, "n_regionkey", r, "r_regionkey"))
+      .reduce(_ unionByName _)
+      .orderBy("edge")
+  }
+
+  val qIntegritySql: String = """
+    SELECT * FROM (
+      SELECT 'orders->customer' AS edge, COUNT(*) AS n_orphans
+      FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+      UNION ALL
+      SELECT 'lineitem->orders', COUNT(*)
+      FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+      UNION ALL
+      SELECT 'lineitem->part', COUNT(*)
+      FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+      UNION ALL
+      SELECT 'lineitem->supplier', COUNT(*)
+      FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
+      UNION ALL
+      SELECT 'customer->nation', COUNT(*)
+      FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+      UNION ALL
+      SELECT 'supplier->nation', COUNT(*)
+      FROM supplier WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation)
+      UNION ALL
+      SELECT 'nation->region', COUNT(*)
+      FROM nation WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region))
+    ORDER BY edge"""
+
+  /** Gaps-and-islands: each user's LONGEST run of consecutive active
+    * days plus their island count. Islands form with the classic
+    * day_index − dense_rank trick (constant within a consecutive run,
+    * jumps across gaps) — all integer arithmetic. Two windows over the
+    * same (user × day) partitioning (dedup + dense_rank share one
+    * shuffle) and two aggregates; no self-join against shifted copies,
+    * which is the naive O(n²)-ish shape. */
+  def qStreaks(s: SparkSession, dir: String): DataFrame = {
+    val day = 86400000000L
+    // integer DIV: epoch-µs exceeds double's 2^53 exact range, so a
+    // float division here would round before truncating
+    val du = Tables.loadEventsUs(s, dir)
+      .select(col("user_id"), expr(s"ts_us DIV $day").as("d"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("d")
+    du.withColumn("island", col("d") - dense_rank().over(w))
+      .groupBy("user_id", "island")
+      .agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(max("len").as("longest_streak"),
+        count(lit(1)).as("n_islands"))
+      .orderBy("user_id")
+  }
+
+  val qStreaksSql: String = """
+    WITH du AS (
+      SELECT DISTINCT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d
+      FROM events),
+    isl AS (
+      SELECT user_id, d,
+             d - DENSE_RANK() OVER (PARTITION BY user_id ORDER BY d)
+               AS island
+      FROM du),
+    runs AS (
+      SELECT user_id, island, COUNT(*) AS len
+      FROM isl GROUP BY 1, 2)
+    SELECT user_id, MAX(len) AS longest_streak,
+           COUNT(*) AS n_islands
+    FROM runs GROUP BY 1 ORDER BY user_id"""
+
+  def all: Seq[QueryDef] = Seq(
+    QueryDef("q_integrity", qIntegrity, Some(qIntegritySql)),
+    QueryDef("q_streaks", qStreaks, Some(qStreaksSql)))
+}
