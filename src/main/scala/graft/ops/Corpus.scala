@@ -158,6 +158,56 @@ object Corpus {
       .orderBy("doc_id", "win_id")
   }
 
+  /** Sentence-aware chunking: split on boundary markers and pack whole
+    * sentences into ~budget-token chunks (chunk = floor(tokens-before-
+    * this-sentence / budget), the pack_shards rule at sentence grain
+    * inside each document) — the C4-style alternative to fixed token
+    * windows that never cuts mid-sentence. Shape: one posexplode (map)
+    * + one per-doc window cumsum (single shuffle on doc_id) + one
+    * aggregation; sentence order inside chunks is positional and
+    * deterministic. The registered binding splits on ' the ' because
+    * the synthetic corpus carries no punctuation — real corpora pass
+    * sep = "\\. "; the engine path is identical either way. */
+  def chunkSentences(s: SparkSession, dir: String,
+                     budget: Int = 40, sep: String = " the "): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("sent_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(s, dir)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), sep)).as(Seq("sent_id", "sent")))
+      .withColumn("n_tok", size(split(col("sent"), " ")))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("chunk",
+        expr(s"(cum - n_tok) DIV $budget"))
+      .groupBy("doc_id", "chunk")
+      .agg(count(lit(1)).as("n_sentences"),
+        sum("n_tok").as("n_tokens"),
+        min("sent_id").as("first_sent"))
+      .orderBy("doc_id", "chunk")
+  }
+
+  val chunkSentencesSql: String = """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' the ') AS sents FROM documents),
+    sidx AS (
+      SELECT doc_id, sents,
+             unnest(generate_series(1, len(sents))) AS i
+      FROM t),
+    se AS (
+      SELECT doc_id, i - 1 AS sent_id,
+             len(string_split(sents[i], ' ')) AS n_tok
+      FROM sidx),
+    c AS (
+      SELECT doc_id, sent_id, n_tok,
+             SUM(n_tok) OVER (PARTITION BY doc_id ORDER BY sent_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM se)
+    SELECT doc_id, CAST((cum - n_tok) // 40 AS BIGINT) AS chunk,
+           COUNT(*) AS n_sentences,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           MIN(sent_id) AS first_sent
+    FROM c GROUP BY 1, 2 ORDER BY doc_id, chunk"""
+
   val chunkWindowsSql: String = """
     WITH t AS (
       SELECT doc_id, string_split(text, ' ') AS w,
@@ -649,6 +699,7 @@ object Corpus {
     QueryDef("text_scrub", textScrub, Some(textScrubSql)),
     QueryDef("text_entropy", textEntropy, Some(textEntropySql)),
     QueryDef("chunk_windows", (s, d) => chunkWindows(s, d), Some(chunkWindowsSql)),
+    QueryDef("chunk_sentences", (s, d) => chunkSentences(s, d), Some(chunkSentencesSql)),
     QueryDef("corpus_mix", corpusMix, Some(corpusMixSql)),
     QueryDef("text_tfidf", (s, d) => textTfidf(s, d), Some(textTfidfSql)),
     QueryDef("text_decontam", (s, d) => textDecontam(s, d), Some(textDecontamSql)),

@@ -73,6 +73,58 @@ object LangModel {
                  / COUNT(*), 6) AS oov_frac
     FROM j GROUP BY doc_id ORDER BY doc_id"""
 
+  /** Bigram LM scoring — the next-order signal above textUnigramLp:
+    * p(w2 | w1) = c(w1 w2) / c(w1 ·), per-doc average negative
+    * conditional log-likelihood over its bigrams (docs shorter than
+    * two tokens have no bigrams and drop out, mirrored in SQL).
+    * Same scale shape as the unigram: both count tables join back by
+    * key SHUFFLE (bigram vocab is far too large to broadcast at web
+    * scale), all aggregations map-side combined, 6 dp float gate. */
+  def textBigramLp(s: SparkSession, dir: String): DataFrame = {
+    val toks = Text.toks
+    val b = Tables.fanout(Tables.load(s, dir, "documents"))
+      .select(col("doc_id"),
+        explode(when(size(toks) >= 2,
+          transform(sequence(lit(1), size(toks) - 1), i =>
+            struct(element_at(toks, i).as("w1"),
+              element_at(toks, i + 1).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+          .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = b.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = b.groupBy("w1").agg(count(lit(1)).as("c1"))
+    b.join(c12.hint("shuffle_hash"), Seq("w1", "w2"))
+      .join(c1.hint("shuffle_hash"), Seq("w1"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(log(col("c1").cast("double")) -
+          log(col("c12").cast("double"))).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("s") / col("n_bigrams"), 6).as("avg_nll2"))
+      .orderBy("doc_id")
+  }
+
+  val textBigramLpSql: String = """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    bidx AS (
+      SELECT doc_id, w,
+             unnest(generate_series(1, len(w) - 1)) AS i
+      FROM t),
+    b AS (
+      SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM bidx),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM b GROUP BY 1, 2),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM b GROUP BY 1)
+    SELECT b.doc_id,
+           COUNT(*) AS n_bigrams,
+           ROUND(SUM(ln(CAST(c1.c1 AS DOUBLE))
+                 - ln(CAST(c12.c12 AS DOUBLE))) / COUNT(*), 6) AS avg_nll2
+    FROM b
+    JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+    JOIN c1 ON b.w1 = c1.w1
+    GROUP BY 1 ORDER BY doc_id"""
+
   def all: Seq[QueryDef] = Seq(
-    QueryDef("text_unigram_lp", textUnigramLp, Some(textUnigramLpSql)))
+    QueryDef("text_unigram_lp", textUnigramLp, Some(textUnigramLpSql)),
+    QueryDef("text_bigram_lp", textBigramLp, Some(textBigramLpSql)))
 }

@@ -18,6 +18,32 @@ class LangModelSpec extends SparkSpec {
     assert(got(2) == ((3L, 1L, r6(ln(6)), 1.0)))
   }
 
+  test("bigram scores: one bigram fewer than tokens, non-negative nll") {
+    val uni = LangModel.textUnigramLp(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bi = LangModel.textBigramLp(spark, sfDir).collect()
+    assert(bi.nonEmpty)
+    bi.foreach { r =>
+      assert(r.getLong(1) == uni(r.getLong(0)) - 1,
+        "n_bigrams must be n_tokens - 1")
+      assert(r.getDouble(2) >= -1e-9, "conditional nll is non-negative")
+    }
+  }
+
+  test("chunk_sentences conserves tokens and packs within budget grain") {
+    val rows = Corpus.chunkSentences(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, ch) =>
+      val chunks = ch.map(_._2).sorted
+      // a sentence longer than the budget legitimately skips chunk ids,
+      // so pin: starts at 0, strictly increasing, no duplicates
+      assert(chunks.head == 0 && chunks.distinct.length == chunks.length,
+        "chunk ids start at 0 and never repeat")
+    }
+    assert(rows.exists(_._2 > 0), "multi-chunk documents must be exercised")
+  }
+
   test("ordering: a doc of common tokens scores lower nll than a doc of rare ones") {
     val rows = LangModel.textUnigramLp(spark, sfDir).collect()
     assert(rows.nonEmpty)
