@@ -113,7 +113,85 @@ object Relational9 {
            COUNT(*) AS n_islands
     FROM runs GROUP BY 1 ORDER BY user_id"""
 
+  /** Mergeable binned quantiles — the percentile companion to
+    * q_incr_agg (count/sum/min/max) and q_hll_sketch (distinct):
+    * per-type p50/p90 from a FIXED 1000-bin histogram whose state
+    * (per-bin counts) merges associatively across partitions, days,
+    * or streams — the property exact rank-based percentiles lack, and
+    * the reason production pipelines maintain quantiles as sketches.
+    * Bin edges come from the global (min, max) via a broadcast 1-row
+    * aggregate; the estimate is the midpoint of the first bin whose
+    * cumulative count reaches the rank. All boundary decisions are
+    * single IEEE ops on identical doubles, so the estimate itself is
+    * hash-exact cross-engine. Shape: two aggregates (bin counts, then
+    * per-type fold over ≤1000 sorted bins) — the fold runs inside a
+    * bounded sorted-slice aggregation, never a window over rows. */
+  def qIncrQuantile(s: SparkSession, dir: String): DataFrame = {
+    val nBins = 1000
+    val e = Tables.load(s, dir, "events").select("event_type", "value")
+    val span = e.agg(min("value").as("lo"), max("value").as("hi"))
+    val binned = e.crossJoin(broadcast(span))
+      .withColumn("bin",
+        least(lit(nBins - 1), greatest(lit(0),
+          floor((col("value") - col("lo")) / (col("hi") - col("lo"))
+            * nBins).cast("int"))))
+      .groupBy("event_type", "bin")
+      .agg(count(lit(1)).as("c"),
+        first("lo").as("lo"), first("hi").as("hi"))
+    def est(q: Double) =
+      expr(s"""aggregate(bins, named_struct('cum', 0L, 'found', -1),
+        (acc, b) -> named_struct(
+          'cum', acc.cum + b.c,
+          'found', CASE WHEN acc.found >= 0 THEN acc.found
+                        WHEN acc.cum + b.c >= CAST(ceil(n * $q) AS BIGINT)
+                        THEN b.bin ELSE -1 END),
+        acc -> acc.found)""")
+    binned
+      .groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("bin"), col("c")))).as("bins"),
+        sum("c").as("n"), first("lo").as("lo"), first("hi").as("hi"))
+      .select(col("event_type"), col("n"),
+        (col("lo") + (est(0.5) + 0.5) * ((col("hi") - col("lo")) / nBins))
+          .as("p50_est"),
+        (col("lo") + (est(0.9) + 0.5) * ((col("hi") - col("lo")) / nBins))
+          .as("p90_est"))
+      .orderBy("event_type")
+  }
+
+  val qIncrQuantileSql: String = """
+    WITH span AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
+    binned AS (
+      SELECT event_type,
+        least(999, greatest(0, CAST(floor((value - lo) / (hi - lo) * 1000)
+          AS INTEGER))) AS bin,
+        COUNT(*) AS c, first(lo) AS lo, first(hi) AS hi
+      FROM events CROSS JOIN span
+      GROUP BY 1, 2),
+    tot AS (
+      SELECT event_type, CAST(SUM(c) AS BIGINT) AS n,
+             first(lo) AS lo, first(hi) AS hi
+      FROM binned GROUP BY 1),
+    cum AS (
+      SELECT event_type, bin, c,
+        SUM(c) OVER (PARTITION BY event_type ORDER BY bin
+                     ROWS UNBOUNDED PRECEDING) AS cc
+      FROM binned),
+    pick AS (
+      SELECT t.event_type, t.n, t.lo, t.hi,
+        (SELECT MIN(bin) FROM cum
+         WHERE cum.event_type = t.event_type
+           AND cc >= CAST(ceil(t.n * 0.5) AS BIGINT)) AS b50,
+        (SELECT MIN(bin) FROM cum
+         WHERE cum.event_type = t.event_type
+           AND cc >= CAST(ceil(t.n * 0.9) AS BIGINT)) AS b90
+      FROM tot t)
+    SELECT event_type, n,
+           lo + (b50 + 0.5) * ((hi - lo) / 1000) AS p50_est,
+           lo + (b90 + 0.5) * ((hi - lo) / 1000) AS p90_est
+    FROM pick ORDER BY event_type"""
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("q_integrity", qIntegrity, Some(qIntegritySql)),
+    QueryDef("q_incr_quantile", qIncrQuantile, Some(qIncrQuantileSql)),
     QueryDef("q_streaks", qStreaks, Some(qStreaksSql)))
 }

@@ -12,6 +12,29 @@ class Relational9Spec extends SparkSpec {
       s"edge ${r.getString(0)}: expected 0 orphans, got ${r.getLong(1)}"))
   }
 
+  test("q_incr_quantile: binned estimates land within one bin of the exact percentile") {
+    val vals = Tables.load(spark, sfDir, "events")
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val lo = vals.map(_._2).min
+    val hi = vals.map(_._2).max
+    val binW = (hi - lo) / 1000.0
+    def exact(xs: Array[Double], q: Double): Double = {
+      val s = xs.sorted
+      s(math.min(s.length - 1, math.ceil(s.length * q).toInt - 1))
+    }
+    val got = Relational9.qIncrQuantile(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    vals.groupBy(_._1).foreach { case (t, rows) =>
+      val xs = rows.map(_._2)
+      val (p50, p90) = got(t)
+      assert(math.abs(p50 - exact(xs, 0.5)) <= binW + 1e-9,
+        s"$t p50: est $p50 vs exact ${exact(xs, 0.5)} (bin $binW)")
+      assert(math.abs(p90 - exact(xs, 0.9)) <= binW + 1e-9,
+        s"$t p90: est $p90 vs exact ${exact(xs, 0.9)}")
+    }
+  }
+
   test("q_streaks equals a brute-force streak computation") {
     val day = 86400000000L
     val du = Tables.loadEventsUs(spark, sfDir)
