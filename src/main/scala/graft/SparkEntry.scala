@@ -13,7 +13,7 @@ object SparkEntry {
       ops.Relational4.all ++ ops.Relational5.all ++ ops.Relational6.all ++
       ops.Relational7.all ++ ops.Relational8.all ++ ops.Relational9.all ++
       ops.Events.all ++ ops.Corpus.all ++ ops.Privacy.all ++
-      ops.LangModel.all ++
+      ops.LangModel.all ++ ops.IoQueries.all ++
       ops.GeoQueries.all ++ ops.TextDedup.all ++ ops.DedupCluster.all ++
       ops.VectorOps.all ++
       ops.Multimodal.all

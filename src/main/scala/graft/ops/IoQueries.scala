@@ -1,0 +1,54 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source/sink layer under the oracle gate: io_roundtrip writes the
+  * documents table through three interchange formats (CSV with header,
+  * JSON-lines, ORC), reads each back through graft.io.Sources, and
+  * emits content-sensitive statistics per format. The oracle computes
+  * the same statistics straight from the parquet table — equality
+  * certifies every format round-trips losslessly (the md5-derived
+  * h_sum flips if any character of any document is mangled by
+  * quoting/escaping/encoding on the way through). Explicit schemas
+  * keep every read one-pass (no inference scan) — the 100 TB rule.
+  */
+object IoQueries {
+
+  def ioRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-io").toString
+    val docs = Tables.load(s, dir, "documents")
+    docs.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
+    docs.write.mode("overwrite").json(s"$tmp/jsonl")
+    graft.io.Sources.writeOrc(docs, s"$tmp/orc")
+    def stats(df: DataFrame, fmt: String) =
+      df.agg(
+        count(lit(1)).as("n_rows"),
+        sum(length(col("text"))).as("chars"),
+        sum(col("doc_id")).as("id_sum"),
+        sum(expr(
+          "CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT) % 1000000007"))
+          .as("h_sum"))
+        .select(lit(fmt).as("format"), col("n_rows"), col("chars"),
+          col("id_sum"), col("h_sum"))
+    stats(graft.io.Sources.readCsv(s, s"$tmp/csv", docs.schema), "csv")
+      .unionByName(
+        stats(graft.io.Sources.readJsonLines(s, s"$tmp/jsonl", docs.schema),
+          "jsonl"))
+      .unionByName(stats(graft.io.Sources.readOrc(s, s"$tmp/orc"), "orc"))
+      .orderBy("format")
+  }
+
+  val ioRoundtripSql: String = """
+    SELECT f.fmt AS format, COUNT(*) AS n_rows,
+           CAST(SUM(len(text)) AS BIGINT) AS chars,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(SUM(CAST(('0x' || substr(md5(text), 1, 15)) AS UBIGINT)::BIGINT
+             % 1000000007) AS BIGINT) AS h_sum
+    FROM documents, (SELECT unnest(['csv', 'jsonl', 'orc']) AS fmt) f
+    GROUP BY f.fmt ORDER BY format"""
+
+  def all: Seq[QueryDef] = Seq(
+    QueryDef("io_roundtrip", ioRoundtrip, Some(ioRoundtripSql)))
+}
