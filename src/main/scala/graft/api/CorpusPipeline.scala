@@ -27,6 +27,21 @@ import org.apache.spark.sql.functions._
   */
 final case class CorpusPipeline(df: DataFrame) {
 
+  /** Quality gate BEFORE any shuffle-bearing step: token-count band +
+    * distinct-token ratio, all within-row — a pure filter that Catalyst
+    * pushes to the scan, so rejected documents never enter the dedup
+    * window or any later exchange. (The registered standalone
+    * corpus_quality_filter adds the native bigram repetition signal;
+    * this chain step keeps the two cheapest gates.) */
+  def qualityFilter(minTok: Int = 20, maxTok: Int = 100000,
+                    minDistinctRatio: Double = 0.1): CorpusPipeline = {
+    val t = split(col("text"), " ")
+    CorpusPipeline(df.filter(
+      size(t) >= minTok && size(t) <= maxTok &&
+        size(array_distinct(t)).cast("double") / size(t)
+          >= minDistinctRatio))
+  }
+
   /** Exact dedup keeping the smallest doc_id per identical text —
     * one hash shuffle; rows keep their full schema (window argmin,
     * not a groupBy that would drop columns). */

@@ -685,7 +685,44 @@ object Corpus {
            COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tok_sum
     FROM packed GROUP BY 1, 2 ORDER BY source, shard"""
 
+  /** The full assembly chain with the quality gate up front — still
+    * ONE fused Catalyst plan: quality filter (pushed to the scan) →
+    * exact dedup → stratified sample → token-budget shards. */
+  def pipelineFull(s: SparkSession, dir: String): DataFrame =
+    graft.api.CorpusPipeline(docs(s, dir))
+      .qualityFilter()
+      .dedupExact
+      .sampleStratified()
+      .packShards(2000)
+      .shardStats
+
+  val pipelineFullSql: String = """
+    WITH q AS (
+      SELECT * FROM documents
+      WHERE len(string_split(text, ' ')) >= 20
+        AND len(string_split(text, ' ')) <= 100000
+        AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+              / len(string_split(text, ' ')) >= 0.1),
+    dedup AS (
+      SELECT * FROM q
+      QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+    sampled AS (
+      SELECT * FROM dedup
+      WHERE substring(md5(text), 1, 2) <
+            (CASE WHEN lang = 'en' THEN '29' ELSE '80' END)),
+    packed AS (
+      SELECT source, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+               OVER (PARTITION BY source ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) AS cum
+      FROM sampled)
+    SELECT source, CAST(FLOOR((cum - n_tok) / 2000.0) AS BIGINT) AS shard,
+           COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tok_sum
+    FROM packed GROUP BY 1, 2 ORDER BY source, shard"""
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("corpus_pipeline_full", pipelineFull, Some(pipelineFullSql)),
     QueryDef("pack_shards", (s, d) => packShards(s, d), Some(packShardsSql)),
     QueryDef("sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
     QueryDef("sample_reservoir", (s, d) => sampleReservoir(s, d),

@@ -190,7 +190,41 @@ object Relational9 {
            lo + (b90 + 0.5) * ((hi - lo) / 1000) AS p90_est
     FROM pick ORDER BY event_type"""
 
+  /** Day-over-day trend detection: the 10 largest absolute changes in
+    * daily event volume per type. Aggregates FIRST (the per-type-day
+    * rollup is tiny at any scale), one lag window over the rollup, and
+    * a sort-limit (TakeOrdered — never a global row window over the
+    * events). Fully tie-broken ordering keeps the top-10 set
+    * deterministic cross-engine. */
+  def qTopMovers(s: SparkSession, dir: String): DataFrame = {
+    val day = 86400000000L
+    val w = Window.partitionBy("event_type").orderBy("d")
+    Tables.loadEventsUs(s, dir)
+      .groupBy(col("event_type"), expr(s"ts_us DIV $day").as("d"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("prev_n", lag("n", 1).over(w))
+      .filter(col("prev_n").isNotNull)
+      .withColumn("delta", col("n") - col("prev_n"))
+      .orderBy(abs(col("delta")).desc, col("event_type"), col("d"))
+      .limit(10)
+  }
+
+  val qTopMoversSql: String = """
+    WITH c AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    l AS (
+      SELECT event_type, d, n,
+             LAG(n) OVER (PARTITION BY event_type ORDER BY d) AS prev_n
+      FROM c)
+    SELECT event_type, d, n, prev_n, n - prev_n AS delta
+    FROM l WHERE prev_n IS NOT NULL
+    ORDER BY abs(n - prev_n) DESC, event_type, d LIMIT 10"""
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("q_top_movers", qTopMovers, Some(qTopMoversSql)),
     QueryDef("q_integrity", qIntegrity, Some(qIntegritySql)),
     QueryDef("q_incr_quantile", qIncrQuantile, Some(qIncrQuantileSql)),
     QueryDef("q_streaks", qStreaks, Some(qStreaksSql)))
