@@ -332,7 +332,51 @@ object Events {
       m1.id AS latest1, m2.id AS latest2
     FROM a ORDER BY user_id, event_type"""
 
+  /** CDC compaction WITH tombstone deletes — full MERGE semantics:
+    * per user key, the latest (ts, event_id) version wins, and if
+    * that winning version is a tombstone ('error' here stands in for
+    * the delete op-code) the key is REMOVED from the compacted state
+    * rather than surfaced. Same single decimal-packed-argmax hash
+    * aggregate as q_cdc_compact (map-side partials, never a window
+    * sort) plus one post-aggregate filter — deletes cost nothing
+    * extra at any scale. */
+  def cdcDelete(s: SparkSession, dir: String): DataFrame = {
+    // the tombstone decision rides max_by over an INT flag — a string
+    // max_by (latest event_type) would regress the whole aggregate to
+    // SortAggregate (immutable buffer type), the exact trap the
+    // dedup_keep_best bit-pack avoids
+    Tables.loadEventsUs(s, dir)
+      .withColumn("ver", packedVer)
+      .groupBy("user_id")
+      .agg(max(col("ts_us")).as("latest_ts_us"),
+        max_by(col("event_id"), col("ver")).as("latest_event_id"),
+        max_by((col("event_type") === "error").cast("int"), col("ver"))
+          .as("tomb"),
+        round(max_by(col("value"), col("ver")), 6).as("latest_value"),
+        count(lit(1)).as("n_versions"))
+      .filter(col("tomb") === 0)
+      .drop("tomb")
+      .orderBy("user_id")
+  }
+
+  val cdcDeleteSql: String = """
+    WITH u AS (
+      SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             event_id, value
+      FROM events),
+    r AS (
+      SELECT *,
+        ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY ts_us DESC, event_id DESC) AS rn,
+        COUNT(*) OVER (PARTITION BY user_id) AS n_versions
+      FROM u)
+    SELECT user_id, ts_us AS latest_ts_us, event_id AS latest_event_id,
+           ROUND(value, 6) AS latest_value, n_versions
+    FROM r WHERE rn = 1 AND event_type != 'error'
+    ORDER BY user_id"""
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("q_cdc_delete", cdcDelete, Some(cdcDeleteSql)),
     QueryDef("q_retention", retention, Some(retentionSql)),
     QueryDef("q_snapshot_diff", snapshotDiff, Some(snapshotDiffSql)),
     QueryDef("q_top_ngrams", topNgrams, Some(topNgramsSql)),

@@ -86,7 +86,7 @@ class PlanAuditSpec extends SparkSpec {
     // the events argmax family (decimal-packed version order): a bare
     // struct max would regress these to SortAggregate, which map-side
     // sorts every scan partition — they must stay hash-based
-    for (q <- Seq("q_cdc_compact", "q_snapshot_diff")) {
+    for (q <- Seq("q_cdc_compact", "q_snapshot_diff", "q_cdc_delete")) {
       val nodes = collectAll(initialPlan(q))
       assert(!nodes.exists(_.nodeName.contains("SortAggregate")),
         s"$q: version argmax regressed to sort-based aggregation")
