@@ -49,6 +49,41 @@ object IoQueries {
     FROM documents, (SELECT unnest(['csv', 'jsonl', 'orc']) AS fmt) f
     GROUP BY f.fmt ORDER BY format"""
 
+  /** Bucketed-layout join under the gate: both sides are written as
+    * metastore-backed bucketed tables on their join key (8 buckets,
+    * sorted — Sources.writeBucketed) and then joined with NO exchange
+    * on either side: the shuffle was paid once at write time, which
+    * is the layout recurring 100 TB joins want. The merge hint keeps
+    * the sort-merge join (a broadcast would hide the demonstration);
+    * IoSpec asserts the join subplan really has zero shuffles. The
+    * oracle computes the same aggregate from the plain tables, so
+    * correctness of the bucketed path is hash-certified. */
+  def qBucketJoin(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-buckets").toString
+    graft.io.Sources.writeBucketed(
+      Tables.load(s, dir, "orders")
+        .select("o_custkey", "o_totalprice"),
+      "b_orders", s"$tmp/o", "o_custkey", 8)
+    graft.io.Sources.writeBucketed(
+      Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_mktsegment"),
+      "b_customer", s"$tmp/c", "c_custkey", 8)
+    s.table("b_orders").hint("merge")
+      .join(s.table("b_customer").hint("merge"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        graft.QueryDef.dsum(col("o_totalprice"), 2).as("total"))
+      .orderBy("c_mktsegment")
+  }
+
+  val qBucketJoinSql: String = """
+    SELECT c_mktsegment, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1 ORDER BY 1"""
+
   def all: Seq[QueryDef] = Seq(
-    QueryDef("io_roundtrip", ioRoundtrip, Some(ioRoundtripSql)))
+    QueryDef("io_roundtrip", ioRoundtrip, Some(ioRoundtripSql)),
+    QueryDef("q_bucket_join", qBucketJoin, Some(qBucketJoinSql)))
 }

@@ -575,8 +575,44 @@ object Multimodal {
       CAST(list_sum(a) AS DOUBLE) / n AS mean_aug
     FROM aug ORDER BY doc_id"""
 
+  /** Content-type routing over a MIXED media table — the first stage
+    * of any multimodal ingest: the three modality tables union into
+    * one opaque-binary column and every payload is classified by its
+    * container magic (PNG signature / RIFF…WAVE / GVID) as pure
+    * column ops over the binary prefix (no codec touched — routing
+    * must be cheap). Each doc produced exactly one payload per
+    * modality, so per-type counts are SQL-derivable and the oracle
+    * certifies the classification is total and exact. */
+  def mmTypeDetect(s: SparkSession, dir: String): DataFrame = {
+    val media = mediaTable(s, dir).select(col("payload"))
+      .unionByName(audioTable(s, dir).select(col("payload")))
+      .unionByName(videoTable(s, dir).select(col("payload")))
+    media
+      .withColumn("kind",
+        when(hex(substring(col("payload"), 1, 4)) === "89504E47", "png")
+          .when(substring(col("payload"), 1, 4).cast("string") === "RIFF" &&
+            substring(col("payload"), 9, 4).cast("string") === "WAVE", "wav")
+          .when(substring(col("payload"), 1, 4).cast("string") === "GVID",
+            "video")
+          .otherwise("unknown"))
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n"),
+        min(length(col("payload"))).as("min_bytes"))
+      .select(col("kind"), col("n"),
+        (col("min_bytes") > 12).as("has_header"))
+      .orderBy("kind")
+  }
+
+  /** Every modality emits one payload per document and min payload
+    * size strictly exceeds the largest container header. */
+  val mmTypeDetectSql: String = """
+    SELECT k.kind, COUNT(*) AS n, TRUE AS has_header
+    FROM documents, (SELECT unnest(['png', 'video', 'wav']) AS kind) k
+    GROUP BY 1 ORDER BY 1"""
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("mm_pipeline", mmPipeline, Some(mmPipelineSql)),
+    QueryDef("mm_type_detect", mmTypeDetect, Some(mmTypeDetectSql)),
     QueryDef("mm_augment", mmAugment, Some(mmAugmentSql)),
     QueryDef("mm_audio", audioPipeline, Some(mmAudioSql)),
     QueryDef("mm_video", videoPipeline, Some(mmVideoSql)))
