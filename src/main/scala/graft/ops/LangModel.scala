@@ -124,7 +124,88 @@ object LangModel {
     JOIN c1 ON b.w1 = c1.w1
     GROUP BY 1 ORDER BY doc_id"""
 
+  /** Statistical language ID — the corpus-trained upgrade over the
+    * stopword heuristic (text_langid): per-language char-TRIGRAM
+    * profiles learned from the corpus's own labels, each document
+    * scored under every language's Laplace-smoothed trigram model
+    *   score(d, l) = Σ_g ln(c_{g,l} + 1) − n_grams(d)·ln(n_l + V)
+    * and classified by argmax (rounded at 6 dp first, so the
+    * cross-engine tie-break is stable; ties fall to the smaller
+    * language code). Output is the confusion matrix (true lang ×
+    * predicted, ≤ |L|² rows) — the evidence the classifier actually
+    * separates languages. Scale shape: the trigram stream is exploded
+    * once and reused (hot), the profile joins back by gram-key
+    * SHUFFLE (char-trigram vocab of a web corpus is large), absent
+    * (doc, lang) gram matches contribute exactly ln(1) = 0 so no
+    * dense vocab×lang materialization is needed, and the 5-row
+    * language totals + 1-row vocab size broadcast. */
+  def textLangidStat(s: SparkSession, dir: String): DataFrame = {
+    val g3 = expr("""CASE WHEN length(text) >= 3
+      THEN transform(sequence(1, length(text) - 2),
+        i -> substring(text, i, 3))
+      ELSE array() END""")
+    val dg = Tables.hot(
+      Tables.fanout(Tables.load(s, dir, "documents"))
+        .select(col("doc_id"), col("lang"), explode(g3).as("g")))
+    val prof = dg.groupBy(col("g"), col("lang").as("plang"))
+      .agg(count(lit(1)).as("c"))
+    val langTot = prof.groupBy("plang").agg(sum("c").as("nl"))
+    val vdf = prof.agg(countDistinct("g").cast("double").as("v"))
+    val docG = dg.groupBy("doc_id", "lang").agg(count(lit(1)).as("n_g"))
+    val perLang = dg.select("doc_id", "g")
+      .join(prof.hint("shuffle_hash"), Seq("g"))
+      .groupBy("doc_id", "plang")
+      .agg(sum(log(col("c").cast("double") + 1.0)).as("s0"))
+    docG.join(broadcast(langTot))
+      .join(perLang, Seq("doc_id", "plang"), "left")
+      .crossJoin(broadcast(vdf))
+      .withColumn("score", round(coalesce(col("s0"), lit(0.0)) -
+        col("n_g") * log(col("nl").cast("double") + col("v")), 6))
+      .groupBy("doc_id", "lang")
+      .agg(min(struct((-col("score")).as("ns"), col("plang"))).as("m"))
+      .groupBy(col("lang"), col("m.plang").as("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "pred_lang")
+  }
+
+  val textLangidStatSql: String = """
+    WITH dg AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(generate_series(1, length(text) - 2),
+               i -> substr(text, i, 3))) AS g
+      FROM documents),
+    prof AS (
+      SELECT g, lang AS plang, COUNT(*) AS c FROM dg GROUP BY 1, 2),
+    langtot AS (
+      SELECT plang, CAST(SUM(c) AS BIGINT) AS nl FROM prof GROUP BY 1),
+    vdf AS (
+      SELECT CAST(COUNT(DISTINCT g) AS DOUBLE) AS v FROM prof),
+    docg AS (
+      SELECT doc_id, lang, COUNT(*) AS n_g FROM dg GROUP BY 1, 2),
+    perlang AS (
+      SELECT dg.doc_id, prof.plang,
+             SUM(ln(CAST(prof.c AS DOUBLE) + 1.0)) AS s0
+      FROM dg JOIN prof ON dg.g = prof.g
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT d.doc_id, d.lang, t.plang,
+             ROUND(COALESCE(p.s0, 0.0)
+               - d.n_g * ln(CAST(t.nl AS DOUBLE) + (SELECT v FROM vdf)),
+               6) AS score
+      FROM docg d
+      CROSS JOIN langtot t
+      LEFT JOIN perlang p ON p.doc_id = d.doc_id AND p.plang = t.plang),
+    pred AS (
+      SELECT doc_id, lang, plang AS pred_lang,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, plang) AS rn
+      FROM scored)
+    SELECT lang, pred_lang, COUNT(*) AS n
+    FROM pred WHERE rn = 1
+    GROUP BY 1, 2 ORDER BY lang, pred_lang"""
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("text_unigram_lp", textUnigramLp, Some(textUnigramLpSql)),
-    QueryDef("text_bigram_lp", textBigramLp, Some(textBigramLpSql)))
+    QueryDef("text_bigram_lp", textBigramLp, Some(textBigramLpSql)),
+    QueryDef("text_langid_stat", textLangidStat, Some(textLangidStatSql)))
 }

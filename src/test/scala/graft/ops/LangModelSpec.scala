@@ -44,6 +44,19 @@ class LangModelSpec extends SparkSpec {
     assert(rows.exists(_._2 > 0), "multi-chunk documents must be exercised")
   }
 
+  test("text_langid_stat: the modal prediction for every language is itself") {
+    val conf = LangModel.textLangidStat(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(conf.nonEmpty)
+    val nDocs = graft.Tables.load(spark, sfDir, "documents").count()
+    assert(conf.map(_._3).sum == nDocs, "every document must be classified")
+    conf.groupBy(_._1).foreach { case (lang, row) =>
+      val modal = row.maxBy(_._3)._2
+      assert(modal == lang,
+        s"$lang: modal prediction was $modal — profiles must separate")
+    }
+  }
+
   test("ordering: a doc of common tokens scores lower nll than a doc of rare ones") {
     val rows = LangModel.textUnigramLp(spark, sfDir).collect()
     assert(rows.nonEmpty)
