@@ -91,8 +91,10 @@ object LangModel {
           .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
           .as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val c12 = b.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val c1 = b.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val c12 = Tables.hot(b.groupBy("w1", "w2").agg(count(lit(1)).as("c12")))
+    // context totals derive from the (much smaller) bigram-count table
+    // — aggregating c12 again beats re-shuffling the full bigram stream
+    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
     b.join(c12.hint("shuffle_hash"), Seq("w1", "w2"))
       .join(c1.hint("shuffle_hash"), Seq("w1"))
       .groupBy("doc_id")
