@@ -89,6 +89,52 @@ object GeoQueries {
     FROM pts p CROSS JOIN st s
     GROUP BY 1, 2 ORDER BY p.id, year"""
 
+  // ---- inverse-distance-weighted interpolation -----------------------
+  /** IDW surface interpolation — the air-quality-domain operation the
+    * reference's exposure models feed (estimate a field value at every
+    * point from monitoring-site readings): regularized weights
+    * w = 1/(d² + 1) over sites within 1 km (the +1 removes the
+    * coincident-point pole without a branch), value = Σwv / Σw.
+    * Broadcast the (small) site table, one map-side-combined hash
+    * aggregate; per-term DECIMAL(28,12) quantization makes both the
+    * numerator and denominator sums accumulation-order-proof, and the
+    * final ratio is a single IEEE division — hash-exact. Points with
+    * no site in range drop out (no fabricated values). */
+  def idw(s: SparkSession, dir: String): DataFrame = {
+    val st = broadcast(Derive.sites(s, dir)
+      .select(col("x").as("fx"), col("y").as("fy"),
+        ((col("id") % 97) + 1).cast("double").as("fv")))
+    val dd = (col("x") - col("fx")) * (col("x") - col("fx")) +
+      (col("y") - col("fy")) * (col("y") - col("fy"))
+    val w = lit(1.0) / (dd + lit(1.0))
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    Derive.points(s, dir).join(st)
+      .filter(dd < lit(1000.0 * 1000.0))
+      .select(col("id"), (w * col("fv")).as("wv"), w.as("w"))
+      .groupBy("id")
+      .agg(sum(col("wv").cast(dec)).cast("double").as("num"),
+        sum(col("w").cast(dec)).cast("double").as("den"),
+        count(lit(1)).as("n_sites"))
+      .select(col("id"), col("n_sites"),
+        round(col("num") / col("den"), 6).as("idw_value"))
+      .orderBy("id")
+  }
+
+  val idwSql: String = s"""
+    WITH $pts, $st,
+    j AS (
+      SELECT p.id,
+             1.0 / (${d2("p", "s")} + 1.0) AS w,
+             CAST(s.id % 97 + 1 AS DOUBLE) AS fv,
+             ${d2("p", "s")} AS dd
+      FROM pts p CROSS JOIN st s)
+    SELECT id, COUNT(*) AS n_sites,
+           ROUND(CAST(SUM(CAST(w * fv AS DECIMAL(28,12))) AS DOUBLE)
+                 / CAST(SUM(CAST(w AS DECIMAL(28,12))) AS DOUBLE), 6)
+             AS idw_value
+    FROM j WHERE dd < 1000000.0
+    GROUP BY id ORDER BY id"""
+
   // ---- nearest distance (grid strategy, same semantics) --------------
   def nearestGrid(s: SparkSession, dir: String): DataFrame =
     NearestDistance.gridNearest(
@@ -1046,6 +1092,7 @@ object GeoQueries {
     QueryDef("geo_rasterize", rasterize, Some(rasterizeSql)),
     QueryDef("geo_overlay", overlay, Some(overlaySql)),
     QueryDef("geo_line_density", lineDensity, Some(lineDensitySql)),
+    QueryDef("geo_idw", idw, Some(idwSql)),
     QueryDef("geo_pivot", pivot, Some(pivotSql)),
     QueryDef("geo_line_clip", lineClip, Some(lineClipSql)),
     QueryDef("geo_area_clip", areaClip, Some(areaClipSql)),
