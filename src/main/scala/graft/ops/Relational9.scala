@@ -223,7 +223,46 @@ object Relational9 {
     FROM l WHERE prev_n IS NOT NULL
     ORDER BY abs(n - prev_n) DESC, event_type, d LIMIT 10"""
 
+  /** Incremental JOIN maintenance — the join leg of the IVM family
+    * (q_incr_agg = aggregates, q_incr_quantile = percentiles,
+    * q_hll_sketch = distincts): a fact⋈dim rollup maintained from two
+    * independent fact slices (materialized base before a cut date,
+    * delta batch after it), each joined to the static dim and
+    * partially aggregated, then MERGED. The oracle recomputes the
+    * rollup from the full join, so hash-equality certifies
+    * merge(agg(base ⋈ dim), agg(delta ⋈ dim)) ≡ agg((base ∪ delta) ⋈
+    * dim) — at 100 TB only the new day's facts ever join again. The
+    * cut derives from a broadcast 1-row aggregate (no driver
+    * round-trip); dim broadcasts; both aggregations map-side combine. */
+  def qIncrJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.withMicros(Tables.load(s, dir, "orders"),
+      "o_orderdate", "o_us")
+      .select("o_custkey", "o_totalprice", "o_us")
+    val cut = o.agg(min("o_us").as("mn"), max("o_us").as("mx"))
+      .select(expr("(mn + mx) DIV 2").as("cut_us"))
+    val c = Tables.load(s, dir, "customer")
+      .select("c_custkey", "c_mktsegment")
+    val partials = o.crossJoin(broadcast(cut))
+      .withColumn("is_base", (col("o_us") <= col("cut_us")).cast("int"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment", "is_base")
+      .agg(count(lit(1)).as("pn"),
+        sum(col("o_totalprice")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2))).as("ps"))
+    partials.groupBy("c_mktsegment")
+      .agg(sum("pn").as("n_orders"),
+        sum("ps").cast("double").as("total"))
+      .orderBy("c_mktsegment")
+  }
+
+  val qIncrJoinSql: String = """
+    SELECT c_mktsegment, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1 ORDER BY 1"""
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("q_incr_join", qIncrJoin, Some(qIncrJoinSql)),
     QueryDef("q_top_movers", qTopMovers, Some(qTopMoversSql)),
     QueryDef("q_integrity", qIntegrity, Some(qIntegritySql)),
     QueryDef("q_incr_quantile", qIncrQuantile, Some(qIncrQuantileSql)),
