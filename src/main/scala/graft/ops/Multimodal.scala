@@ -610,8 +610,31 @@ object Multimodal {
     FROM documents, (SELECT unnest(['png', 'video', 'wav']) AS kind) k
     GROUP BY 1 ORDER BY 1"""
 
+  /** Binary dedup at the MEDIA layer: group identical payloads by
+    * md5 of the raw bytes — image dedup without ever decoding. The
+    * PNG encoder is deterministic, so payload-identity ≡ source-text
+    * identity, which is exactly what the oracle certifies: the
+    * per-source distinct-payload counts must equal DuckDB's
+    * distinct-text counts. A nondeterministic encoder (timestamps,
+    * parallel-chunk zlib) would split groups and fail the gate. */
+  def mmDedup(s: SparkSession, dir: String): DataFrame = {
+    mediaTable(s, dir)
+      .join(Tables.load(s, dir, "documents").select("doc_id", "source"),
+        Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_payloads"),
+        countDistinct(md5(col("payload"))).as("n_distinct"))
+      .orderBy("source")
+  }
+
+  val mmDedupSql: String = """
+    SELECT source, COUNT(*) AS n_payloads,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct
+    FROM documents GROUP BY 1 ORDER BY source"""
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("mm_pipeline", mmPipeline, Some(mmPipelineSql)),
+    QueryDef("mm_dedup", mmDedup, Some(mmDedupSql)),
     QueryDef("mm_type_detect", mmTypeDetect, Some(mmTypeDetectSql)),
     QueryDef("mm_augment", mmAugment, Some(mmAugmentSql)),
     QueryDef("mm_audio", audioPipeline, Some(mmAudioSql)),
