@@ -721,7 +721,48 @@ object Corpus {
            COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tok_sum
     FROM packed GROUP BY 1, 2 ORDER BY source, shard"""
 
+  /** The corpus DATASHEET — the per-source summary every corpus
+    * release publishes: document/token/char totals, mean lengths, and
+    * the language mix, in ONE map-side-combined aggregate pass.
+    * Language mix as conditional counts (the lang domain is the
+    * generator's five codes; an unexpected code lands in n_lang_other
+    * so the row still reconciles). Integer sums exact; means are
+    * single divisions. */
+  def corpusDatasheet(s: SparkSession, dir: String): DataFrame = {
+    def langN(l: String) =
+      sum(when(col("lang") === l, 1L).otherwise(0L)).as(s"n_$l")
+    docs(s, dir)
+      .select(col("source"), col("lang"), col("n_chars"),
+        size(toks).cast("long").as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("tokens"),
+        sum("n_chars").as("chars"),
+        round(sum("n_tok").cast("double") / count(lit(1)), 4)
+          .as("mean_tokens"),
+        langN("en"), langN("de"), langN("es"), langN("fr"), langN("zh"),
+        sum(when(col("lang").isin("en", "de", "es", "fr", "zh"), 0L)
+          .otherwise(1L)).as("n_lang_other"))
+      .orderBy("source")
+  }
+
+  val corpusDatasheetSql: String = """
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS chars,
+           ROUND(CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)
+                 / COUNT(*), 4) AS mean_tokens,
+           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+           CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de,
+           CAST(SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS n_es,
+           CAST(SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr,
+           CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS n_zh,
+           CAST(SUM(CASE WHEN lang IN ('en','de','es','fr','zh')
+                    THEN 0 ELSE 1 END) AS BIGINT) AS n_lang_other
+    FROM documents GROUP BY 1 ORDER BY source"""
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("corpus_datasheet", corpusDatasheet, Some(corpusDatasheetSql)),
     QueryDef("corpus_pipeline_full", pipelineFull, Some(pipelineFullSql)),
     QueryDef("pack_shards", (s, d) => packShards(s, d), Some(packShardsSql)),
     QueryDef("sample_stratified", sampleStratified, Some(sampleStratifiedSql)),

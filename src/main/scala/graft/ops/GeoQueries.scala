@@ -135,6 +135,38 @@ object GeoQueries {
     FROM j WHERE dd < 1000000.0
     GROUP BY id ORDER BY id"""
 
+  // ---- point density raster ------------------------------------------
+  /** Point-density raster — the point leg of the raster trio
+    * (geo_rasterize = polygons, geo_line_density = lines): per G×G
+    * cell, how many points fall inside and their centroid. One
+    * integer floor-division per coordinate and ONE hash aggregate —
+    * the cheapest possible raster product, and the primitive heat-map
+    * layers are built from. Centroid components stay decimal-exact
+    * (coordinates are 0.1 m-grid rationals, scale-1 decimal sums are
+    * lossless). */
+  def pointDensity(s: SparkSession, dir: String): DataFrame = {
+    val g = 50.0
+    val dec = org.apache.spark.sql.types.DecimalType(18, 1)
+    Derive.points(s, dir)
+      .groupBy(floor(col("x") / g).cast("long").as("ix"),
+        floor(col("y") / g).cast("long").as("iy"))
+      .agg(count(lit(1)).as("n_points"),
+        (sum(col("x").cast(dec)).cast("double") / count(lit(1)))
+          .as("cx"),
+        (sum(col("y").cast(dec)).cast("double") / count(lit(1)))
+          .as("cy"))
+      .orderBy("ix", "iy")
+  }
+
+  val pointDensitySql: String = s"""
+    WITH $pts
+    SELECT CAST(floor(x / 50.0) AS BIGINT) AS ix,
+           CAST(floor(y / 50.0) AS BIGINT) AS iy,
+           COUNT(*) AS n_points,
+           CAST(SUM(CAST(x AS DECIMAL(18,1))) AS DOUBLE) / COUNT(*) AS cx,
+           CAST(SUM(CAST(y AS DECIMAL(18,1))) AS DOUBLE) / COUNT(*) AS cy
+    FROM pts GROUP BY 1, 2 ORDER BY ix, iy"""
+
   // ---- nearest distance (grid strategy, same semantics) --------------
   def nearestGrid(s: SparkSession, dir: String): DataFrame =
     NearestDistance.gridNearest(
@@ -1093,6 +1125,7 @@ object GeoQueries {
     QueryDef("geo_overlay", overlay, Some(overlaySql)),
     QueryDef("geo_line_density", lineDensity, Some(lineDensitySql)),
     QueryDef("geo_idw", idw, Some(idwSql)),
+    QueryDef("geo_point_density", pointDensity, Some(pointDensitySql)),
     QueryDef("geo_pivot", pivot, Some(pivotSql)),
     QueryDef("geo_line_clip", lineClip, Some(lineClipSql)),
     QueryDef("geo_area_clip", areaClip, Some(areaClipSql)),
