@@ -632,9 +632,93 @@ object Multimodal {
            CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct
     FROM documents GROUP BY 1 ORDER BY source"""
 
+  // ── perceptual near-dup (dHash) ─────────────────────────────────
+  final case class PHashRow(doc_id: Long, phash: Long)
+
+  /** Perceptual image near-dup: a 60-bit dHash (gradient-sign bits —
+    * bit i set iff pixel i is brighter than pixel i+1) computed from
+    * DECODED pixels through the real PNG codec, then the same
+    * pigeonhole blocking + salted pair generation + hamming filter as
+    * dedup_simhash (4 × 15-bit segments; hamming ≤ 3 guarantees one
+    * clean segment). This is image dedup that survives small
+    * brightness shifts — the content-level companion to mm_dedup's
+    * byte-identity. PNG losslessness lets the oracle re-derive every
+    * hash bit from the source characters, so blocking, salting, and
+    * the hamming filter are all hash-certified end-to-end. */
+  def dedupPhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashes = mediaTable(s, dir).as[MediaRow]
+      .mapPartitions { rows =>
+        val codec = new graft.functions.RawPng()
+        rows.map { r =>
+          val (_, _, px) = codec.decode(r.payload)
+          var h = 0L
+          var i = 0
+          while (i < 60 && i < px.length - 1) {
+            if (px(i) > px(i + 1)) h |= (1L << i)
+            i += 1
+          }
+          PHashRow(r.doc_id, h)
+        }
+      }
+      .toDF()
+    val hot = Tables.hot(hashes)
+    val segMask = (1L << 15) - 1
+    val seg = (0 until 4).map(k =>
+      struct(lit(k).as("seg"),
+        shiftright(col("phash"), k * 15).bitwiseAND(lit(segMask)).as("sk")))
+    val blocked = hot.select(col("doc_id"),
+        explode(array(seg: _*)).as("e"))
+      .select(col("doc_id"), col("e.seg").as("seg"), col("e.sk").as("sk"))
+    SkewJoin.saltedSelfPairs(blocked, Seq("seg", "sk"), "doc_id",
+        target = 32)
+      .select(col("_ida").as("da"), col("_idb").as("db"))
+      .distinct()
+      .join(hot.select(col("doc_id").as("da"), col("phash").as("ha")),
+        Seq("da"))
+      .join(hot.select(col("doc_id").as("db"), col("phash").as("hb")),
+        Seq("db"))
+      .select(col("da"), col("db"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy("da", "db")
+  }
+
+  val dedupPhashSql: String = """
+    WITH c AS (
+      SELECT doc_id,
+        list_transform(string_split_regex(text, ''),
+          ch -> unicode(ch) % 256) AS codes,
+        length(text) AS n
+      FROM documents),
+    h AS (
+      SELECT doc_id,
+        CAST(COALESCE(list_sum(list_transform(
+          generate_series(1, least(60, n - 1)),
+          i -> CASE WHEN codes[i] > codes[i + 1]
+               THEN (1::UBIGINT << (i - 1)) ELSE 0::UBIGINT END)), 0)
+          AS BIGINT) AS phash
+      FROM c),
+    blocked AS (
+      SELECT doc_id, phash, t.k AS seg,
+             CAST((phash >> (15 * t.k)) & 32767 AS BIGINT) AS sk
+      FROM h, generate_series(0, 3) t(k)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      FROM blocked a JOIN blocked b
+        ON a.seg = b.seg AND a.sk = b.sk AND a.doc_id < b.doc_id)
+    SELECT da, db,
+           CAST(bit_count(xor(ha.phash, hb.phash)) AS INTEGER) AS hamming
+    FROM cand
+    JOIN h ha ON da = ha.doc_id
+    JOIN h hb ON db = hb.doc_id
+    WHERE bit_count(xor(ha.phash, hb.phash)) <= 3
+    ORDER BY da, db"""
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("mm_pipeline", mmPipeline, Some(mmPipelineSql)),
     QueryDef("mm_dedup", mmDedup, Some(mmDedupSql)),
+    QueryDef("dedup_phash", dedupPhash, Some(dedupPhashSql)),
     QueryDef("mm_type_detect", mmTypeDetect, Some(mmTypeDetectSql)),
     QueryDef("mm_augment", mmAugment, Some(mmAugmentSql)),
     QueryDef("mm_audio", audioPipeline, Some(mmAudioSql)),
