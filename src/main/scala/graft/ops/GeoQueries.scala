@@ -89,6 +89,54 @@ object GeoQueries {
     FROM pts p CROSS JOIN st s
     GROUP BY 1, 2 ORDER BY p.id, year"""
 
+  // ---- bearing to nearest feature ------------------------------------
+  /** Direction-to-nearest: each point's nearest site plus the compass
+    * bearing toward it — exposure models use direction-to-road /
+    * direction-to-source alongside plain distance. The argmin is ONE
+    * hash aggregate over a PRIMITIVE packed long (d² quantized to the
+    * 0.1 m² grid, ×2²¹, + site id — a struct min here regressed to
+    * SortAggregate sorting the whole point×site candidate space, the
+    * dedup_keep_best trap; ties at equal quantized distance break on
+    * site id, mirrored exactly in the oracle). The winning site's
+    * coordinates come back via a second broadcast of the tiny site
+    * table, and the single atan2 rounds at 4 dp to absorb cross-engine
+    * libm ulps (the geo_coordinate precedent). */
+  def bearingNearest(s: SparkSession, dir: String): DataFrame = {
+    val st = broadcast(Derive.sites(s, dir)
+      .select(col("id").as("sid"), col("x").as("fx"), col("y").as("fy")))
+    val ddSql = "((x - fx) * (x - fx) + (y - fy) * (y - fy))"
+    val packed =
+      expr(s"CAST(round($ddSql * 100.0) AS BIGINT) * 2097152 + sid")
+    Derive.points(s, dir).join(st)
+      .groupBy("id")
+      .agg(min(packed).as("p"),
+        first("x").as("x"), first("y").as("y"))
+      .select(col("id"), expr("p % 2097152").as("nearest_site"),
+        col("x"), col("y"))
+      .join(st, col("nearest_site") === col("sid"))
+      .select(col("id"), col("nearest_site"),
+        round(sqrt((col("x") - col("fx")) * (col("x") - col("fx")) +
+          (col("y") - col("fy")) * (col("y") - col("fy"))), 4)
+          .as("distance"),
+        round(atan2(col("fy") - col("y"), col("fx") - col("x"))
+          * lit(180.0) / lit(math.Pi), 4).as("bearing_deg"))
+      .orderBy("id")
+  }
+
+  val bearingNearestSql: String = s"""
+    WITH $pts, $st,
+    r AS (
+      SELECT p.id, p.x, p.y, s.id AS sid, s.x AS fx, s.y AS fy,
+             ${d2("p", "s")} AS dd,
+             ROW_NUMBER() OVER (PARTITION BY p.id
+               ORDER BY CAST(round(${d2("p", "s")} * 100.0) AS BIGINT)
+                          * 2097152 + s.id) AS rn
+      FROM pts p CROSS JOIN st s)
+    SELECT id, sid AS nearest_site,
+           ROUND(sqrt(dd), 4) AS distance,
+           ROUND(atan2(fy - y, fx - x) * 180.0 / pi(), 4) AS bearing_deg
+    FROM r WHERE rn = 1 ORDER BY id"""
+
   // ---- inverse-distance-weighted interpolation -----------------------
   /** IDW surface interpolation — the air-quality-domain operation the
     * reference's exposure models feed (estimate a field value at every
@@ -1126,6 +1174,7 @@ object GeoQueries {
     QueryDef("geo_line_density", lineDensity, Some(lineDensitySql)),
     QueryDef("geo_idw", idw, Some(idwSql)),
     QueryDef("geo_point_density", pointDensity, Some(pointDensitySql)),
+    QueryDef("geo_bearing", bearingNearest, Some(bearingNearestSql)),
     QueryDef("geo_pivot", pivot, Some(pivotSql)),
     QueryDef("geo_line_clip", lineClip, Some(lineClipSql)),
     QueryDef("geo_area_clip", areaClip, Some(areaClipSql)),

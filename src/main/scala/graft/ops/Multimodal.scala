@@ -632,6 +632,67 @@ object Multimodal {
            CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct
     FROM documents GROUP BY 1 ORDER BY source"""
 
+  // ── audio augmentation stage ────────────────────────────────────
+  final case class AudioAug(doc_id: Long, n_samples: Int, checksum: Long,
+                            mean_aug: Double)
+
+  /** Audio augmentation as a real re-encode pipeline — the WAV twin of
+    * mm_augment: decode PCM16 → reverse + 2× gain clipped to the
+    * sample range → encode back to a valid RIFF/WAV container →
+    * decode again → featurize. The position-weighted checksum pins
+    * the reversal order; clipping exercises the saturation path both
+    * engines must agree on (greatest/least mirror the Scala clamp).
+    * All sums are exact integer arithmetic. */
+  def mmAudioAugment(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    audioTable(s, dir).as[AudioRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val (_, smp) = Wav.decode(r.payload)
+          val out = new Array[Short](smp.length)
+          var i = 0
+          while (i < smp.length) {
+            val v = smp(smp.length - 1 - i) * 2
+            out(i) = math.max(-32768, math.min(32767, v)).toShort
+            i += 1
+          }
+          AudioRow(r.doc_id, Wav.encode(out), r.sr, out.length)
+        }
+      }
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val (_, smp) = Wav.decode(r.payload)
+          var cs = 0L
+          var sum = 0L
+          var i = 0
+          while (i < smp.length) {
+            cs += (i + 1).toLong * smp(i); sum += smp(i); i += 1
+          }
+          AudioAug(r.doc_id, smp.length, cs, sum.toDouble / smp.length)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  val mmAudioAugmentSql: String = """
+    WITH c AS (
+      SELECT doc_id,
+        list_transform(string_split_regex(text, ''),
+          ch -> (unicode(ch) % 256 - 128) * 256) AS sm,
+        length(text) AS n
+      FROM documents),
+    a AS (
+      SELECT doc_id, n,
+        list_transform(generate_series(1, n),
+          i -> greatest(-32768, least(32767, 2 * sm[n + 1 - i]))) AS aug
+      FROM c)
+    SELECT doc_id, CAST(n AS INTEGER) AS n_samples,
+      CAST(list_sum(list_transform(generate_series(1, n),
+        i -> i * aug[i])) AS BIGINT) AS checksum,
+      CAST(list_sum(aug) AS DOUBLE) / n AS mean_aug
+    FROM a ORDER BY doc_id"""
+
   // ── perceptual near-dup (dHash) ─────────────────────────────────
   final case class PHashRow(doc_id: Long, phash: Long)
 
@@ -719,6 +780,7 @@ object Multimodal {
     QueryDef("mm_pipeline", mmPipeline, Some(mmPipelineSql)),
     QueryDef("mm_dedup", mmDedup, Some(mmDedupSql)),
     QueryDef("dedup_phash", dedupPhash, Some(dedupPhashSql)),
+    QueryDef("mm_audio_augment", mmAudioAugment, Some(mmAudioAugmentSql)),
     QueryDef("mm_type_detect", mmTypeDetect, Some(mmTypeDetectSql)),
     QueryDef("mm_augment", mmAugment, Some(mmAugmentSql)),
     QueryDef("mm_audio", audioPipeline, Some(mmAudioSql)),
