@@ -261,8 +261,49 @@ object Relational9 {
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY 1 ORDER BY 1"""
 
+  /** Null-safe equality join (<=>): the join-semantics class where
+    * NULL keys MATCH each other instead of silently dropping — the
+    * behavior "join on a nullable column" usually needs and plain `=`
+    * never gives. Keys are routed through nullif so both sides carry
+    * genuine NULLs (the generator's data has none), and the aggregate
+    * proves the NULL↔NULL bucket actually joined. Spark's <=> compiles
+    * into the hash join's key (EqualNullSafe is a valid equi-key), so
+    * this stays a plain shuffled/broadcast equi-join — no fallback to
+    * a nested-loop condition. Oracle mirrors with IS NOT DISTINCT
+    * FROM. */
+  def qNullSafeJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+      .select(nullif((col("o_custkey") % 50), lit(0L)).as("k"),
+        col("o_totalprice"))
+    val c = Tables.load(s, dir, "customer")
+      .groupBy(nullif((col("c_custkey") % 50), lit(0L)).as("ck"))
+      .agg(count(lit(1)).as("n_cust"))
+    o.join(c, col("k") <=> col("ck"))
+      .groupBy(coalesce(col("k"), lit(-1L)).as("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("total"),
+        max("n_cust").as("n_cust"))
+      .orderBy("bucket")
+  }
+
+  val qNullSafeJoinSql: String = """
+    WITH o AS (
+      SELECT nullif(o_custkey % 50, 0) AS k, o_totalprice FROM orders),
+    c AS (
+      SELECT nullif(c_custkey % 50, 0) AS ck, COUNT(*) AS n_cust
+      FROM customer GROUP BY 1)
+    SELECT COALESCE(o.k, -1) AS bucket,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           MAX(c.n_cust) AS n_cust
+    FROM o JOIN c ON o.k IS NOT DISTINCT FROM c.ck
+    GROUP BY 1 ORDER BY bucket"""
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("q_incr_join", qIncrJoin, Some(qIncrJoinSql)),
+    QueryDef("q_null_safe_join", qNullSafeJoin, Some(qNullSafeJoinSql)),
     QueryDef("q_top_movers", qTopMovers, Some(qTopMoversSql)),
     QueryDef("q_integrity", qIntegrity, Some(qIntegritySql)),
     QueryDef("q_incr_quantile", qIncrQuantile, Some(qIncrQuantileSql)),
