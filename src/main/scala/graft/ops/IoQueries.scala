@@ -83,7 +83,74 @@ object IoQueries {
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY 1 ORDER BY 1"""
 
+  /** Schema-evolution union: a vintage of the table written BEFORE a
+    * column existed unions with the current vintage —
+    * unionByName(allowMissingColumns) fills the absent column with
+    * NULLs instead of failing or misaligning by position. The oracle
+    * mirrors with an explicit NULL projection, and the aggregate
+    * separates the vintages so the fill is provably NULL (not a
+    * default). The everyday reality of a long-lived 100 TB lake:
+    * old files never get rewritten. */
+  def qSchemaUnion(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    val oldVintage = o.filter(col("o_orderkey") % 2 === 0)
+      .select("o_orderkey", "o_totalprice") // written before priority existed
+    val newVintage = o.filter(col("o_orderkey") % 2 === 1)
+      .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    oldVintage.unionByName(newVintage, allowMissingColumns = true)
+      .groupBy(coalesce(col("o_orderpriority"), lit("<missing>"))
+        .as("priority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("total"))
+      .orderBy("priority")
+  }
+
+  val qSchemaUnionSql: String = """
+    WITH u AS (
+      SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 1)
+    SELECT COALESCE(o_orderpriority, '<missing>') AS priority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM u GROUP BY 1 ORDER BY priority"""
+
+  /** Dynamic partition pruning under the gate: the fact side is
+    * written as Hive-partitioned parquet (partition column = the
+    * dirname), and a join against a FILTERED dim lets Spark prune
+    * fact partitions at RUNTIME from the dim's build side — the scan
+    * never reads partitions no dim row can match. The oracle is the
+    * plain filtered join; IoSpec asserts the dynamicpruning
+    * subquery actually reached the scan. */
+  def qDppJoin(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    graft.io.Sources.writePartitioned(
+      Tables.loadEventsUs(s, dir).select("event_type", "user_id", "value"),
+      tmp, Seq("event_type"))
+    val fact = s.read.parquet(tmp)
+    val dim = Tables.load(s, dir, "events")
+      .select(col("event_type").as("det")).distinct()
+      .filter(col("det").isin("click", "purchase"))
+    fact.join(dim, col("event_type") === col("det"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        countDistinct("user_id").as("n_users"))
+      .orderBy("event_type")
+  }
+
+  val qDppJoinSql: String = """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events WHERE event_type IN ('click', 'purchase')
+    GROUP BY 1 ORDER BY event_type"""
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("io_roundtrip", ioRoundtrip, Some(ioRoundtripSql)),
-    QueryDef("q_bucket_join", qBucketJoin, Some(qBucketJoinSql)))
+    QueryDef("q_bucket_join", qBucketJoin, Some(qBucketJoinSql)),
+    QueryDef("q_schema_union", qSchemaUnion, Some(qSchemaUnionSql)),
+    QueryDef("q_dpp_join", qDppJoin, Some(qDppJoinSql)))
 }
