@@ -301,7 +301,42 @@ object Relational9 {
     FROM o JOIN c ON o.k IS NOT DISTINCT FROM c.ck
     GROUP BY 1 ORDER BY bucket"""
 
+  /** explode_outer semantics: exploding a possibly-EMPTY array while
+    * PRESERVING the parent row (NULL element) — the lateral-view-outer
+    * class a plain explode silently violates by dropping rows, which
+    * corrupts denominators downstream. Docs shorter than 5 tokens
+    * produce empty 5-gram arrays and must survive as NULL-gram rows;
+    * the aggregate counts them separately so the preservation is
+    * provable. Oracle emulates with the [NULL]-substitution idiom
+    * (unnest of CASE WHEN empty THEN [NULL] END). */
+  def qExplodeOuter(s: SparkSession, dir: String): DataFrame = {
+    Tables.fanout(Tables.load(s, dir, "documents"))
+      .select(col("source"), explode_outer(Text.grams(5)).as("g"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("g")).as("n_grams"),
+        sum(when(col("g").isNull, 1L).otherwise(0L)).as("n_short_docs"))
+      .orderBy("source")
+  }
+
+  val qExplodeOuterSql: String = """
+    WITH t AS (
+      SELECT source, string_split(text, ' ') AS w FROM documents),
+    g AS (
+      SELECT source,
+        CASE WHEN len(w) >= 5 THEN
+          list_transform(generate_series(1, len(w) - 4),
+            i -> array_to_string(w[i:i+4], ' '))
+        ELSE [NULL] END AS gs
+      FROM t),
+    e AS (SELECT source, unnest(gs) AS g FROM g)
+    SELECT source, COUNT(*) AS n_rows, COUNT(g) AS n_grams,
+           CAST(SUM(CASE WHEN g IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_short_docs
+    FROM e GROUP BY 1 ORDER BY source"""
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("q_explode_outer", qExplodeOuter, Some(qExplodeOuterSql)),
     QueryDef("q_incr_join", qIncrJoin, Some(qIncrJoinSql)),
     QueryDef("q_null_safe_join", qNullSafeJoin, Some(qNullSafeJoinSql)),
     QueryDef("q_top_movers", qTopMovers, Some(qTopMoversSql)),
