@@ -335,7 +335,46 @@ object Relational9 {
              AS n_short_docs
     FROM e GROUP BY 1 ORDER BY source"""
 
+  /** Centered RANGE frame — the smoothing window class q_range_frame's
+    * trailing frame doesn't cover: each day's value averaged with its
+    * neighbors within ±1 day BY VALUE (RANGE, not ROWS — a missing
+    * day genuinely shrinks the frame instead of grabbing the next
+    * row). Aggregate first (per-type-day rollup, tiny at any scale),
+    * then one range window over the rollup. Decimal-routed daily sums
+    * make the frame sums exact; the mean divides once. */
+  def qCenteredFrame(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val day = 86400000000L
+    val daily = Tables.loadEventsUs(s, dir)
+      .groupBy(col("event_type"), expr(s"ts_us DIV $day").as("d"))
+      .agg(QueryDef.dsum(col("value"), 4).as("v"), count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("d")
+      .rangeBetween(-1, 1)
+    daily
+      .withColumn("sm",
+        round(sum(col("v").cast(org.apache.spark.sql.types.DecimalType(18, 4))).over(w)
+          .cast("double") / count(lit(1)).over(w), 6))
+      .select("event_type", "d", "n", "sm")
+      .orderBy("event_type", "d")
+  }
+
+  val qCenteredFrameSql: String = """
+    WITH daily AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, d, n,
+           ROUND(CAST(SUM(CAST(v AS DECIMAL(18,4))) OVER w AS DOUBLE)
+                 / COUNT(*) OVER w, 6) AS sm
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY d
+                 RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+    ORDER BY event_type, d"""
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("q_centered_frame", qCenteredFrame, Some(qCenteredFrameSql)),
     QueryDef("q_explode_outer", qExplodeOuter, Some(qExplodeOuterSql)),
     QueryDef("q_incr_join", qIncrJoin, Some(qIncrJoinSql)),
     QueryDef("q_null_safe_join", qNullSafeJoin, Some(qNullSafeJoinSql)),
