@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver json-parses the LAST line of stdout from `sbt runMain
+// graft.Bench`; sbt's `[success] Total time…` banner printed after the
+// JSON broke that every round. Suppress the banner and give the forked
+// run raw stdout (no `[info] ` prefix).
+Global / showSuccess := false
+run / outputStrategy := Some(StdoutOutput)
+Global / excludeLintKeys ++= Set(run / outputStrategy, Global / showSuccess)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

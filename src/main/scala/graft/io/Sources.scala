@@ -15,9 +15,32 @@ object Sources {
 
   /** Schema-applied CSV ingest (header, typed columns — the reference's
     * point-table CSV shape). Explicit schema keeps the read one-pass
-    * (no inference scan) — mandatory at 100 TB. */
-  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
-    spark.read.schema(schema).option("header", "true").csv(path)
+    * (no inference scan) — mandatory at 100 TB.
+    *
+    * `multiLine = false` (the default) keeps files line-splittable so a
+    * 100 TB read parallelizes WITHIN files; it cannot parse quoted
+    * embedded newlines. Pass `multiLine = true` for data whose string
+    * columns may contain newlines — each file then parses as one task,
+    * so shard such data into many files. Whitespace at value edges is
+    * preserved either way (reader defaults already keep it; the writer
+    * side must disable its trimming — see writeCsv). */
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+              multiLine: Boolean = false): DataFrame =
+    spark.read.schema(schema).option("header", "true")
+      .option("multiLine", multiLine).csv(path)
+
+  /** Lossless CSV sink: Spark's CSV writer TRIMS leading/trailing
+    * whitespace by default (ignoreLeading/TrailingWhiteSpace default
+    * true on WRITE, unlike read) — silent data mangling for real text.
+    * Disable both so `readCsv(writeCsv(df)) == df` character-exactly;
+    * embedded newlines are quoted by the writer and need
+    * `readCsv(..., multiLine = true)` to come back. */
+  def writeCsv(df: DataFrame, path: String,
+               mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).option("header", "true")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(path)
 
   /** JSON-lines ingest with explicit schema. */
   def readJsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =

@@ -177,9 +177,15 @@ object Events {
     * at 100 TB; decimal buffers stay in HashAggregate, so max /
     * max_by over the packed order keep the one-shuffle hash-argmax
     * shape (same trick as dedup_keep_best's bit-packed long — events
-    * need 10¹² ids × µs timestamps, which only decimal128 can hold). */
-  private def packedVer: Column =
-    expr("CAST(ts_us AS DECIMAL(38,0)) * 1000000000000 + event_id")
+    * need 10¹² ids × µs timestamps, which only decimal128 can hold).
+    * Guarded loudly: an event_id outside [0, 10¹²) would silently
+    * corrupt the version order (DedupCluster packable-range precedent). */
+  private[graft] def packedVer: Column =
+    expr("""CASE WHEN event_id >= 0 AND event_id < 1000000000000
+            THEN CAST(ts_us AS DECIMAL(38,0)) * 1000000000000 + event_id
+            ELSE raise_error(concat(
+              'packedVer: event_id outside packable range: ',
+              CAST(event_id AS STRING))) END""")
 
   def cdcCompact(s: SparkSession, dir: String): DataFrame = {
     Tables.loadEventsUs(s, dir)

@@ -100,14 +100,28 @@ object GeoQueries {
     * site id, mirrored exactly in the oracle). The winning site's
     * coordinates come back via a second broadcast of the tiny site
     * table, and the single atan2 rounds at 4 dp to absorb cross-engine
-    * libm ulps (the geo_coordinate precedent). */
+    * libm ulps (the geo_coordinate precedent). The points side is
+    * fanned out BEFORE the broadcast join (the CLAUDE.md rule: a
+    * small-file scan arrives as one partition, and the 15M-pair BNLJ +
+    * partial aggregate would otherwise run on ~1 task), and the packed
+    * key carries a loud range guard: sid must fit 21 bits and the
+    * quantized d² must fit the remaining 42 (d ≤ ~6,600 km) — outside
+    * that the argmin would silently mis-rank (DedupCluster precedent). */
+  private[graft] val bearingPackedSql: String = {
+    val ddSql = "((x - fx) * (x - fx) + (y - fy) * (y - fy))"
+    s"""CASE WHEN sid >= 0 AND sid < 2097152
+             AND round($ddSql * 100.0) < 4398046511104
+        THEN CAST(round($ddSql * 100.0) AS BIGINT) * 2097152 + sid
+        ELSE raise_error(concat(
+          'geo_bearing: sid/d2 outside packable range: sid=',
+          CAST(sid AS STRING))) END"""
+  }
+
   def bearingNearest(s: SparkSession, dir: String): DataFrame = {
     val st = broadcast(Derive.sites(s, dir)
       .select(col("id").as("sid"), col("x").as("fx"), col("y").as("fy")))
-    val ddSql = "((x - fx) * (x - fx) + (y - fy) * (y - fy))"
-    val packed =
-      expr(s"CAST(round($ddSql * 100.0) AS BIGINT) * 2097152 + sid")
-    Derive.points(s, dir).join(st)
+    val packed = expr(bearingPackedSql)
+    Tables.fanout(Derive.points(s, dir)).join(st)
       .groupBy("id")
       .agg(min(packed).as("p"),
         first("x").as("x"), first("y").as("y"))
@@ -147,7 +161,9 @@ object GeoQueries {
     * aggregate; per-term DECIMAL(28,12) quantization makes both the
     * numerator and denominator sums accumulation-order-proof, and the
     * final ratio is a single IEEE division — hash-exact. Points with
-    * no site in range drop out (no fabricated values). */
+    * no site in range drop out (no fabricated values). Points are
+    * fanned out before the broadcast join so the per-pair weight math
+    * and the partial aggregate parallelize (see bearingNearest). */
   def idw(s: SparkSession, dir: String): DataFrame = {
     val st = broadcast(Derive.sites(s, dir)
       .select(col("x").as("fx"), col("y").as("fy"),
@@ -156,7 +172,7 @@ object GeoQueries {
       (col("y") - col("fy")) * (col("y") - col("fy"))
     val w = lit(1.0) / (dd + lit(1.0))
     val dec = org.apache.spark.sql.types.DecimalType(28, 12)
-    Derive.points(s, dir).join(st)
+    Tables.fanout(Derive.points(s, dir)).join(st)
       .filter(dd < lit(1000.0 * 1000.0))
       .select(col("id"), (w * col("fv")).as("wv"), w.as("w"))
       .groupBy("id")

@@ -16,10 +16,46 @@ import org.apache.spark.sql.functions._
   */
 object IoQueries {
 
+  /** Scratch root for the sink demos. Local /tmp by default — fine in
+    * local mode where driver and executors share a filesystem; on a
+    * REAL cluster set SPARK_GRAFT_IO_DIR to a shared-FS root
+    * (hdfs://…, s3a://…) so executors can read what was written.
+    * Every dir is registered for recursive deletion at JVM exit, so
+    * min-of-N Verify/Bench iterations don't accumulate under /tmp. */
+  private val cleanupDirs =
+    java.util.Collections.synchronizedList(
+      new java.util.ArrayList[java.nio.file.Path]())
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      cleanupDirs.forEach { root =>
+        try {
+          java.nio.file.Files.walk(root)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+        } catch { case _: Throwable => () }
+      }
+    }))
+  }
+  private val lastBucketTables =
+    new java.util.concurrent.atomic.AtomicReference[Seq[String]](Seq.empty)
+
+  private def scratchDir(prefix: String): String =
+    sys.env.get("SPARK_GRAFT_IO_DIR") match {
+      case Some(root) => // shared FS — leave cleanup to the lake's policy
+        s"$root/$prefix-${java.util.UUID.randomUUID().toString.take(8)}"
+      case None =>
+        val p = java.nio.file.Files.createTempDirectory(prefix)
+        cleanupDirs.add(p)
+        p.toString
+    }
+
   def ioRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-io").toString
+    val tmp = scratchDir("graft-io")
     val docs = Tables.load(s, dir, "documents")
-    docs.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
+    // writeCsv disables the writer's silent edge-whitespace trimming —
+    // the h_sum checksum below would pass on trimmed data only because
+    // the synthetic corpus has none; a library user's wouldn't
+    graft.io.Sources.writeCsv(docs, s"$tmp/csv")
     docs.write.mode("overwrite").json(s"$tmp/jsonl")
     graft.io.Sources.writeOrc(docs, s"$tmp/orc")
     def stats(df: DataFrame, fmt: String) =
@@ -59,17 +95,25 @@ object IoQueries {
     * oracle computes the same aggregate from the plain tables, so
     * correctness of the bucketed path is hash-certified. */
   def qBucketJoin(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-buckets").toString
+    val tmp = scratchDir("graft-buckets")
+    // unique table names per invocation — fixed names were racy across
+    // concurrent sessions and collided across min-of-N iterations;
+    // the PREVIOUS invocation's pair is dropped so a long session's
+    // catalog doesn't grow one dead table pair per bench iteration
+    val tok = java.util.UUID.randomUUID().toString.take(8)
+    val (tOrders, tCustomer) = (s"b_orders_$tok", s"b_customer_$tok")
+    lastBucketTables.getAndSet(Seq(tOrders, tCustomer))
+      .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
     graft.io.Sources.writeBucketed(
       Tables.load(s, dir, "orders")
         .select("o_custkey", "o_totalprice"),
-      "b_orders", s"$tmp/o", "o_custkey", 8)
+      tOrders, s"$tmp/o", "o_custkey", 8)
     graft.io.Sources.writeBucketed(
       Tables.load(s, dir, "customer")
         .select("c_custkey", "c_mktsegment"),
-      "b_customer", s"$tmp/c", "c_custkey", 8)
-    s.table("b_orders").hint("merge")
-      .join(s.table("b_customer").hint("merge"),
+      tCustomer, s"$tmp/c", "c_custkey", 8)
+    s.table(tOrders).hint("merge")
+      .join(s.table(tCustomer).hint("merge"),
         col("o_custkey") === col("c_custkey"))
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n_orders"),
@@ -127,7 +171,7 @@ object IoQueries {
     * plain filtered join; IoSpec asserts the dynamicpruning
     * subquery actually reached the scan. */
   def qDppJoin(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    val tmp = scratchDir("graft-dpp")
     graft.io.Sources.writePartitioned(
       Tables.loadEventsUs(s, dir).select("event_type", "user_id", "value"),
       tmp, Seq("event_type"))

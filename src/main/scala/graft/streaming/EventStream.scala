@@ -143,6 +143,8 @@ object EventStream {
 
   // ---- sliding-window distinct actives --------------------------------
   final case class DayUser(report_day_us: Long, user_id: Long)
+  final case class DayUserTs(report_day_us: Long, user_id: Long,
+                             event_ts: java.sql.Timestamp)
   final case class ActiveState(users: Array[Long])
   final case class ActiveOut(report_day_us: Long, n_active_7d: Long)
 
@@ -157,24 +159,51 @@ object EventStream {
     * shape, mergeable state). Streaming emits report days for ANY
     * window containing an event; the batch operator emits only days
     * that themselves have events — the equality spec compares on the
-    * batch day set. */
+    * batch day set.
+    *
+    * State is EVICTED, not kept forever: a report day can gain
+    * contributors only from events with ts ≤ its day end, so once the
+    * watermark (7-day out-of-order allowance) passes the day end the
+    * count is final and the event-time timeout releases the user set —
+    * long-running streams hold state for O(open windows), not O(all
+    * history). An event arriving later than the allowance would
+    * recreate the day with an undercount — the standard watermark
+    * contract, stated here instead of hidden. */
   def slidingActive(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val day = 86400000000L
+    val d0 = col("ts_us") - col("ts_us") % day
     readEvents(spark, dir)
-      .select(col("ts_us"), col("user_id")).as[(Long, Long)]
-      .flatMap { case (ts, u) =>
-        val d0 = ts - ts % day
-        (0 to 6).map(k => DayUser(d0 + k * day, u))
-      }
+      .withWatermark("event_ts", "7 days")
+      // fanout via explode, NOT a typed flatMap: typed transforms mint
+      // fresh attributes, which severs the watermark column the
+      // event-time timeout below needs to see at the stateful operator
+      .select(
+        explode(sequence(d0, d0 + lit(6L * day), lit(day)))
+          .as("report_day_us"),
+        col("user_id"), col("event_ts"))
+      .as[DayUserTs]
       .groupByKey(_.report_day_us)
-      .mapGroupsWithState[ActiveState, ActiveOut](GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[ActiveState, ActiveOut](
+        GroupStateTimeout.EventTimeTimeout) {
         case (dayUs, rows, state) =>
-          val prev = state.getOption
-            .map(_.users.toSet).getOrElse(Set.empty[Long])
-          val cur = prev ++ rows.map(_.user_id)
-          state.update(ActiveState(cur.toArray))
-          ActiveOut(dayUs, cur.size.toLong)
+          if (state.hasTimedOut) {
+            // window closed: the final count was already emitted every
+            // batch (Update mode, monotone) — release the user set
+            val n = state.getOption.map(_.users.length.toLong).getOrElse(0L)
+            state.remove()
+            ActiveOut(dayUs, n)
+          } else {
+            val prev = state.getOption
+              .map(_.users.toSet).getOrElse(Set.empty[Long])
+            val cur = prev ++ rows.map(_.user_id)
+            state.update(ActiveState(cur.toArray))
+            // evict once the watermark passes the day end (timeout
+            // timestamps must stay ahead of the current watermark)
+            state.setTimeoutTimestamp(math.max(
+              dayUs / 1000 + 86400000L, state.getCurrentWatermarkMs() + 1))
+            ActiveOut(dayUs, cur.size.toLong)
+          }
       }
       .toDF()
   }

@@ -153,6 +153,24 @@ class PlanAuditSpec extends SparkSpec {
       "text_unigram_lp: vocab must not be broadcast")
   }
 
+  test("round-7 operators keep their scale shapes") {
+    // geo_bearing / geo_idw: the compact points scan is fanned out
+    // BEFORE the broadcast join — without the RoundRobin exchange the
+    // 15M-pair nested-loop join plus its partial aggregate run on the
+    // single scan partition (the CLAUDE.md "fanout FIRST" gotcha,
+    // measured as the suite's worst wall-min in round 6)
+    for (q <- Seq("geo_bearing", "geo_idw")) {
+      val nodes = collectAll(initialPlan(q))
+      assert(nodes.collect {
+        case e: ShuffleExchangeExec
+            if e.outputPartitioning.toString.contains("RoundRobin") => e
+      }.nonEmpty,
+        s"$q: points must be fanned out before the broadcast join")
+      assert(!nodes.exists(_.nodeName.contains("SortAggregate")),
+        s"$q: packed argmin/weight aggregation must stay hash-based")
+    }
+  }
+
   test("no registered query plans a cartesian product") {
     // build-time driver rounds (documented in each operator):
     val skip = Set("dedup_cluster", "corpus_near_dedup", "dedup_ngram",

@@ -197,4 +197,32 @@ class GeoOpsSpec extends SparkSpec {
     assert(out(2L) == Some("b"))   // most recent of two
     assert(out(3L) == None)        // nothing at or before t=50
   }
+
+  test("packed argmin keys fail loudly outside their packable range") {
+    import org.apache.spark.sql.functions.expr
+    // geo_bearing: sid must fit 21 bits; a larger site id would
+    // silently corrupt the argmin without the guard
+    val okRow = Seq((0.0, 0.0, 3.0, 4.0, 5L))
+      .toDF("x", "y", "fx", "fy", "sid")
+    assert(okRow.select(expr(graft.ops.GeoQueries.bearingPackedSql))
+      .collect().head.getLong(0) == (25L * 100) * 2097152L + 5L)
+    val badSid = Seq((0.0, 0.0, 3.0, 4.0, 1L << 21))
+      .toDF("x", "y", "fx", "fy", "sid")
+    val e1 = intercept[Exception] {
+      badSid.select(expr(graft.ops.GeoQueries.bearingPackedSql)).collect()
+    }
+    assert(e1.getMessage.contains("packable range") ||
+      e1.getCause.getMessage.contains("packable range"))
+    // d² term: coordinates beyond ~6,600 km overflow the 42-bit field
+    val badD2 = Seq((0.0, 0.0, 7.0e6, 7.0e6, 5L))
+      .toDF("x", "y", "fx", "fy", "sid")
+    intercept[Exception] {
+      badD2.select(expr(graft.ops.GeoQueries.bearingPackedSql)).collect()
+    }
+    // events packedVer: event_id must fit its 10^12 decimal field
+    val badEvent = Seq((1000L, 1000000000000L)).toDF("ts_us", "event_id")
+    intercept[Exception] {
+      badEvent.select(graft.ops.Events.packedVer).collect()
+    }
+  }
 }

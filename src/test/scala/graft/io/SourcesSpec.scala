@@ -22,6 +22,32 @@ class SourcesSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("CSV round-trip preserves edge whitespace and embedded newlines") {
+    // Spark's CSV WRITER trims leading/trailing whitespace by default
+    // (ignoreLeading/TrailingWhiteSpace default true on write) — the
+    // lossless contract needs them disabled (Sources.writeCsv), and
+    // quoted embedded newlines need multiLine on the read side
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_csv_ws").toString
+    val src = Seq(
+      (1L, "  leading"), (2L, "trailing  "), (3L, "  both  "),
+      (4L, "inner\nnewline"), (5L, "quote\"and,comma"), (6L, "\tplain\t"))
+      .toDF("id", "text")
+    Sources.writeCsv(src, dir)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    val back = Sources.readCsv(spark, dir, schema, multiLine = true)
+    val diff = src.exceptAll(back).count() + back.exceptAll(src).count()
+    assert(diff == 0, "CSV round-trip mangled whitespace/newlines")
+    // and the failure mode the guard exists for: a default-options
+    // write really does trim, i.e. the option is load-bearing
+    val dir2 = Files.createTempDirectory("graft_csv_trim").toString
+    src.write.option("header", "true").mode("overwrite").csv(dir2)
+    val trimmed = Sources.readCsv(spark, dir2, schema, multiLine = true)
+    assert(trimmed.exceptAll(src).count() > 0,
+      "expected the default CSV writer to trim edge whitespace")
+  }
+
   test("partitioned write prunes partitions on read") {
     val dir = Files.createTempDirectory("graft_part").toString
     val o = Tables.load(spark, sfDir, "orders")

@@ -21,17 +21,17 @@ out, total = {}, 0.0
 for name, sql in sorted(oracle.items()):
     if only and name not in only:
         continue
-    best = None
-    for _ in range(2):
+    best = None  # min over SUCCESSFUL runs; a late failure must not
+    for _ in range(2):  # discard an earlier good sample
         t0 = time.time()
         try:
             con.execute(sql).fetchall()
         except Exception as e:
-            best = -1.0
             print(f"# {name} failed: {e}", file=sys.stderr)
             break
         dt = time.time() - t0
         best = dt if best is None else min(best, dt)
+    best = -1.0 if best is None else best
     out[name] = round(best, 3)
     if best >= 0:
         total += best
