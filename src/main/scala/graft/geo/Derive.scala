@@ -85,6 +85,27 @@ object Derive {
            y + CAST((fid * 59) % 200 - 100 AS DOUBLE) / 5.0 AS y2
     FROM ($featsSql)"""
 
+  /** 3-vertex polylines extending the segment analogue — the road
+    * LINESTRING shape (a polyline is the unit real road tables ship;
+    * duckpipe/calculator/RoadLLWCalculator.py:73-80 reads road
+    * `geometry` WKT). Vertex 3 extends the segment by the same
+    * bounded deterministic walk. */
+  def polylines(s: SparkSession, dir: String): DataFrame =
+    segments(s, dir).select(
+      col("fid"),
+      array(col("x1"), col("x2"),
+        col("x2") + ((col("fid") * 61) % 200 - 100).cast("double") / 5.0)
+        .as("xs"),
+      array(col("y1"), col("y2"),
+        col("y2") + ((col("fid") * 67) % 200 - 100).cast("double") / 5.0)
+        .as("ys"))
+
+  val polylinesSql: String = s"""
+    SELECT fid,
+           [x1, x2, x2 + CAST((fid * 61) % 200 - 100 AS DOUBLE) / 5.0] AS xs,
+           [y1, y2, y2 + CAST((fid * 67) % 200 - 100 AS DOUBLE) / 5.0] AS ys
+    FROM ($segmentsSql)"""
+
   /** Triangle polygons (vertex arrays) anchored at feats coordinates —
     * polygon analogue of the landuse/OA tables. */
   def triangles(s: SparkSession, dir: String): DataFrame =

@@ -16,9 +16,11 @@ import org.apache.spark.sql.functions._
   * that silently drops or nulls bad geometries poisons every
   * downstream join at 100 TB).
   *
-  * Scope mirrors the engine's planar model: POINT and single-ring
-  * POLYGON (the vertex-array form every polygon operator consumes).
-  * Interior rings (holes) are rejected loudly, not ignored.
+  * Scope mirrors the engine's planar model: POINT, LINESTRING
+  * (polyline → consecutive-pair segment explode feeding the segment
+  * operators) and single-ring POLYGON (the vertex-array form every
+  * polygon operator consumes). Interior rings (holes) are rejected
+  * loudly, not ignored.
   */
 object Wkt {
 
@@ -77,6 +79,30 @@ object Wkt {
       "POLYGON (single exterior ring, >= 4 points incl. closing vertex)", wkt))
   }
 
+  /** `LINESTRING (x y, …, x y)` → struct(xs, ys) vertex arrays (≥ 2
+    * points; no closure requirement — lines are open by definition).
+    * Same structural validation strategy as parsePolygon: paren
+    * counts + anchored header + per-token number regexes, never one
+    * backtracking ring regex (see parsePolygon's codegen note). The
+    * reference's heaviest feature tables are LINE layers — roads
+    * (duckpipe/calculator/RoadLLWCalculator.py:73-80). */
+  def parseLineString(wkt: Column): Column = {
+    val t = trim(wkt)
+    val structureOk = t.rlike("^LINESTRING\\s*\\(") &&
+      (length(t) - length(translate(t, "(", "")) === 1) &&
+      (length(t) - length(translate(t, ")", "")) === 1) &&
+      t.endsWith(")")
+    val body = substring_index(substring_index(t, "(", -1), ")", 1)
+    val pts = transform(split(body, ","), p => split(trim(p), "\\s+"))
+    val tokensOk = forall(pts, p => size(p) === 2 &&
+      element_at(p, 1).rlike(NumFull) && element_at(p, 2).rlike(NumFull))
+    val xs = transform(pts, p => element_at(p, 1).cast("double"))
+    val ys = transform(pts, p => element_at(p, 2).cast("double"))
+    when(structureOk && tokensOk && size(pts) >= 2,
+      struct(xs.as("xs"), ys.as("ys")))
+      .otherwise(fail("LINESTRING (>= 2 points)", wkt))
+  }
+
   /** Reproject a parsed struct(x, y) from `epsg` into the reference
     * CRS (EPSG:5179), the ingest-time ST_Transform of the reference:
     * 4326 runs the forward TM series directly; projected TM/UTM codes
@@ -131,11 +157,55 @@ object Wkt {
       .localCheckpoint(false)
   }
 
+  /** Ingest a LINESTRING WKT column: adds vertex arrays `xs`, `ys`
+    * (reference CRS). Same lazy-localCheckpoint fence as `polygons` —
+    * the segment explode below references the arrays several times,
+    * and without the fence each reference re-runs the parse tree. */
+  def lines(df: DataFrame, wktCol: String, epsg: Int = 5179): DataFrame = {
+    val line = parseLineString(col(wktCol))
+    val proj = epsg match {
+      case 5179 => line
+      case _ =>
+        val prj = zip_with(line.getField("xs"), line.getField("ys"),
+          (vx, vy) => toRef(struct(vx.as("x"), vy.as("y")), epsg))
+        struct(transform(prj, v => v.getField("x")).as("xs"),
+          transform(prj, v => v.getField("y")).as("ys"))
+    }
+    df.withColumn("_line", proj)
+      .withColumn("xs", col("_line.xs"))
+      .withColumn("ys", col("_line.ys"))
+      .drop("_line")
+      .localCheckpoint(false)
+  }
+
+  /** Polyline → consecutive-pair segment explode: each n-vertex line
+    * yields n−1 rows (seg_idx, x1, y1, x2, y2) feeding the engine's
+    * segment operators (`ClippedSegmentLength`, geo_line_density,
+    * geo_line_clip) unchanged. Explode-based fanout: a 100 TB road
+    * layer parallelizes by line row before the explode, so no single
+    * task holds more than its input's vertices. */
+  def lineSegments(df: DataFrame,
+                   xsCol: String = "xs", ysCol: String = "ys"): DataFrame =
+    df.withColumn("seg_idx",
+        explode(sequence(lit(1), size(col(xsCol)) - 1)))
+      .withColumn("x1", element_at(col(xsCol), col("seg_idx")))
+      .withColumn("y1", element_at(col(ysCol), col("seg_idx")))
+      .withColumn("x2", element_at(col(xsCol), col("seg_idx") + 1))
+      .withColumn("y2", element_at(col(ysCol), col("seg_idx") + 1))
+      .drop(xsCol, ysCol)
+
   /** struct-free egress: (x, y) → `POINT (x y)` (shortest round-trip
     * double formatting — parse(format(v)) is bit-exact). */
   def toWktPoint(x: Column, y: Column): Column =
     concat(lit("POINT ("), x.cast("string"), lit(" "),
       y.cast("string"), lit(")"))
+
+  /** Vertex arrays → `LINESTRING (…)`, inverse of parseLineString. */
+  def toWktLineString(xs: Column, ys: Column): Column = {
+    val verts = zip_with(xs, ys,
+      (vx, vy) => concat(vx.cast("string"), lit(" "), vy.cast("string")))
+    concat(lit("LINESTRING ("), concat_ws(", ", verts), lit(")"))
+  }
 
   /** Open vertex arrays → `POLYGON ((…))` with the ring closed
     * textually, inverse of `parsePolygon`. */

@@ -929,6 +929,47 @@ object GeoQueries {
     WITH $pts
     SELECT id, x, y FROM pts ORDER BY id"""
 
+  /** LINESTRING WKT ingest certified end-to-end: serialize the
+    * polyline table to `LINESTRING (…)` text, re-ingest through
+    * `Wkt.lines`, explode to consecutive-pair segments
+    * (`Wkt.lineSegments` — the road-geometry ingest the reference's
+    * heaviest calculators start from, RoadLLWCalculator.py:73-80),
+    * and aggregate per-line segment count + decimal-exact total
+    * length from the PARSED vertices. WKT doubles are
+    * shortest-round-trip so parse∘format is bit-exact; any parser or
+    * explode defect breaks the hash. */
+  def wktLineStats(s: SparkSession, dir: String): DataFrame = {
+    val spread = graft.Tables.fanout(Derive.polylines(s, dir))
+    val asWkt = spread.select(col("fid"),
+      graft.geo.Wkt.toWktLineString(col("xs"), col("ys")).as("wkt"))
+    val segs = graft.geo.Wkt.lineSegments(
+      graft.geo.Wkt.lines(asWkt, "wkt"))
+    val len = sqrt(
+      (col("x2") - col("x1")) * (col("x2") - col("x1")) +
+      (col("y2") - col("y1")) * (col("y2") - col("y1")))
+    segs.select(col("fid"), len.as("len"))
+      .groupBy("fid")
+      .agg(count(lit(1)).as("n_segs"),
+        sum(col("len").cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+          .cast("double").as("total_len"))
+      .orderBy("fid")
+  }
+
+  val wktLineStatsSql: String = s"""
+    WITH pl AS (${Derive.polylinesSql}),
+    idx AS (
+      SELECT fid, xs, ys,
+             unnest(generate_series(1, len(xs) - 1)) AS i
+      FROM pl),
+    seg AS (
+      SELECT fid,
+             sqrt((xs[i+1] - xs[i]) * (xs[i+1] - xs[i])
+                + (ys[i+1] - ys[i]) * (ys[i+1] - ys[i])) AS len
+      FROM idx)
+    SELECT fid, COUNT(*) AS n_segs,
+           CAST(SUM(CAST(len AS DECIMAL(18,9))) AS DOUBLE) AS total_len
+    FROM seg GROUP BY fid ORDER BY fid"""
+
   /** Shoelace + ray-cast mirror; term order identical to
     * Polygons.centroid / PolyMath.contains. */
   val polyCentroidSql: String = s"""
@@ -1199,5 +1240,6 @@ object GeoQueries {
     QueryDef("geo_coordinate", coordinate, Some(coordinateSql)),
     QueryDef("geo_raster_zonal", rasterZonal, Some(rasterZonalSql)),
     QueryDef("geo_wkt_points", wktPoints, Some(wktPointsSql)),
-    QueryDef("geo_wkt_poly", wktPolyCentroid, Some(polyCentroidSql)))
+    QueryDef("geo_wkt_poly", wktPolyCentroid, Some(polyCentroidSql)),
+    QueryDef("geo_wkt_line", wktLineStats, Some(wktLineStatsSql)))
 }

@@ -56,6 +56,43 @@ class WktSpec extends SparkSpec {
     assert(got.except(want).isEmpty && want.except(got).isEmpty)
   }
 
+  test("LINESTRING round-trip preserves vertex arrays") {
+    val src = graft.geo.Derive.polylines(spark, sfDir)
+    val back = Wkt.lines(
+      src.select(col("fid"),
+        Wkt.toWktLineString(col("xs"), col("ys")).as("wkt")),
+      "wkt").select("fid", "xs", "ys")
+    assert(back.except(src).isEmpty && src.except(back).isEmpty)
+  }
+
+  test("LINESTRING explodes to consecutive-pair segments") {
+    val line = Seq((7L, "LINESTRING (0 0, 3 4, 3 10, 9 10)"))
+      .toDF("fid", "wkt")
+    val segs = Wkt.lineSegments(Wkt.lines(line, "wkt"))
+      .select("fid", "seg_idx", "x1", "y1", "x2", "y2")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toSet
+    assert(segs == Set(
+      (7L, 1, 0.0, 0.0, 3.0, 4.0),
+      (7L, 2, 3.0, 4.0, 3.0, 10.0),
+      (7L, 3, 3.0, 10.0, 9.0, 10.0)))
+  }
+
+  test("projected-CRS LINESTRING ingest reprojects every vertex") {
+    val line = Seq((1L, "LINESTRING (200000 600000, 200100 600100)"))
+      .toDF("fid", "wkt")
+    val got = Wkt.lines(line, "wkt", epsg = 5186)
+      .select(explode(arrays_zip(col("xs"), col("ys"))).as("v"))
+      .select(col("v.xs").as("x"), col("v.ys").as("y"))
+    val want = Seq((200000.0, 600000.0), (200100.0, 600100.0))
+      .toDF("px", "py")
+      .select(Proj.transform(col("px"), col("py"),
+        Proj.epsg(5186), Proj.Epsg5179).as("t"))
+      .select(col("t.x").as("x"), col("t.y").as("y"))
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
   test("malformed WKT fails loudly with the offending text") {
     def boom(wkt: String, parse: org.apache.spark.sql.Column): String = {
       val e = intercept[Exception] {
@@ -80,5 +117,14 @@ class WktSpec extends SparkSpec {
       Wkt.parsePolygon(col("wkt"))).contains("malformed WKT POLYGON"))
     assert(boom("POLYGON ((0 0, 1 junk, 0 0))", Wkt.parsePolygon(col("wkt")))
       .contains("malformed WKT POLYGON"))
+    // LINESTRING: single point, junk token, wrong geometry, bad parens
+    assert(boom("LINESTRING (1 2)", Wkt.parseLineString(col("wkt")))
+      .contains("malformed WKT LINESTRING"))
+    assert(boom("LINESTRING (0 0, 1 junk)", Wkt.parseLineString(col("wkt")))
+      .contains("malformed WKT LINESTRING"))
+    assert(boom("POINT (1 2)", Wkt.parseLineString(col("wkt")))
+      .contains("malformed WKT LINESTRING"))
+    assert(boom("LINESTRING ((0 0, 1 1))", Wkt.parseLineString(col("wkt")))
+      .contains("malformed WKT LINESTRING"))
   }
 }
