@@ -122,6 +122,36 @@ object Derive {
            [y, y + CAST((fid % 5) * 100 AS DOUBLE), y + 400.0] AS ys
     FROM ($featsSql)"""
 
+  /** Holed polygons (nested ring arrays): each triangle with a hole =
+    * the same triangle shrunk halfway toward its centroid (strictly
+    * interior for any non-degenerate triangle). Real landuse/OA
+    * polygons carry holes (LanduseCalculator.py:99-157). Ring 1 =
+    * outer, ring 2 = hole; pure arithmetic, SQL-mirrored. */
+  def holedTriangles(s: SparkSession, dir: String): DataFrame =
+    triangles(s, dir).select(
+      col("poly_id"),
+      ((col("xs")(0) + col("xs")(1) + col("xs")(2)) / 3.0).as("cx0"),
+      ((col("ys")(0) + col("ys")(1) + col("ys")(2)) / 3.0).as("cy0"),
+      col("xs"), col("ys"))
+      .select(col("poly_id"),
+        array(col("xs"),
+          transform(col("xs"), v => col("cx0") + (v - col("cx0")) / 2.0))
+          .as("rxs"),
+        array(col("ys"),
+          transform(col("ys"), v => col("cy0") + (v - col("cy0")) / 2.0))
+          .as("rys"))
+
+  val holedTrianglesSql: String = s"""
+    SELECT poly_id,
+           [xs, list_transform(xs, v -> cx0 + (v - cx0) / 2.0)] AS rxs,
+           [ys, list_transform(ys, v -> cy0 + (v - cy0) / 2.0)] AS rys
+    FROM (
+      SELECT poly_id,
+             (xs[1] + xs[2] + xs[3]) / 3.0 AS cx0,
+             (ys[1] + ys[2] + ys[3]) / 3.0 AS cy0,
+             xs, ys
+      FROM ($trianglesSql))"""
+
   /** WGS84 lon/lat in a Korea-sized window for projection tests. */
   def wgsPoints(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "customer").select(

@@ -33,6 +33,32 @@ object Polygons {
     struct(weighted(xs).as("cx"), weighted(ys).as("cy"))
   }
 
+  /** Even-odd containment over a RING SET (outer + holes, the real
+    * landuse/OA shape — duckpipe/calculator/LanduseCalculator.py:99-157
+    * polygons routinely carry interior rings): a point is inside when
+    * an odd number of rings contain it, which is exactly the even-odd
+    * rule extended ring-wise (inside outer, outside holes; islands in
+    * holes compose for free). rxs/rys are ARRAY<ARRAY<DOUBLE>> with
+    * ring 1 = outer; pure HOF composition over the native ray-cast
+    * expression — no new kernel. Session needs GraftFunctions. */
+  def containsRings(px: Column, py: Column, rxs: Column, rys: Column): Column =
+    size(filter(zip_with(rxs, rys, (xa, ya) =>
+      call_function("point_in_polygon", px, py, xa, ya)), b => b)) % 2 === 1
+
+  /** Exact circle∩(outer − holes) area: the clipped outer minus every
+    * clipped hole (valid for holes inside the outer ring, the WKT
+    * contract). Composes the native clipped_polygon_area expression
+    * over the ring set. */
+  def clippedAreaRings(cx: Column, cy: Column, r: Column,
+                       rxs: Column, rys: Column): Column = {
+    val outer = call_function("clipped_polygon_area", cx, cy, r,
+      element_at(rxs, 1), element_at(rys, 1))
+    val holes = zip_with(
+      slice(rxs, lit(2), size(rxs) - 1), slice(rys, lit(2), size(rys) - 1),
+      (hx, hy) => call_function("clipped_polygon_area", cx, cy, r, hx, hy))
+    outer - aggregate(holes, lit(0.0), (acc, a) => acc + a)
+  }
+
   /** Point-on-surface: the centroid when it falls inside (always, for
     * convex rings), else the first vertex — a guaranteed-on-boundary
     * fallback mirroring the spirit of ST_PointOnSurface's "some point

@@ -18,9 +18,11 @@ import org.apache.spark.sql.functions._
   *
   * Scope mirrors the engine's planar model: POINT, LINESTRING
   * (polyline → consecutive-pair segment explode feeding the segment
-  * operators) and single-ring POLYGON (the vertex-array form every
-  * polygon operator consumes). Interior rings (holes) are rejected
-  * loudly, not ignored.
+  * operators), single-ring POLYGON (the flat vertex-array form the
+  * simple operators consume — interior rings rejected loudly there),
+  * full POLYGON with holes (`parsePolygonRings` → nested ring arrays
+  * for `Polygons.containsRings`/`clippedAreaRings`), and MULTIPOLYGON
+  * (`parseMultiPolygon` → parts exploded to rows).
   */
 object Wkt {
 
@@ -77,6 +79,88 @@ object Wkt {
       .otherwise(fail("POLYGON (ring not closed)", wkt)))
     .otherwise(fail(
       "POLYGON (single exterior ring, >= 4 points incl. closing vertex)", wkt))
+  }
+
+  // ---- ring-set parsing (holes + MULTIPOLYGON) -----------------------
+  // A separator char no valid WKT contains, used to split ring lists /
+  // part lists without a backtracking regex (see parsePolygon's note).
+  private val Sep = "\u0001"
+
+  /** One ring body "x y, x y, …" (closing vertex mandatory) → open
+    * struct(xs, ys); `ok` short-circuits to the loud failure. */
+  private def ringOf(body: Column, ok: Column, wkt: Column): Column = {
+    val pts = transform(split(body, ","), p => split(trim(p), "\\s+"))
+    val tokensOk = forall(pts, p => size(p) === 2 &&
+      element_at(p, 1).rlike(NumFull) && element_at(p, 2).rlike(NumFull))
+    val xs = transform(pts, p => element_at(p, 1).cast("double"))
+    val ys = transform(pts, p => element_at(p, 2).cast("double"))
+    val closed = element_at(xs, 1) === element_at(xs, -1) &&
+      element_at(ys, 1) === element_at(ys, -1)
+    when(ok && tokensOk && size(pts) >= 4 && closed, struct(
+      slice(xs, lit(1), size(xs) - 1).as("xs"),
+      slice(ys, lit(1), size(ys) - 1).as("ys")))
+      .otherwise(fail(
+        "POLYGON ring (closed, >= 4 points incl. closing vertex)", wkt))
+  }
+
+  /** Ring-list body "(r1), (r2), …" → struct(rxs, rys) nested arrays
+    * (ring 1 = outer, rest holes — the full OGC POLYGON body). */
+  private def ringsOf(body: Column, ok: Column, wkt: Column): Column = {
+    val rings = split(
+      regexp_replace(body, "\\)\\s*,\\s*\\(", s")$Sep("), Sep)
+    val shapeOk = ok &&
+      forall(rings, r => trim(r).rlike("^\\([^()]*\\)$"))
+    val parsed = transform(rings, r =>
+      ringOf(substring_index(substring_index(trim(r), "(", -1), ")", 1),
+        lit(true), wkt))
+    when(shapeOk, struct(
+      transform(parsed, r => r.getField("xs")).as("rxs"),
+      transform(parsed, r => r.getField("ys")).as("rys")))
+      .otherwise(fail("POLYGON ring list", wkt))
+  }
+
+  /** `POLYGON ((outer), (hole), …)` → struct(rxs, rys) nested vertex
+    * arrays — the FULL polygon form with interior rings, which real
+    * landuse/OA tables carry (LanduseCalculator.py:99-157). Ring 1 is
+    * the exterior; every further ring is a hole. Rings are validated
+    * closed then stored open, matching the single-ring parser. */
+  def parsePolygonRings(wkt: Column): Column = {
+    val t = trim(wkt)
+    val structureOk = t.rlike("^POLYGON\\s*\\(\\s*\\(") && t.endsWith(")") &&
+      (length(t) - length(translate(t, "(", "")) ===
+        length(t) - length(translate(t, ")", ""))) &&
+      !t.contains(Sep)
+    val body = regexp_replace(t, "^POLYGON\\s*\\(", "")
+    val inner = body.substr(lit(1), length(body) - 1) // drop trailing ")"
+    when(structureOk, ringsOf(inner, lit(true), wkt))
+      .otherwise(fail("POLYGON (ring list)", wkt))
+  }
+
+  /** `MULTIPOLYGON (((…)), ((…), (hole)), …)` → ARRAY of
+    * struct(rxs, rys) ring sets, one per part — real admin/landuse
+    * layers are routinely multi-part. Parts explode to rows via
+    * `multiPolygons` (a part is the unit the polygon operators
+    * consume; keeping parts as rows is what distributes at 100 TB). */
+  def parseMultiPolygon(wkt: Column): Column = {
+    val t = trim(wkt)
+    val structureOk = t.rlike("^MULTIPOLYGON\\s*\\(\\s*\\(\\s*\\(") &&
+      t.endsWith(")") &&
+      (length(t) - length(translate(t, "(", "")) ===
+        length(t) - length(translate(t, ")", ""))) &&
+      !t.contains(Sep)
+    val body0 = regexp_replace(t, "^MULTIPOLYGON\\s*\\(", "")
+    val body = body0.substr(lit(1), length(body0) - 1) // drop final ")"
+    // part separator: "))" , "((" — normalize then split; each part is
+    // then a full ring-list wrapped in one paren pair: "((r1), (r2))"
+    val parts = split(
+      regexp_replace(body, "\\)\\s*\\)\\s*,\\s*\\(\\s*\\(", s"))$Sep(("), Sep)
+    val partsOk = structureOk &&
+      forall(parts, p => trim(p).startsWith("(") && trim(p).endsWith(")"))
+    val parsed = transform(parts, p => {
+      val pt = trim(p)
+      ringsOf(pt.substr(lit(2), length(pt) - 2), lit(true), wkt)
+    })
+    when(partsOk, parsed).otherwise(fail("MULTIPOLYGON", wkt))
   }
 
   /** `LINESTRING (x y, …, x y)` → struct(xs, ys) vertex arrays (≥ 2
@@ -178,6 +262,49 @@ object Wkt {
       .localCheckpoint(false)
   }
 
+  /** Reproject a parsed ring set struct(rxs, rys) vertex-wise. */
+  private def projRings(rs: Column, epsg: Int): Column = epsg match {
+    case 5179 => rs
+    case _ =>
+      val prj = zip_with(rs.getField("rxs"), rs.getField("rys"),
+        (xa, ya) => zip_with(xa, ya,
+          (vx, vy) => toRef(struct(vx.as("x"), vy.as("y")), epsg)))
+      struct(
+        transform(prj, ring => transform(ring, v => v.getField("x")))
+          .as("rxs"),
+        transform(prj, ring => transform(ring, v => v.getField("y")))
+          .as("rys"))
+  }
+
+  /** Ingest a full POLYGON WKT column (holes allowed): adds nested
+    * ring arrays `rxs`, `rys` (ring 1 = outer) — the shape
+    * `Polygons.containsRings` / `Polygons.clippedAreaRings` consume.
+    * Same parse-once fence as `polygons`. */
+  def polygonsRings(df: DataFrame, wktCol: String,
+                    epsg: Int = 5179): DataFrame = {
+    val rs = projRings(parsePolygonRings(col(wktCol)), epsg)
+    df.withColumn("_rs", rs)
+      .withColumn("rxs", col("_rs.rxs"))
+      .withColumn("rys", col("_rs.rys"))
+      .drop("_rs")
+      .localCheckpoint(false)
+  }
+
+  /** Ingest a MULTIPOLYGON WKT column: one row PER PART with nested
+    * ring arrays (part_idx 1-based) — parts as rows is the layout
+    * that distributes; a 100 TB admin layer parallelizes by part
+    * after the explode. */
+  def multiPolygons(df: DataFrame, wktCol: String,
+                    epsg: Int = 5179): DataFrame =
+    df.withColumn("_parts", parseMultiPolygon(col(wktCol)))
+      .select(col("*"),
+        posexplode(col("_parts")).as(Seq("_pi", "_part")))
+      .withColumn("part_idx", col("_pi") + 1)
+      .withColumn("rxs", projRings(col("_part"), epsg).getField("rxs"))
+      .withColumn("rys", projRings(col("_part"), epsg).getField("rys"))
+      .drop("_parts", "_pi", "_part")
+      .localCheckpoint(false)
+
   /** Polyline → consecutive-pair segment explode: each n-vertex line
     * yields n−1 rows (seg_idx, x1, y1, x2, y2) feeding the engine's
     * segment operators (`ClippedSegmentLength`, geo_line_density,
@@ -215,4 +342,28 @@ object Wkt {
     concat(lit("POLYGON (("), concat_ws(", ", verts), lit(", "),
       element_at(verts, 1), lit("))"))
   }
+
+  /** One open ring → "(x y, …, x y, x1 y1)" (closed textually). */
+  private def ringText(xs: Column, ys: Column): Column = {
+    val verts = zip_with(xs, ys,
+      (vx, vy) => concat(vx.cast("string"), lit(" "), vy.cast("string")))
+    concat(lit("("), concat_ws(", ", verts), lit(", "),
+      element_at(verts, 1), lit(")"))
+  }
+
+  /** Nested ring arrays → `POLYGON ((outer), (hole), …)`, inverse of
+    * `parsePolygonRings`. */
+  def toWktPolygonRings(rxs: Column, rys: Column): Column =
+    concat(lit("POLYGON ("),
+      concat_ws(", ", zip_with(rxs, rys, ringText)), lit(")"))
+
+  /** Array of struct(rxs, rys) parts → `MULTIPOLYGON (…)`, inverse of
+    * `parseMultiPolygon`. */
+  def toWktMultiPolygon(parts: Column): Column =
+    concat(lit("MULTIPOLYGON ("),
+      concat_ws(", ", transform(parts, p =>
+        concat(lit("("), concat_ws(", ",
+          zip_with(p.getField("rxs"), p.getField("rys"), ringText)),
+          lit(")")))),
+      lit(")"))
 }

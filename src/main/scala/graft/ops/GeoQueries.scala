@@ -636,6 +636,125 @@ object GeoQueries {
     HAVING SUM(CASE WHEN inside THEN 1 ELSE 0 END) > 0
     ORDER BY id"""
 
+  // ---- holed polygons (interior rings) --------------------------------
+  /** Containment tagging against HOLED polygons (ring sets): real
+    * landuse/OA polygons carry interior rings
+    * (LanduseCalculator.py:99-157) — a point inside a hole is NOT in
+    * the polygon. Even-odd composes ring-wise
+    * (Polygons.containsRings over the native ray-cast); candidate
+    * pruning is the same grid as geo_poly_tag (the hole never extends
+    * the outer ring's reach). */
+  def polyTagHoled(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(s)
+    val polys = Derive.holedTriangles(s, dir)
+      .select(col("poly_id"), col("rxs"), col("rys"),
+        col("rxs")(0)(0).as("x"), col("rys")(0)(0).as("y"))
+    BufferStats.neighborJoin(Derive.points(s, dir), polys, reach = 800.0)
+      .withColumn("inside",
+        Polygons.containsRings(col("x"), col("y"), col("rxs"), col("rys")))
+      .groupBy("id")
+      .agg(sum(when(col("inside"), 1).otherwise(0)).cast("long").as("n_poly"))
+      .filter(col("n_poly") > 0)
+      .orderBy("id")
+  }
+
+  /** Ray-cast predicate over one ring (mirrors PolyMath.contains
+    * edge-for-edge, same text as polyTagSql). */
+  private def raySql(px: String, py: String, xs: String, ys: String) = s"""
+    (len(list_filter(generate_series(1, len($xs)), i ->
+      (($ys[i] > $py) != ($ys[CASE WHEN i = 1 THEN len($ys) ELSE i - 1 END] > $py))
+      AND $px < ($xs[CASE WHEN i = 1 THEN len($xs) ELSE i - 1 END] - $xs[i])
+                * ($py - $ys[i])
+                / ($ys[CASE WHEN i = 1 THEN len($ys) ELSE i - 1 END] - $ys[i])
+                + $xs[i])) % 2) = 1"""
+
+  val polyTagHoledSql: String = s"""
+    WITH $pts, ht AS (${Derive.holedTrianglesSql}),
+    pairs AS (
+      SELECT p.id,
+        (${raySql("p.x", "p.y", "t.rxs[1]", "t.rys[1]")}) !=
+        (${raySql("p.x", "p.y", "t.rxs[2]", "t.rys[2]")}) AS inside
+      FROM pts p CROSS JOIN ht t)
+    SELECT id, CAST(SUM(CASE WHEN inside THEN 1 ELSE 0 END) AS BIGINT) AS n_poly
+    FROM pairs GROUP BY id
+    HAVING SUM(CASE WHEN inside THEN 1 ELSE 0 END) > 0
+    ORDER BY id"""
+
+  /** Holed-POLYGON WKT ingest certified end-to-end (the geo_wkt_poly
+    * pattern): serialize the ring sets to `POLYGON ((outer), (hole))`
+    * text, re-ingest through `Wkt.polygonsRings`, and run the holed
+    * containment tagging on the PARSED rings — against the unchanged
+    * polyTagHoled oracle. */
+  def wktHoledTag(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(s)
+    val spread = graft.Tables.fanout(Derive.holedTriangles(s, dir))
+    val asWkt = spread.select(col("poly_id"),
+      graft.geo.Wkt.toWktPolygonRings(col("rxs"), col("rys")).as("wkt"))
+    val polys = graft.geo.Wkt.polygonsRings(asWkt, "wkt")
+      .select(col("poly_id"), col("rxs"), col("rys"),
+        col("rxs")(0)(0).as("x"), col("rys")(0)(0).as("y"))
+    BufferStats.neighborJoin(Derive.points(s, dir), polys, reach = 800.0)
+      .withColumn("inside",
+        Polygons.containsRings(col("x"), col("y"), col("rxs"), col("rys")))
+      .groupBy("id")
+      .agg(sum(when(col("inside"), 1).otherwise(0)).cast("long").as("n_poly"))
+      .filter(col("n_poly") > 0)
+      .orderBy("id")
+  }
+
+  /** MULTIPOLYGON WKT ingest certified end-to-end: pair consecutive
+    * triangles into two-part `MULTIPOLYGON (((…)), ((…)))` text,
+    * re-ingest through `Wkt.multiPolygons` (parts explode to rows),
+    * and emit each part's exact shoelace centroid from the PARSED
+    * rings — the oracle computes the same centroids straight from the
+    * derivation with the same (m_id, part_idx) keys. */
+  def wktMultiPoly(s: SparkSession, dir: String): DataFrame = {
+    val t = graft.Tables.fanout(Derive.triangles(s, dir))
+    val a = t.filter(col("poly_id") % 2 === 0)
+      .select(col("poly_id").as("m_id"),
+        col("xs").as("axs"), col("ys").as("ays"))
+    val b = t.filter(col("poly_id") % 2 === 1)
+      .select((col("poly_id") - 1).as("m_id"),
+        col("xs").as("bxs"), col("ys").as("bys"))
+    val parts = array(
+      struct(array(col("axs")).as("rxs"), array(col("ays")).as("rys")),
+      struct(array(col("bxs")).as("rxs"), array(col("bys")).as("rys")))
+    val asWkt = a.join(b, Seq("m_id"))
+      .select(col("m_id"), graft.geo.Wkt.toWktMultiPolygon(parts).as("wkt"))
+    val parsed = graft.geo.Wkt.multiPolygons(asWkt, "wkt")
+      .select(col("m_id"), col("part_idx"),
+        col("rxs")(0).as("xs"), col("rys")(0).as("ys"))
+    parsed
+      .filter(Polygons.signedArea2(col("xs"), col("ys"), 3) =!= 0.0)
+      .withColumn("c", Polygons.centroid(col("xs"), col("ys"), 3))
+      .select(col("m_id"), col("part_idx"),
+        col("c.cx").as("cx"), col("c.cy").as("cy"))
+      .orderBy("m_id", "part_idx")
+  }
+
+  val wktMultiPolySql: String = s"""
+    WITH tris AS (${Derive.trianglesSql}),
+    keyed AS (
+      SELECT poly_id - (poly_id % 2) AS m_id,
+             CAST((poly_id % 2) + 1 AS INTEGER) AS part_idx, xs, ys
+      FROM tris
+      WHERE poly_id - (poly_id % 2) IN (SELECT poly_id FROM tris)
+        AND poly_id - (poly_id % 2) + 1 IN (SELECT poly_id FROM tris)),
+    base AS (
+      SELECT m_id, part_idx, xs, ys,
+        (xs[1]*ys[2] - xs[2]*ys[1]) + (xs[2]*ys[3] - xs[3]*ys[2])
+          + (xs[3]*ys[1] - xs[1]*ys[3]) AS a2
+      FROM keyed)
+    SELECT m_id, part_idx,
+      ((xs[1]+xs[2])*(xs[1]*ys[2] - xs[2]*ys[1])
+        + (xs[2]+xs[3])*(xs[2]*ys[3] - xs[3]*ys[2])
+        + (xs[3]+xs[1])*(xs[3]*ys[1] - xs[1]*ys[3])) / (3.0 * a2) AS cx,
+      ((ys[1]+ys[2])*(xs[1]*ys[2] - xs[2]*ys[1])
+        + (ys[2]+ys[3])*(xs[2]*ys[3] - xs[3]*ys[2])
+        + (ys[3]+ys[1])*(xs[3]*ys[1] - xs[1]*ys[3])) / (3.0 * a2) AS cy
+    FROM base WHERE a2 <> 0.0
+    ORDER BY m_id, part_idx"""
+
   // ---- polygon coordinate modes (centroid / point-on-surface) --------
   /** The reference CoordinateCalculator's polygon modes
     * (CoordinateCalculator.py:13-14): exact shoelace centroid plus the
@@ -1241,5 +1360,8 @@ object GeoQueries {
     QueryDef("geo_raster_zonal", rasterZonal, Some(rasterZonalSql)),
     QueryDef("geo_wkt_points", wktPoints, Some(wktPointsSql)),
     QueryDef("geo_wkt_poly", wktPolyCentroid, Some(polyCentroidSql)),
-    QueryDef("geo_wkt_line", wktLineStats, Some(wktLineStatsSql)))
+    QueryDef("geo_wkt_line", wktLineStats, Some(wktLineStatsSql)),
+    QueryDef("geo_poly_tag_holed", polyTagHoled, Some(polyTagHoledSql)),
+    QueryDef("geo_wkt_holes", wktHoledTag, Some(polyTagHoledSql)),
+    QueryDef("geo_wkt_multipoly", wktMultiPoly, Some(wktMultiPolySql)))
 }

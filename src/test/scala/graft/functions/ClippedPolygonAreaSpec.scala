@@ -57,6 +57,36 @@ class ClippedPolygonAreaSpec extends SparkSpec {
     assert(math.abs(a - expect) < 1e-6, s"$a vs $expect")
   }
 
+  test("ring-set clipped area: outer minus holes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.GraftFunctions.register(spark)
+    // outer 100x100 square with a 20x20 hole at its center
+    val rings = Seq((
+      Seq(Seq(0.0, 100.0, 100.0, 0.0), Seq(40.0, 60.0, 60.0, 40.0)),
+      Seq(Seq(0.0, 0.0, 100.0, 100.0), Seq(40.0, 40.0, 60.0, 60.0))))
+      .toDF("rxs", "rys")
+    def clipped(cx: Double, cy: Double, r: Double): Double =
+      rings.select(graft.geo.Polygons.clippedAreaRings(
+        lit(cx), lit(cy), lit(r), col("rxs"), col("rys")))
+        .head().getDouble(0)
+    // circle containing the whole polygon: area = outer - hole
+    assert(math.abs(clipped(50, 50, 1000) - (10000.0 - 400.0)) < 1e-6)
+    // circle fully inside the hole: nothing of the polygon is covered
+    assert(math.abs(clipped(50, 50, 8)) < 1e-6)
+    // circle inside the solid part (between hole and outer): pi r^2
+    assert(math.abs(clipped(15, 15, 10) - math.Pi * 100) < 1e-6)
+    // circle centered at hole center, radius past the hole: pi r^2 - hole
+    assert(math.abs(clipped(50, 50, 30) - (math.Pi * 900 - 400.0)) < 1e-6)
+    // no holes: degenerates to the plain clipped area
+    val solo = Seq((Seq(Seq(0.0, 100.0, 100.0, 0.0)),
+      Seq(Seq(0.0, 0.0, 100.0, 100.0)))).toDF("rxs", "rys")
+    val a = solo.select(graft.geo.Polygons.clippedAreaRings(
+      lit(50), lit(50), lit(10), col("rxs"), col("rys")))
+      .head().getDouble(0)
+    assert(math.abs(a - math.Pi * 100) < 1e-6)
+  }
+
   test("Monte-Carlo cross-check on random triangles and circles") {
     val rnd = new scala.util.Random(20260812)
     val samples = 200000

@@ -22,6 +22,29 @@ class PointInPolygonSpec extends SparkSpec {
     assert(in(2.0, 0.5, u))    // the base
   }
 
+  test("ring-set containment: holes exclude, islands-in-holes re-include") {
+    GraftFunctions.register(spark)
+    // outer 10x10 square, hole 4..6 square, island 4.5..5.5 square
+    val rings = Seq((
+      Seq(Seq(0.0, 10.0, 10.0, 0.0), Seq(4.0, 6.0, 6.0, 4.0),
+        Seq(4.5, 5.5, 5.5, 4.5)),
+      Seq(Seq(0.0, 0.0, 10.0, 10.0), Seq(4.0, 4.0, 6.0, 6.0),
+        Seq(4.5, 4.5, 5.5, 5.5))))
+      .toDF("rxs", "rys")
+    def in(px: Double, py: Double): Boolean =
+      rings.select(graft.geo.Polygons.containsRings(
+        lit(px), lit(py), col("rxs"), col("rys"))).head().getBoolean(0)
+    assert(in(1.0, 1.0))      // between outer and hole
+    assert(!in(4.2, 5.0))     // inside the hole, outside the island
+    assert(in(5.0, 5.0))      // inside the island (odd ring count)
+    assert(!in(11.0, 5.0))    // outside everything
+    // single-ring set degenerates to the plain ray-cast
+    val one = Seq((Seq(Seq(0.0, 10.0, 0.0)), Seq(Seq(0.0, 0.0, 10.0))))
+      .toDF("rxs", "rys")
+    assert(one.select(graft.geo.Polygons.containsRings(
+      lit(1.0), lit(1.0), col("rxs"), col("rys"))).head().getBoolean(0))
+  }
+
   test("polygon containment join: points to derived triangles") {
     GraftFunctions.register(spark)
     // triangles keyed by cell, joined to points — the polygon analogue

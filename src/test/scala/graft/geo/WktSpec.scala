@@ -56,6 +56,41 @@ class WktSpec extends SparkSpec {
     assert(got.except(want).isEmpty && want.except(got).isEmpty)
   }
 
+  test("holed POLYGON round-trip preserves ring sets") {
+    val src = graft.geo.Derive.holedTriangles(spark, sfDir)
+    val back = Wkt.polygonsRings(
+      src.select(col("poly_id"),
+        Wkt.toWktPolygonRings(col("rxs"), col("rys")).as("wkt")),
+      "wkt").select("poly_id", "rxs", "rys")
+    assert(back.except(src).isEmpty && src.except(back).isEmpty)
+  }
+
+  test("MULTIPOLYGON parses parts (with holes) into rows") {
+    val m = Seq((1L,
+      "MULTIPOLYGON (((0 0, 4 0, 0 4, 0 0), (1 1, 2 1, 1 2, 1 1)), " +
+        "((10 10, 14 10, 10 14, 10 10)))"))
+      .toDF("m_id", "wkt")
+    val parts = Wkt.multiPolygons(m, "wkt")
+      .select("m_id", "part_idx", "rxs", "rys")
+      .collect()
+      .map(r => (r.getInt(1),
+        r.getSeq[scala.collection.Seq[Double]](2).map(_.toList).toList,
+        r.getSeq[scala.collection.Seq[Double]](3).map(_.toList).toList))
+      .toSet
+    assert(parts == Set(
+      (1, List(List(0.0, 4.0, 0.0), List(1.0, 2.0, 1.0)),
+        List(List(0.0, 0.0, 4.0), List(1.0, 1.0, 2.0))),
+      (2, List(List(10.0, 14.0, 10.0)),
+        List(List(10.0, 10.0, 14.0)))))
+    // egress round-trip through toWktMultiPolygon
+    val rebuilt = Wkt.multiPolygons(m.select(col("m_id"),
+      Wkt.toWktMultiPolygon(Wkt.parseMultiPolygon(col("wkt"))).as("wkt")),
+      "wkt").select("m_id", "part_idx", "rxs", "rys")
+    val direct = Wkt.multiPolygons(m, "wkt")
+      .select("m_id", "part_idx", "rxs", "rys")
+    assert(rebuilt.except(direct).isEmpty && direct.except(rebuilt).isEmpty)
+  }
+
   test("LINESTRING round-trip preserves vertex arrays") {
     val src = graft.geo.Derive.polylines(spark, sfDir)
     val back = Wkt.lines(
@@ -126,5 +161,16 @@ class WktSpec extends SparkSpec {
       .contains("malformed WKT LINESTRING"))
     assert(boom("LINESTRING ((0 0, 1 1))", Wkt.parseLineString(col("wkt")))
       .contains("malformed WKT LINESTRING"))
+    // ring-set parser: unclosed hole, junk between rings, unbalanced
+    assert(boom("POLYGON ((0 0, 4 0, 0 4, 0 0), (1 1, 2 1, 1 2))",
+      Wkt.parsePolygonRings(col("wkt"))).contains("malformed WKT POLYGON"))
+    assert(boom("POLYGON ((0 0, 4 0, 0 4, 0 0), junk)",
+      Wkt.parsePolygonRings(col("wkt"))).contains("malformed WKT POLYGON"))
+    assert(boom("POLYGON ((0 0, 4 0, 0 4, 0 0)",
+      Wkt.parsePolygonRings(col("wkt"))).contains("malformed WKT POLYGON"))
+    assert(boom("MULTIPOLYGON ((0 0, 1 0, 0 1, 0 0))",
+      Wkt.parseMultiPolygon(col("wkt"))).contains("malformed WKT"))
+    assert(boom("MULTIPOLYGON (((0 0, 1 0, 0 1, 0 0)), ((1 junk)))",
+      Wkt.parseMultiPolygon(col("wkt"))).contains("malformed WKT"))
   }
 }
