@@ -305,6 +305,54 @@ object Wkt {
       .drop("_parts", "_pi", "_part")
       .localCheckpoint(false)
 
+  /** Generalized mixed-geometry ingest — the full analogue of the
+    * reference's WKT registration (duckpipe/core.py:117-166 accepts
+    * whatever geometry the table holds): one column may mix POINT,
+    * LINESTRING, POLYGON (holes ok) and MULTIPOLYGON. Dispatch is
+    * prefix routing (the mm_type_detect pattern); unknown geometry
+    * fails loudly. Output: one row PER PART with
+    *   geom_type  'point' | 'line' | 'polygon' | 'multipolygon'
+    *   part_idx   1-based (always 1 except multipolygon parts)
+    *   rxs, rys   nested ring arrays (point = one 1-vertex ring,
+    *              line = one open vertex ring, polygon = rings)
+    *   x, y       convenience planar coords (points only, else NULL)
+    * CASE branches evaluate lazily per row, so each parser only runs
+    * on its own geometry kind. */
+  def geometries(df: DataFrame, wktCol: String,
+                 epsg: Int = 5179): DataFrame = {
+    val w = trim(col(wktCol))
+    val kind = when(w.startsWith("POINT"), lit("point"))
+      .when(w.startsWith("LINESTRING"), lit("line"))
+      .when(w.startsWith("MULTIPOLYGON"), lit("multipolygon"))
+      .when(w.startsWith("POLYGON"), lit("polygon"))
+      .otherwise(raise_error(concat(
+        lit("unsupported WKT geometry: "),
+        coalesce(col(wktCol), lit("NULL")))))
+    val pt = parsePoint(col(wktCol))
+    val ln = parseLineString(col(wktCol))
+    val parts = when(col("geom_type") === "point",
+        array(struct(array(array(pt.getField("x"))).as("rxs"),
+          array(array(pt.getField("y"))).as("rys"))))
+      .when(col("geom_type") === "line",
+        array(struct(array(ln.getField("xs")).as("rxs"),
+          array(ln.getField("ys")).as("rys"))))
+      .when(col("geom_type") === "polygon",
+        array(parsePolygonRings(col(wktCol))))
+      .otherwise(parseMultiPolygon(col(wktCol)))
+    df.withColumn("geom_type", kind)
+      .withColumn("_parts", parts)
+      .select(col("*"), posexplode(col("_parts")).as(Seq("_pi", "_part")))
+      .withColumn("part_idx", col("_pi") + 1)
+      .withColumn("rxs", projRings(col("_part"), epsg).getField("rxs"))
+      .withColumn("rys", projRings(col("_part"), epsg).getField("rys"))
+      .withColumn("x",
+        when(col("geom_type") === "point", col("rxs")(0)(0)))
+      .withColumn("y",
+        when(col("geom_type") === "point", col("rys")(0)(0)))
+      .drop("_parts", "_pi", "_part")
+      .localCheckpoint(false)
+  }
+
   /** Polyline → consecutive-pair segment explode: each n-vertex line
     * yields n−1 rows (seg_idx, x1, y1, x2, y2) feeding the engine's
     * segment operators (`ClippedSegmentLength`, geo_line_density,

@@ -755,6 +755,88 @@ object GeoQueries {
     FROM base WHERE a2 <> 0.0
     ORDER BY m_id, part_idx"""
 
+  // ---- mixed-geometry WKT ingest (core.py:117-166 full surface) ------
+  /** ONE WKT column mixing POINT / LINESTRING / holed POLYGON rows
+    * routed through `Wkt.geometries` (prefix dispatch, per-kind
+    * parsers, parts as rows) — certified by per-kind part/ring/vertex
+    * counts plus decimal-exact coordinate sums over every parsed
+    * vertex; the oracle computes the same from the raw derivations. */
+  def wktMixed(s: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    val W = graft.geo.Wkt
+    val p = graft.Tables.fanout(Derive.points(s, dir))
+      .select(W.toWktPoint(col("x"), col("y")).as("wkt"))
+    val l = graft.Tables.fanout(Derive.polylines(s, dir))
+      .select(W.toWktLineString(col("xs"), col("ys")).as("wkt"))
+    val h = graft.Tables.fanout(Derive.holedTriangles(s, dir))
+      .select(W.toWktPolygonRings(col("rxs"), col("rys")).as("wkt"))
+    val g = W.geometries(p.unionByName(l).unionByName(h), "wkt")
+    val rows = g.groupBy("geom_type").agg(
+      count(lit(1)).as("n_parts"),
+      sum(size(col("rxs"))).as("n_rings"))
+    val verts = g.select(col("geom_type"),
+        explode(arrays_zip(flatten(col("rxs")).as("vx"),
+          flatten(col("rys")).as("vy"))).as("v"))
+      .groupBy("geom_type").agg(
+        count(lit(1)).as("n_verts"),
+        sum(col("v.vx").cast(dec)).cast("double").as("sum_x"),
+        sum(col("v.vy").cast(dec)).cast("double").as("sum_y"))
+    rows.join(verts, Seq("geom_type")).orderBy("geom_type")
+  }
+
+  val wktMixedSql: String = s"""
+    WITH $pts, pl AS (${Derive.polylinesSql}),
+    ht AS (${Derive.holedTrianglesSql}),
+    ln_v AS (SELECT unnest(xs) AS vx, unnest(ys) AS vy FROM pl),
+    pg_r AS (SELECT unnest(rxs) AS rx, unnest(rys) AS ry FROM ht),
+    pg_v AS (SELECT unnest(rx) AS vx, unnest(ry) AS vy FROM pg_r)
+    SELECT 'line' AS geom_type,
+      (SELECT COUNT(*) FROM pl) AS n_parts,
+      (SELECT COUNT(*) FROM pl) AS n_rings,
+      (SELECT COUNT(*) FROM ln_v) AS n_verts,
+      (SELECT CAST(SUM(CAST(vx AS DECIMAL(28,12))) AS DOUBLE) FROM ln_v)
+        AS sum_x,
+      (SELECT CAST(SUM(CAST(vy AS DECIMAL(28,12))) AS DOUBLE) FROM ln_v)
+        AS sum_y
+    UNION ALL
+    SELECT 'point',
+      (SELECT COUNT(*) FROM pts), (SELECT COUNT(*) FROM pts),
+      (SELECT COUNT(*) FROM pts),
+      (SELECT CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) FROM pts),
+      (SELECT CAST(SUM(CAST(y AS DECIMAL(28,12))) AS DOUBLE) FROM pts)
+    UNION ALL
+    SELECT 'polygon',
+      (SELECT COUNT(*) FROM ht),
+      (SELECT CAST(SUM(len(rxs)) AS BIGINT) FROM ht),
+      (SELECT COUNT(*) FROM pg_v),
+      (SELECT CAST(SUM(CAST(vx AS DECIMAL(28,12))) AS DOUBLE) FROM pg_v),
+      (SELECT CAST(SUM(CAST(vy AS DECIMAL(28,12))) AS DOUBLE) FROM pg_v)
+    ORDER BY geom_type"""
+
+  /** The FULL fluent pipeline fed from WKT end-to-end — every input
+    * (points, sites, road/landuse features) arrives as WKT text,
+    * ingests through `Wkt.geometries`, and the unchanged
+    * geo_pipeline_wide oracle certifies the result: the reference's
+    * add_point_with_table WKT path (core.py:117-166) composed with
+    * its calculator chain. */
+  def pipelineWkt(s: SparkSession, dir: String): DataFrame = {
+    val W = graft.geo.Wkt
+    def viaWkt(df: DataFrame, keep: Seq[String]): DataFrame =
+      W.geometries(
+        df.withColumn("wkt", W.toWktPoint(col("x"), col("y")))
+          .drop("x", "y"), "wkt")
+        .select(("x" +: "y" +: keep).map(col): _*)
+    val pts = viaWkt(graft.Tables.fanout(Derive.points(s, dir)), Seq("id"))
+    val sites = viaWkt(Derive.sites(s, dir), Seq("id"))
+    val feats = viaWkt(graft.Tables.fanout(Derive.feats(s, dir)),
+      Seq("fid", "weight", "lanes", "width", "code", "area", "elev", "key"))
+    graft.api.GeoCalculator(pts)
+      .nearestDistance(sites, "D_Supp")
+      .bufferLineAndLanduse(feats, Seq(500.0))
+      .resultWide(pipelineVarnames)
+      .orderBy("id")
+  }
+
   // ---- polygon coordinate modes (centroid / point-on-surface) --------
   /** The reference CoordinateCalculator's polygon modes
     * (CoordinateCalculator.py:13-14): exact shoelace centroid plus the
@@ -1363,5 +1445,7 @@ object GeoQueries {
     QueryDef("geo_wkt_line", wktLineStats, Some(wktLineStatsSql)),
     QueryDef("geo_poly_tag_holed", polyTagHoled, Some(polyTagHoledSql)),
     QueryDef("geo_wkt_holes", wktHoledTag, Some(polyTagHoledSql)),
-    QueryDef("geo_wkt_multipoly", wktMultiPoly, Some(wktMultiPolySql)))
+    QueryDef("geo_wkt_multipoly", wktMultiPoly, Some(wktMultiPolySql)),
+    QueryDef("geo_wkt_mixed", wktMixed, Some(wktMixedSql)),
+    QueryDef("geo_pipeline_wkt", pipelineWkt, Some(pipelineWideSql)))
 }

@@ -128,6 +128,35 @@ class WktSpec extends SparkSpec {
     assert(got.except(want).isEmpty && want.except(got).isEmpty)
   }
 
+  test("mixed-geometry dispatch routes per prefix and rejects unknowns") {
+    val mixed = Seq(
+      (1L, "POINT (3 4)"),
+      (2L, "LINESTRING (0 0, 1 1, 2 0)"),
+      (3L, "POLYGON ((0 0, 4 0, 0 4, 0 0), (1 1, 2 1, 1 2, 1 1))"),
+      (4L, "MULTIPOLYGON (((0 0, 1 0, 0 1, 0 0)), ((5 5, 6 5, 5 6, 5 5)))"))
+      .toDF("gid", "wkt")
+    val g = Wkt.geometries(mixed, "wkt")
+      .select("gid", "geom_type", "part_idx", "rxs", "x")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getSeq[scala.collection.Seq[Double]](3).map(_.toList).toList,
+        Option(r.get(4)))).toSet
+    assert(g == Set(
+      (1L, "point", 1, List(List(3.0)), Some(3.0)),
+      (2L, "line", 1, List(List(0.0, 1.0, 2.0)), None),
+      (3L, "polygon", 1,
+        List(List(0.0, 4.0, 0.0), List(1.0, 2.0, 1.0)), None),
+      (4L, "multipolygon", 1, List(List(0.0, 1.0, 0.0)), None),
+      (4L, "multipolygon", 2, List(List(5.0, 6.0, 5.0)), None)))
+    val e = intercept[Exception] {
+      Wkt.geometries(Seq((9L, "GEOMETRYCOLLECTION (POINT (1 2))"))
+        .toDF("gid", "wkt"), "wkt").collect()
+    }
+    assert(Iterator.iterate(e.asInstanceOf[Throwable])(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+      .contains("unsupported WKT geometry"))
+  }
+
   test("malformed WKT fails loudly with the offending text") {
     def boom(wkt: String, parse: org.apache.spark.sql.Column): String = {
       val e = intercept[Exception] {
