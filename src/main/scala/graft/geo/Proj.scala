@@ -17,6 +17,14 @@ import org.apache.spark.sql.functions._
   * lat0=38°, lon0=127.5°, k0=0.9996, FE=1 000 000, FN=2 000 000.
   */
 object Proj {
+  /** A supported projected CRS: transverse-Mercator (Tm), Lambert
+    * conformal conic 2SP (Lcc) or Albers equal-area conic (Aea) —
+    * the three families that cover the reference's realistic
+    * ST_Transform inputs (core.py:138-152 accepts any EPSG; TM/UTM
+    * plus the two conic families span national grids, Lambert-93 /
+    * ETRS89-LCC, State Plane and continental equal-area grids). */
+  sealed trait Crs
+
   final case class Tm(
       a: Double = 6378137.0,            // GRS80 semi-major
       f: Double = 1.0 / 298.257222101,  // GRS80 flattening
@@ -24,7 +32,7 @@ object Proj {
       lon0Deg: Double = 127.5,
       k0: Double = 0.9996,
       fe: Double = 1000000.0,
-      fn: Double = 2000000.0) {
+      fn: Double = 2000000.0) extends Crs {
     val e2: Double = 2 * f - f * f
     val ep2: Double = e2 / (1 - e2)
     val c0: Double = 1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * math.pow(e2, 3) / 256
@@ -41,6 +49,80 @@ object Proj {
   }
   val Epsg5179: Tm = Tm()
 
+  /** Lambert conformal conic, 2 standard parallels (Snyder PP 1395,
+    * eqs. 15-1…15-11; inverse latitude via the χ series, eq. 3-5 —
+    * no iteration, so everything stays a closed-form column tree). */
+  final case class Lcc(
+      a: Double = 6378137.0,
+      f: Double = 1.0 / 298.257222101,
+      lat1Deg: Double, lat2Deg: Double,
+      lat0Deg: Double, lon0Deg: Double,
+      fe: Double, fn: Double) extends Crs {
+    val e2: Double = 2 * f - f * f
+    val e: Double = math.sqrt(e2)
+    private def mOf(phi: Double): Double = {
+      val s = math.sin(phi)
+      math.cos(phi) / math.sqrt(1 - e2 * s * s)
+    }
+    private def tOf(phi: Double): Double = {
+      val s = math.sin(phi)
+      math.tan(math.Pi / 4 - phi / 2) /
+        math.pow((1 - e * s) / (1 + e * s), e / 2)
+    }
+    private val phi1 = math.toRadians(lat1Deg)
+    private val phi2 = math.toRadians(lat2Deg)
+    private val phi0 = math.toRadians(lat0Deg)
+    val n: Double =
+      (math.log(mOf(phi1)) - math.log(mOf(phi2))) /
+        (math.log(tOf(phi1)) - math.log(tOf(phi2)))
+    val bigF: Double = mOf(phi1) / (n * math.pow(tOf(phi1), n))
+    val rho0: Double = a * bigF * math.pow(tOf(phi0), n)
+    // inverse conformal-latitude series coefficients (Snyder 3-5)
+    val i2: Double = e2 / 2 + 5 * math.pow(e2, 2) / 24 +
+      math.pow(e2, 3) / 12 + 13 * math.pow(e2, 4) / 360
+    val i4: Double = 7 * math.pow(e2, 2) / 48 +
+      29 * math.pow(e2, 3) / 240 + 811 * math.pow(e2, 4) / 11520
+    val i6: Double = 7 * math.pow(e2, 3) / 120 +
+      81 * math.pow(e2, 4) / 1120
+    val i8: Double = 4279 * math.pow(e2, 4) / 161280
+  }
+
+  /** Albers equal-area conic (Snyder PP 1395, eqs. 14-1…14-21;
+    * inverse latitude via the authalic β series, eq. 3-18). */
+  final case class Aea(
+      a: Double = 6378137.0,
+      f: Double = 1.0 / 298.257222101,
+      lat1Deg: Double, lat2Deg: Double,
+      lat0Deg: Double, lon0Deg: Double,
+      fe: Double, fn: Double) extends Crs {
+    val e2: Double = 2 * f - f * f
+    val e: Double = math.sqrt(e2)
+    private def mOf(phi: Double): Double = {
+      val s = math.sin(phi)
+      math.cos(phi) / math.sqrt(1 - e2 * s * s)
+    }
+    private def qOf(phi: Double): Double = {
+      val s = math.sin(phi)
+      (1 - e2) * (s / (1 - e2 * s * s) -
+        (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
+    }
+    private val phi1 = math.toRadians(lat1Deg)
+    private val phi2 = math.toRadians(lat2Deg)
+    private val phi0 = math.toRadians(lat0Deg)
+    val n: Double =
+      (mOf(phi1) * mOf(phi1) - mOf(phi2) * mOf(phi2)) /
+        (qOf(phi2) - qOf(phi1))
+    val bigC: Double = mOf(phi1) * mOf(phi1) + n * qOf(phi1)
+    val rho0: Double = a * math.sqrt(bigC - n * qOf(phi0)) / n
+    val qp: Double = qOf(math.Pi / 2)
+    // inverse authalic-latitude series coefficients (Snyder 3-18)
+    val b2: Double = e2 / 3 + 31 * math.pow(e2, 2) / 180 +
+      517 * math.pow(e2, 3) / 5040
+    val b4: Double = 23 * math.pow(e2, 2) / 360 +
+      251 * math.pow(e2, 3) / 3780
+    val b6: Double = 761 * math.pow(e2, 3) / 45360
+  }
+
   /** EPSG registry for the TM/UTM family — the engine-native analogue
     * of the reference's arbitrary-EPSG ingest (duckpipe/core.py:118-152
     * accepts any input EPSG and ST_Transforms to 5179). Codes covered:
@@ -49,7 +131,7 @@ object Proj {
     * on WGS84). Datum shifts are out of scope: all supported datums are
     * GRS80/WGS84, which agree below 1 mm.
     */
-  def epsg(code: Int): Tm = code match {
+  def epsg(code: Int): Crs = code match {
     case 5179 => Epsg5179
     case 5185 => Tm(lat0Deg = 38.0, lon0Deg = 125.0, k0 = 1.0,
       fe = 200000.0, fn = 600000.0)
@@ -65,18 +147,101 @@ object Proj {
       Tm(f = 1.0 / 298.257223563, lat0Deg = 0.0,
         lon0Deg = (z - 32700) * 6.0 - 183.0, k0 = 0.9996,
         fe = 500000.0, fn = 10000000.0)
+    // Lambert conformal conic family
+    case 2154 => Lcc(lat1Deg = 49.0, lat2Deg = 44.0, lat0Deg = 46.5,
+      lon0Deg = 3.0, fe = 700000.0, fn = 6600000.0) // RGF93 / Lambert-93
+    case 3034 => Lcc(lat1Deg = 35.0, lat2Deg = 65.0, lat0Deg = 52.0,
+      lon0Deg = 10.0, fe = 4000000.0, fn = 2800000.0) // ETRS89-LCC Europe
+    // Albers equal-area conic family
+    case 5070 => Aea(lat1Deg = 29.5, lat2Deg = 45.5, lat0Deg = 23.0,
+      lon0Deg = -96.0, fe = 0.0, fn = 0.0) // NAD83 / Conus Albers
     case other => throw new IllegalArgumentException(
-      s"unsupported EPSG:$other — TM/UTM family only " +
-        "(5179, 5185-5187, 32601-32660, 32701-32760)")
+      s"unsupported EPSG:$other — TM/UTM (5179, 5185-5187, " +
+        "32601-32660, 32701-32760), LCC (2154, 3034) and " +
+        "Albers (5070) families only")
+  }
+
+  /** Geographic → projected for any supported CRS family. */
+  def fwd(c: Crs, lonDeg: Column, latDeg: Column): Column = c match {
+    case t: Tm  => forward(lonDeg, latDeg, t)
+    case l: Lcc => forwardLcc(lonDeg, latDeg, l)
+    case a: Aea => forwardAea(lonDeg, latDeg, a)
+  }
+
+  /** Projected → geographic for any supported CRS family. */
+  def inv(c: Crs, x: Column, y: Column): Column = c match {
+    case t: Tm  => inverse(x, y, t)
+    case l: Lcc => inverseLcc(x, y, l)
+    case a: Aea => inverseAea(x, y, a)
   }
 
   /** Projected (x, y) in `from` → projected struct(x, y) in `to`, via
     * the geographic pivot (inverse then forward) — the reference's
     * ST_Transform between projected CRSs. Plain column arithmetic,
     * whole-stage codegen, no UDF. */
-  def transform(x: Column, y: Column, from: Tm, to: Tm): Column = {
-    val g = inverse(x, y, from)
-    forward(g.getField("lon"), g.getField("lat"), to)
+  def transform(x: Column, y: Column, from: Crs, to: Crs): Column = {
+    val g = inv(from, x, y)
+    fwd(to, g.getField("lon"), g.getField("lat"))
+  }
+
+  // ---- Lambert conformal conic (column expressions) --------------------
+  /** (lonDeg, latDeg) → struct(x, y) meters under LCC 2SP. */
+  def forwardLcc(lonDeg: Column, latDeg: Column, p: Lcc): Column = {
+    val phi = radians(latDeg)
+    val lam = radians(lonDeg)
+    val esin = lit(p.e) * sin(phi)
+    val t = tan(lit(math.Pi / 4) - phi / 2) /
+      pow((lit(1.0) - esin) / (lit(1.0) + esin), lit(p.e / 2))
+    val rho = lit(p.a * p.bigF) * pow(t, lit(p.n))
+    val th = lit(p.n) * (lam - lit(math.toRadians(p.lon0Deg)))
+    struct((lit(p.fe) + rho * sin(th)).as("x"),
+      (lit(p.fn) + lit(p.rho0) - rho * cos(th)).as("y"))
+  }
+
+  /** (x, y) meters under LCC 2SP → struct(lon, lat) degrees. */
+  def inverseLcc(x: Column, y: Column, p: Lcc): Column = {
+    val dx = x - lit(p.fe)
+    val dy = lit(p.rho0) - (y - lit(p.fn))
+    val rho = sqrt(dx * dx + dy * dy)
+    val tq = pow(rho / lit(p.a * p.bigF), lit(1.0 / p.n))
+    val chi = lit(math.Pi / 2) - atan(tq) * 2
+    val phi = chi + lit(p.i2) * sin(chi * 2) + lit(p.i4) * sin(chi * 4) +
+      lit(p.i6) * sin(chi * 6) + lit(p.i8) * sin(chi * 8)
+    val lam = lit(math.toRadians(p.lon0Deg)) + atan2(dx, dy) / lit(p.n)
+    struct(degrees(lam).as("lon"), degrees(phi).as("lat"))
+  }
+
+  // ---- Albers equal-area conic (column expressions) ---------------------
+  private def qCol(p: Aea, phi: Column): Column = {
+    val s = sin(phi)
+    lit(1 - p.e2) * (s / (lit(1.0) - lit(p.e2) * s * s) -
+      lit(1.0 / (2 * p.e)) *
+        log((lit(1.0) - lit(p.e) * s) / (lit(1.0) + lit(p.e) * s)))
+  }
+
+  /** (lonDeg, latDeg) → struct(x, y) meters under Albers EAC. */
+  def forwardAea(lonDeg: Column, latDeg: Column, p: Aea): Column = {
+    val phi = radians(latDeg)
+    val lam = radians(lonDeg)
+    val rho = lit(p.a) * sqrt(lit(p.bigC) - lit(p.n) * qCol(p, phi)) / lit(p.n)
+    val th = lit(p.n) * (lam - lit(math.toRadians(p.lon0Deg)))
+    struct((lit(p.fe) + rho * sin(th)).as("x"),
+      (lit(p.fn) + lit(p.rho0) - rho * cos(th)).as("y"))
+  }
+
+  /** (x, y) meters under Albers EAC → struct(lon, lat) degrees.
+    * ρ only ever appears squared in the inverse, so ρ² = dx²+dy² is
+    * used directly (no sqrt∘square round-trip to mirror). */
+  def inverseAea(x: Column, y: Column, p: Aea): Column = {
+    val dx = x - lit(p.fe)
+    val dy = lit(p.rho0) - (y - lit(p.fn))
+    val rho2 = dx * dx + dy * dy
+    val q = (lit(p.bigC) - rho2 * lit(p.n * p.n / (p.a * p.a))) / lit(p.n)
+    val beta = asin(q / lit(p.qp))
+    val phi = beta + lit(p.b2) * sin(beta * 2) + lit(p.b4) * sin(beta * 4) +
+      lit(p.b6) * sin(beta * 6)
+    val lam = lit(math.toRadians(p.lon0Deg)) + atan2(dx, dy) / lit(p.n)
+    struct(degrees(lam).as("lon"), degrees(phi).as("lat"))
   }
 
   private def mCol(p: Tm, phi: Column): Column =
@@ -172,6 +337,69 @@ object Proj {
         )
       )
     )"""
+
+  /** SQL round-trip replay for LCC 2SP: given CTE `src`(id, lon, lat),
+    * yields id + cx/cy (forward, unrounded) + ilon/ilat (inverse of
+    * the forward) — the same closed-form series as the column
+    * expressions, constants embedded at full precision. */
+  def lccRoundtripSql(p: Lcc, src: String): String = s"""
+    SELECT id, cx, cy,
+      degrees(${d17(math.toRadians(p.lon0Deg))} + atan2(dx, dy) / ${d17(p.n)})
+        AS ilon,
+      degrees(chi + ${d17(p.i2)} * sin(chi * 2) + ${d17(p.i4)} * sin(chi * 4)
+        + ${d17(p.i6)} * sin(chi * 6) + ${d17(p.i8)} * sin(chi * 8)) AS ilat
+    FROM (
+      SELECT *, ${d17(math.Pi / 2)}
+          - 2 * atan(pow(sqrt(dx*dx + dy*dy) / ${d17(p.a * p.bigF)},
+                         ${d17(1.0 / p.n)})) AS chi
+      FROM (
+        SELECT *, cx - ${d17(p.fe)} AS dx,
+               ${d17(p.rho0)} - (cy - ${d17(p.fn)}) AS dy
+        FROM (
+          SELECT id, ${d17(p.fe)} + rho * sin(th) AS cx,
+                 ${d17(p.fn)} + ${d17(p.rho0)} - rho * cos(th) AS cy
+          FROM (
+            SELECT *, ${d17(p.a * p.bigF)} * pow(t, ${d17(p.n)}) AS rho,
+                   ${d17(p.n)} * (lam - ${d17(math.toRadians(p.lon0Deg))}) AS th
+            FROM (
+              SELECT *, tan(${d17(math.Pi / 4)} - phi / 2)
+                / pow((1.0 - ${d17(p.e)} * sin(phi))
+                      / (1.0 + ${d17(p.e)} * sin(phi)), ${d17(p.e / 2)}) AS t
+              FROM (SELECT *, radians(lat) AS phi, radians(lon) AS lam
+                    FROM $src))))))"""
+
+  /** SQL round-trip replay for Albers EAC (see lccRoundtripSql). */
+  def aeaRoundtripSql(p: Aea, src: String): String = s"""
+    SELECT id, cx, cy,
+      degrees(${d17(math.toRadians(p.lon0Deg))} + atan2(dx, dy) / ${d17(p.n)})
+        AS ilon,
+      degrees(beta + ${d17(p.b2)} * sin(beta * 2)
+        + ${d17(p.b4)} * sin(beta * 4) + ${d17(p.b6)} * sin(beta * 6)) AS ilat
+    FROM (
+      SELECT *, asin(qq / ${d17(p.qp)}) AS beta
+      FROM (
+        SELECT *, (${d17(p.bigC)}
+            - (dx*dx + dy*dy) * ${d17(p.n * p.n / (p.a * p.a))})
+            / ${d17(p.n)} AS qq
+        FROM (
+          SELECT *, cx - ${d17(p.fe)} AS dx,
+                 ${d17(p.rho0)} - (cy - ${d17(p.fn)}) AS dy
+          FROM (
+            SELECT id, ${d17(p.fe)} + rho * sin(th) AS cx,
+                   ${d17(p.fn)} + ${d17(p.rho0)} - rho * cos(th) AS cy
+            FROM (
+              SELECT *, ${d17(p.a)} * sqrt(${d17(p.bigC)} - ${d17(p.n)} * q)
+                        / ${d17(p.n)} AS rho,
+                     ${d17(p.n)} * (lam - ${d17(math.toRadians(p.lon0Deg))})
+                       AS th
+              FROM (
+                SELECT *, ${d17(1 - p.e2)} * (
+                    sin(phi) / (1.0 - ${d17(p.e2)} * sin(phi) * sin(phi))
+                    - ${d17(1.0 / (2 * p.e))}
+                      * ln((1.0 - ${d17(p.e)} * sin(phi))
+                           / (1.0 + ${d17(p.e)} * sin(phi)))) AS q
+                FROM (SELECT *, radians(lat) AS phi, radians(lon) AS lam
+                      FROM $src)))))))"""
 
   /** SQL un-projecting columns `tm_x`, `tm_y` (meters) of CTE `src`
     * back to lon/lat degrees; yields a SELECT with id + wgs_x/wgs_y. */

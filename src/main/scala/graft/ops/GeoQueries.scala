@@ -755,6 +755,62 @@ object GeoQueries {
     FROM base WHERE a2 <> 0.0
     ORDER BY m_id, part_idx"""
 
+  // ---- conic projections (Lambert / Albers oracle replay) ------------
+  /** Forward + round-trip for the two conic families (LCC 2SP:
+    * Lambert-93 + ETRS89-LCC; Albers: Conus) — closes the
+    * arbitrary-EPSG gap beyond TM/UTM the same way geo_coordinate
+    * certified the TM series: the oracle replays the identical Snyder
+    * closed forms in SQL and both sides round at 0.1 mm / 1e-9°,
+    * six orders of magnitude above libm ulp noise. Test lon/lat sit
+    * between each CRS's standard parallels. */
+  def coordinateConic(s: SparkSession, dir: String): DataFrame = {
+    val specs = Seq(
+      ("aea_5070", 5070, -96.0, 37.5),
+      ("lcc_2154", 2154, 3.0, 46.5),
+      ("lcc_3034", 3034, 10.0, 50.0))
+    val c = graft.Tables.load(s, dir, "customer")
+    specs.map { case (tag, code, lonC, latC) =>
+      val w = c.select(col("c_custkey").as("id"),
+        (lit(lonC) + ((col("c_custkey") % 1000) - 500).cast("double") / 250.0)
+          .as("lon"),
+        (lit(latC) +
+          ((col("c_custkey") * 7) % 1000 - 500).cast("double") / 500.0)
+          .as("lat"))
+      val crs = Proj.epsg(code)
+      w.withColumn("_p", Proj.fwd(crs, col("lon"), col("lat")))
+        .withColumn("_g", Proj.inv(crs, col("_p.x"), col("_p.y")))
+        .select(lit(tag).as("crs"), col("id"),
+          round(col("_p.x"), 4).as("cx"), round(col("_p.y"), 4).as("cy"),
+          round(col("_g.lon"), 9).as("ilon"),
+          round(col("_g.lat"), 9).as("ilat"))
+    }.reduce(_ unionByName _).orderBy("crs", "id")
+  }
+
+  val coordinateConicSql: String = {
+    def src(lonC: Double, latC: Double) = s"""
+      SELECT c_custkey AS id,
+             $lonC + CAST((c_custkey % 1000) - 500 AS DOUBLE) / 250.0 AS lon,
+             $latC + CAST((c_custkey * 7) % 1000 - 500 AS DOUBLE) / 500.0 AS lat
+      FROM customer"""
+    val lcc2154 = Proj.epsg(2154).asInstanceOf[Proj.Lcc]
+    val lcc3034 = Proj.epsg(3034).asInstanceOf[Proj.Lcc]
+    val aea5070 = Proj.epsg(5070).asInstanceOf[Proj.Aea]
+    s"""
+    WITH sa AS (${src(-96.0, 37.5)}),
+    s1 AS (${src(3.0, 46.5)}),
+    s2 AS (${src(10.0, 50.0)}),
+    ra AS (${Proj.aeaRoundtripSql(aea5070, "sa")}),
+    r1 AS (${Proj.lccRoundtripSql(lcc2154, "s1")}),
+    r2 AS (${Proj.lccRoundtripSql(lcc3034, "s2")})
+    SELECT crs, id, ROUND(cx, 4) AS cx, ROUND(cy, 4) AS cy,
+           ROUND(ilon, 9) AS ilon, ROUND(ilat, 9) AS ilat
+    FROM (
+      SELECT 'aea_5070' AS crs, * FROM ra
+      UNION ALL SELECT 'lcc_2154', * FROM r1
+      UNION ALL SELECT 'lcc_3034', * FROM r2)
+    ORDER BY crs, id"""
+  }
+
   // ---- mixed-geometry WKT ingest (core.py:117-166 full surface) ------
   /** ONE WKT column mixing POINT / LINESTRING / holed POLYGON rows
     * routed through `Wkt.geometries` (prefix dispatch, per-kind
@@ -1447,5 +1503,7 @@ object GeoQueries {
     QueryDef("geo_wkt_holes", wktHoledTag, Some(polyTagHoledSql)),
     QueryDef("geo_wkt_multipoly", wktMultiPoly, Some(wktMultiPolySql)),
     QueryDef("geo_wkt_mixed", wktMixed, Some(wktMixedSql)),
-    QueryDef("geo_pipeline_wkt", pipelineWkt, Some(pipelineWideSql)))
+    QueryDef("geo_pipeline_wkt", pipelineWkt, Some(pipelineWideSql)),
+    QueryDef("geo_coordinate_conic", coordinateConic,
+      Some(coordinateConicSql)))
 }

@@ -39,8 +39,85 @@ class ProjSpec extends SparkSpec {
     assert(math.abs(row.getDouble(1) - 4484124.4) < 0.5, s"y=${row.getDouble(1)}")
   }
 
+  test("Snyder PP-1395 worked LCC example (Clarke 1866, published coordinates)") {
+    // Snyder p. 296-297 (ellipsoidal Lambert conformal conic): Clarke
+    // 1866, φ1=33°, φ2=45°, φ0=23°, λ0=-96°, point 35°N 75°W →
+    // x = 1,894,410.9 m, y = 1,564,649.5 m (published).
+    val clarke = Proj.Lcc(a = 6378206.4,
+      f = 1 - math.sqrt(1 - 0.00676866), // Clarke 1866 via e²
+      lat1Deg = 33.0, lat2Deg = 45.0, lat0Deg = 23.0, lon0Deg = -96.0,
+      fe = 0.0, fn = 0.0)
+    val row = Seq((-75.0, 35.0)).toDF("lon", "lat")
+      .select(Proj.forwardLcc(col("lon"), col("lat"), clarke).as("p"))
+      .select("p.x", "p.y").head()
+    assert(math.abs(row.getDouble(0) - 1894410.9) < 0.5, s"x=${row.getDouble(0)}")
+    assert(math.abs(row.getDouble(1) - 1564649.5) < 0.5, s"y=${row.getDouble(1)}")
+  }
+
+  test("Snyder PP-1395 worked Albers example (Clarke 1866, published coordinates)") {
+    // Snyder p. 292 (ellipsoidal Albers equal-area conic): Clarke 1866,
+    // φ1=29.5°, φ2=45.5°, φ0=23°, λ0=-96°, point 35°N 75°W →
+    // x = 1,885,472.7 m, y = 1,535,925.0 m (published).
+    val clarke = Proj.Aea(a = 6378206.4,
+      f = 1 - math.sqrt(1 - 0.00676866),
+      lat1Deg = 29.5, lat2Deg = 45.5, lat0Deg = 23.0, lon0Deg = -96.0,
+      fe = 0.0, fn = 0.0)
+    val row = Seq((-75.0, 35.0)).toDF("lon", "lat")
+      .select(Proj.forwardAea(col("lon"), col("lat"), clarke).as("p"))
+      .select("p.x", "p.y").head()
+    assert(math.abs(row.getDouble(0) - 1885472.7) < 0.5, s"x=${row.getDouble(0)}")
+    assert(math.abs(row.getDouble(1) - 1535925.0) < 0.5, s"y=${row.getDouble(1)}")
+  }
+
+  test("conic CRSs: scale = 1 on standard parallels, round-trip < 1e-8 deg") {
+    for (code <- Seq(2154, 3034, 5070)) {
+      val crs = Proj.epsg(code)
+      val (lat1, lat2, lon0) = crs match {
+        case l: Proj.Lcc => (l.lat1Deg, l.lat2Deg, l.lon0Deg)
+        case a: Proj.Aea => (a.lat1Deg, a.lat2Deg, a.lon0Deg)
+        case _ => fail(s"EPSG:$code should be conic")
+      }
+      // distance along a standard parallel must project at scale 1
+      // (both conics hold their standard parallels true); a parallel
+      // midway between them must NOT (the conic distortion signature)
+      val dl = 0.01
+      def parallelScale(latDeg: Double): Double = {
+        val r = Seq((lon0, latDeg), (lon0 + dl, latDeg)).toDF("lon", "lat")
+          .select(Proj.fwd(crs, col("lon"), col("lat")).as("p"))
+          .select("p.x", "p.y").collect()
+        val proj = math.hypot(r(1).getDouble(0) - r(0).getDouble(0),
+          r(1).getDouble(1) - r(0).getDouble(1))
+        val phi = math.toRadians(latDeg)
+        val e2 = 2 * (1.0 / 298.257222101) - math.pow(1.0 / 298.257222101, 2)
+        val trueDist = 6378137.0 * math.cos(phi) /
+          math.sqrt(1 - e2 * math.sin(phi) * math.sin(phi)) *
+          math.toRadians(dl)
+        proj / trueDist
+      }
+      assert(math.abs(parallelScale(lat1) - 1.0) < 1e-6,
+        s"EPSG:$code scale at lat1")
+      assert(math.abs(parallelScale(lat2) - 1.0) < 1e-6,
+        s"EPSG:$code scale at lat2")
+      assert(math.abs(parallelScale((lat1 + lat2) / 2) - 1.0) > 1e-5,
+        s"EPSG:$code should distort between the parallels")
+      // round-trip identity across a ±2° window
+      val mid = (lat1 + lat2) / 2
+      val pts = (0 until 50).map(i =>
+        (lon0 - 2.0 + i * 0.08, mid - 1.0 + (i * 7 % 50) * 0.04))
+        .toDF("lon", "lat")
+      val rt = pts
+        .withColumn("p", Proj.fwd(crs, col("lon"), col("lat")))
+        .withColumn("g", Proj.inv(crs, col("p.x"), col("p.y")))
+        .select(max(abs(col("g.lon") - col("lon"))).as("dlon"),
+          max(abs(col("g.lat") - col("lat"))).as("dlat"))
+        .head()
+      assert(rt.getDouble(0) < 1e-8, s"EPSG:$code lon err ${rt.getDouble(0)}")
+      assert(rt.getDouble(1) < 1e-8, s"EPSG:$code lat err ${rt.getDouble(1)}")
+    }
+  }
+
   test("EPSG:32652 (UTM 52N): central-meridian identities + round-trip") {
-    val utm = Proj.epsg(32652)
+    val utm = Proj.epsg(32652).asInstanceOf[Proj.Tm]
     // natural origin: equator × 129E → exactly (500000, 0)
     val o = Seq((129.0, 0.0)).toDF("lon", "lat")
       .select(Proj.forward(col("lon"), col("lat"), utm).as("p"))
@@ -60,7 +137,7 @@ class ProjSpec extends SparkSpec {
   }
 
   test("EPSG:5186 (Korea central belt): origin + round-trip") {
-    val belt = Proj.epsg(5186)
+    val belt = Proj.epsg(5186).asInstanceOf[Proj.Tm]
     val o = Seq((127.0, 38.0)).toDF("lon", "lat")
       .select(Proj.forward(col("lon"), col("lat"), belt).as("p"))
       .select("p.x", "p.y").head()
@@ -81,7 +158,7 @@ class ProjSpec extends SparkSpec {
     // 5179 coordinates as direct WGS84 ingest (sub-mm)
     val wgs = Derive.wgsPoints(spark, sfDir).limit(200)
     val in5186 = wgs.withColumn("p",
-        Proj.forward(col("lon"), col("lat"), Proj.epsg(5186)))
+        Proj.fwd(Proj.epsg(5186), col("lon"), col("lat")))
       .select(col("id"), col("p.x").as("bx"), col("p.y").as("by"))
     val viaBelt = graft.api.GeoCalculator.fromXY(in5186, "bx", "by", 5186)
       .coordinates().resultLong
