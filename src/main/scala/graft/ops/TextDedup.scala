@@ -389,6 +389,50 @@ object TextDedup {
     SELECT doc_id, md5(lower(text)) AS nh
     FROM documents ORDER BY doc_id"""
 
+  // ---- duplication coverage (dedup diagnostics) -----------------------
+  /** Per-document duplication coverage: the fraction of a document's
+    * DISTINCT 3-gram shingles already seen in any earlier document
+    * (first occurrence = min doc_id) — the diagnostic that tells a
+    * pipeline how much of each document is recycled text BEFORE
+    * committing to pair-level dedup, and the per-source aggregate of
+    * it is the "how duplicated is this crawl" datasheet number.
+    * Shapes: shingle explode → distinct → ONE hash aggregate for the
+    * first-occurrence table → shuffle equi-join back (the shingle
+    * vocabulary is unbounded at web scale — never broadcast) → one
+    * per-doc aggregate. Shingles travel as 8-byte xxhash64 like the
+    * rest of the dedup family (same collision argument). */
+  def textDupCoverage(s: SparkSession, dir: String): DataFrame = {
+    val sh = docs(s, dir).select(col("doc_id"),
+        explode(transform(grams(3), g => xxhash64(g))).as("hs"))
+      .distinct()
+    val first = sh.groupBy("hs").agg(min("doc_id").as("first_doc"))
+      .hint("shuffle_hash") // vocab is unbounded at web scale
+    sh.join(first, Seq("hs"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L))
+          .as("n_seen"))
+      .select(col("doc_id"), col("n_ngrams"), col("n_seen"),
+        round(col("n_seen") / col("n_ngrams"), 6).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  val textDupCoverageSql: String = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id, s FROM (
+      SELECT doc_id,
+        unnest(list_transform(generate_series(1, len(t) - 2),
+          i -> array_to_string(t[i:i+2], ' '))) AS s
+      FROM toks)),
+    fst AS (SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY 1)
+    SELECT sh.doc_id, COUNT(*) AS n_ngrams,
+      CAST(SUM(CASE WHEN fst.first_doc < sh.doc_id THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_seen,
+      ROUND(CAST(SUM(CASE WHEN fst.first_doc < sh.doc_id THEN 1 ELSE 0 END)
+        AS DOUBLE) / COUNT(*), 6) AS dup_frac
+    FROM sh JOIN fst ON sh.s = fst.s
+    GROUP BY sh.doc_id ORDER BY sh.doc_id"""
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("text_normalize", textNormalize, Some(textNormalizeSql)),
     QueryDef("dedup_exact", dedupExact, Some(dedupExactSql)),
@@ -399,5 +443,6 @@ object TextDedup {
     QueryDef("text_tokens", textTokens, Some(textTokensSql)),
     QueryDef("text_quality", textQuality, Some(textQualitySql)),
     QueryDef("text_langid", textLangid, Some(textLangidSql)),
-    QueryDef("text_fingerprint", textFingerprint, Some(textFingerprintSql)))
+    QueryDef("text_fingerprint", textFingerprint, Some(textFingerprintSql)),
+    QueryDef("text_dup_coverage", textDupCoverage, Some(textDupCoverageSql)))
 }

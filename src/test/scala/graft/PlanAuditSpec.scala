@@ -169,6 +169,14 @@ class PlanAuditSpec extends SparkSpec {
       assert(!nodes.exists(_.nodeName.contains("SortAggregate")),
         s"$q: packed argmin/weight aggregation must stay hash-based")
     }
+    // text_dup_coverage: the first-occurrence table joins back on the
+    // shingle hash — the vocabulary is unbounded at web scale, so a
+    // broadcast there dies exactly like text_unigram_lp's vocab join
+    val dc = collectAll(initialPlan("text_dup_coverage"))
+    assert(dc.exists(_.nodeName.contains("ShuffledHashJoin")),
+      "text_dup_coverage: first-occurrence join must be a shuffled hash join")
+    assert(!dc.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "text_dup_coverage: shingle vocabulary must not be broadcast")
   }
 
   test("no registered query plans a cartesian product") {
@@ -176,7 +184,8 @@ class PlanAuditSpec extends SparkSpec {
     val skip = Set("dedup_cluster", "corpus_near_dedup", "dedup_ngram",
       "geo_pivot",
       "geo_pipeline_wide", "geo_pipeline_long", "mm_pipeline",
-      "text_heavy_hitters") // build-time driver count sets its threshold
+      "text_heavy_hitters", // build-time driver count sets its threshold
+      "q_transitive") // pointer-doubling rounds run at build time
     // a query whose plan won't BUILD is its own named failure — it must
     // not abort the sweep and shadow the audit of the other ~95 plans
     // (round 5: the events loader threw on the first events query and
