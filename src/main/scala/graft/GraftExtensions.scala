@@ -75,10 +75,15 @@ object GraftFunctions {
       "bigram_run_stats"),
     (args: Seq[Expression]) => functions.BigramRunStats(args.head))
 
+  val wktPartsFn: Fn = (
+    FunctionIdentifier("wkt_parts"),
+    new ExpressionInfo(classOf[functions.WktParts].getName, "wkt_parts"),
+    (args: Seq[Expression]) => functions.WktParts(args.head))
+
   val all: Seq[Fn] =
     Seq(clippedSegmentLengthFn, hilbertIndexFn, pointInPolygonFn,
       normalizeTextFn, clippedPolygonAreaFn, vecDotFn, vecL2Fn,
-      minHashSignatureFn, bigramRunStatsFn)
+      minHashSignatureFn, bigramRunStatsFn, wktPartsFn)
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (id, info, builder) =>

@@ -103,9 +103,13 @@ object Wkt {
         "POLYGON ring (closed, >= 4 points incl. closing vertex)", wkt))
   }
 
-  /** Ring-list body "(r1), (r2), …" → struct(rxs, rys) nested arrays
-    * (ring 1 = outer, rest holes — the full OGC POLYGON body). */
-  private def ringsOf(body: Column, ok: Column, wkt: Column): Column = {
+  /** Ring-list body "(r1), (r2), …" → ARRAY<STRUCT<xs, ys>> (ring 1 =
+    * outer, rest holes — the full OGC POLYGON body). Kept as one
+    * struct array: splitting into parallel rxs/rys arrays INSIDE the
+    * expression would instantiate the whole parse subtree twice
+    * (alias expansion duplicates it at analysis), doubling Catalyst's
+    * planning cost — callers split AFTER the parse lands in a column. */
+  private def ringStructsOf(body: Column, ok: Column, wkt: Column): Column = {
     val rings = split(
       regexp_replace(body, "\\)\\s*,\\s*\\(", s")$Sep("), Sep)
     val shapeOk = ok &&
@@ -113,10 +117,16 @@ object Wkt {
     val parsed = transform(rings, r =>
       ringOf(substring_index(substring_index(trim(r), "(", -1), ")", 1),
         lit(true), wkt))
-    when(shapeOk, struct(
+    when(shapeOk, parsed).otherwise(fail("POLYGON ring list", wkt))
+  }
+
+  /** Ring-list body → struct(rxs, rys) nested arrays (legacy shape —
+    * duplicates the parse tree; prefer ringStructsOf in new code). */
+  private def ringsOf(body: Column, ok: Column, wkt: Column): Column = {
+    val parsed = ringStructsOf(body, ok, wkt)
+    struct(
       transform(parsed, r => r.getField("xs")).as("rxs"),
-      transform(parsed, r => r.getField("ys")).as("rys")))
-      .otherwise(fail("POLYGON ring list", wkt))
+      transform(parsed, r => r.getField("ys")).as("rys"))
   }
 
   /** `POLYGON ((outer), (hole), …)` → struct(rxs, rys) nested vertex
@@ -328,23 +338,35 @@ object Wkt {
       .otherwise(raise_error(concat(
         lit("unsupported WKT geometry: "),
         coalesce(col(wktCol), lit("NULL")))))
-    val pt = parsePoint(col(wktCol))
-    val ln = parseLineString(col(wktCol))
-    val parts = when(col("geom_type") === "point",
-        array(struct(array(array(pt.getField("x"))).as("rxs"),
-          array(array(pt.getField("y"))).as("rys"))))
-      .when(col("geom_type") === "line",
-        array(struct(array(ln.getField("xs")).as("rxs"),
-          array(ln.getField("ys")).as("rys"))))
-      .when(col("geom_type") === "polygon",
-        array(parsePolygonRings(col(wktCol))))
-      .otherwise(parseMultiPolygon(col(wktCol)))
-    df.withColumn("geom_type", kind)
+    // The parse itself is the NATIVE wkt_parts expression (one static
+    // call, doGenCode) — the composed HOF/regex column parsers are
+    // kept for the single-kind ingest paths, but on this mixed hot
+    // path their giant expression tree cost seconds of driver
+    // planning + codegen compilation PER QUERY and ~1 ms/row
+    // interpreted. Two designs that do NOT work here, for the record:
+    // one CASE over all four column parsers (the planning/codegen
+    // cost above), and per-kind filtered branches unioned (attribute
+    // re-deduplication under a Generate above the 4-way self-union
+    // CROSSES the branch expressions — points reached the
+    // MULTIPOLYGON parser).
+    graft.GraftFunctions.register(df.sparkSession)
+    val parts = call_function("wkt_parts", col(wktCol))
+    val projected = df.withColumn("geom_type", kind)
       .withColumn("_parts", parts)
       .select(col("*"), posexplode(col("_parts")).as(Seq("_pi", "_part")))
       .withColumn("part_idx", col("_pi") + 1)
-      .withColumn("rxs", projRings(col("_part"), epsg).getField("rxs"))
-      .withColumn("rys", projRings(col("_part"), epsg).getField("rys"))
+      // cheap splits over the landed struct array — no parse subtree
+      .withColumn("rxs", transform(col("_part"), r => r.getField("xs")))
+      .withColumn("rys", transform(col("_part"), r => r.getField("ys")))
+    val reproj =
+      if (epsg == 5179) projected
+      else projected
+        .withColumn("_rp", projRings(
+          struct(col("rxs").as("rxs"), col("rys").as("rys")), epsg))
+        .withColumn("rxs", col("_rp.rxs"))
+        .withColumn("rys", col("_rp.rys"))
+        .drop("_rp")
+    reproj
       .withColumn("x",
         when(col("geom_type") === "point", col("rxs")(0)(0)))
       .withColumn("y",

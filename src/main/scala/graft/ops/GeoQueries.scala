@@ -827,17 +827,26 @@ object GeoQueries {
     val h = graft.Tables.fanout(Derive.holedTriangles(s, dir))
       .select(W.toWktPolygonRings(col("rxs"), col("rys")).as("wkt"))
     val g = W.geometries(p.unionByName(l).unionByName(h), "wkt")
-    val rows = g.groupBy("geom_type").agg(
-      count(lit(1)).as("n_parts"),
-      sum(size(col("rxs"))).as("n_rings"))
-    val verts = g.select(col("geom_type"),
-        explode(arrays_zip(flatten(col("rxs")).as("vx"),
-          flatten(col("rys")).as("vy"))).as("v"))
-      .groupBy("geom_type").agg(
+    // ONE consumer, ONE aggregate: a rows-side + verts-side pair of
+    // aggregates joined back would consume the parsed (lazily
+    // checkpointed) frame twice — two concurrent AQE stages each
+    // recompute the whole parse subtree before blocks exist (the
+    // Tables.hot cache-storm, measured 13.6 s wall here). Explode to
+    // vertex grain carrying (ring_idx, vert_idx) and count parts as
+    // first-vertex-of-first-ring rows, rings as first-vertex rows.
+    val rings = g.select(col("geom_type"),
+      posexplode(arrays_zip(col("rxs").as("rx"), col("rys").as("ry")))
+        .as(Seq("ri", "r")))
+    val verts = rings.select(col("geom_type"), col("ri"),
+      posexplode(arrays_zip(col("r.rx").as("vx"), col("r.ry").as("vy")))
+        .as(Seq("vi", "v")))
+    verts.groupBy("geom_type").agg(
+        count(when(col("ri") === 0 && col("vi") === 0, 1)).as("n_parts"),
+        count(when(col("vi") === 0, 1)).as("n_rings"),
         count(lit(1)).as("n_verts"),
         sum(col("v.vx").cast(dec)).cast("double").as("sum_x"),
         sum(col("v.vy").cast(dec)).cast("double").as("sum_y"))
-    rows.join(verts, Seq("geom_type")).orderBy("geom_type")
+      .orderBy("geom_type")
   }
 
   val wktMixedSql: String = s"""
