@@ -381,7 +381,84 @@ object Events {
     FROM r WHERE rn = 1 AND event_type != 'error'
     ORDER BY user_id"""
 
+  // ---- ordered-sequence funnel (windowFunnel) -------------------------
+  /** Time-bounded ORDERED funnel — the windowFunnel class of engines
+    * like ClickHouse (q_funnel counts step membership; this one
+    * demands view → click → purchase in event order with the whole
+    * chain inside a 24 h window of its opening view). Two chained
+    * running-max windows over ONE per-user sort resolve the chain
+    * without any self-join or per-user collect: at each click, the
+    * latest earlier view; at each purchase, the best (latest) view
+    * among valid earlier clicks — if any chain fits the window, the
+    * max-view chain fits. The oracle replays the identical window
+    * construction, so semantics match by construction. Scale shape:
+    * one hash exchange on user, one sort, both windows share it. */
+  def funnelWindow(s: SparkSession, dir: String): DataFrame = {
+    val winUs = 24L * 3600L * 1000000L
+    val w = Window.partitionBy("user_id")
+      .orderBy("ts_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val e = Tables.loadEventsUs(s, dir)
+      .select("user_id", "event_id", "ts_us", "event_type")
+      .withColumn("lv",
+        max(when(col("event_type") === "view", col("ts_us"))).over(w))
+      .withColumn("lvc",
+        max(when(col("event_type") === "click" &&
+          col("lv").isNotNull && col("lv") < col("ts_us"), col("lv")))
+          .over(w))
+    e.groupBy("user_id")
+      .agg(greatest(
+        max(when(col("event_type") === "view", 1).otherwise(0)),
+        max(when(col("event_type") === "click" &&
+          col("lv").isNotNull && col("lv") < col("ts_us"), 2)
+          .otherwise(0)),
+        max(when(col("event_type") === "purchase" &&
+          col("lvc").isNotNull &&
+          col("ts_us") - col("lvc") <= winUs, 3).otherwise(0)))
+        .as("funnel_level"))
+      .filter(col("funnel_level") >= 1)
+      .orderBy("user_id")
+  }
+
+  val funnelWindowSql: String = s"""
+    WITH ev AS (
+      SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             event_type
+      FROM events),
+    lv1 AS (
+      SELECT *,
+        MAX(CASE WHEN event_type = 'view' THEN ts_us END) OVER
+          (PARTITION BY user_id ORDER BY ts_us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lv
+      FROM ev),
+    lv2 AS (
+      SELECT *,
+        MAX(CASE WHEN event_type = 'click' AND lv IS NOT NULL
+                  AND lv < ts_us THEN lv END) OVER
+          (PARTITION BY user_id ORDER BY ts_us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lvc
+      FROM lv1)
+    SELECT user_id,
+      GREATEST(
+        MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END),
+        MAX(CASE WHEN event_type = 'click' AND lv IS NOT NULL
+                  AND lv < ts_us THEN 2 ELSE 0 END),
+        MAX(CASE WHEN event_type = 'purchase' AND lvc IS NOT NULL
+                  AND ts_us - lvc <= ${24L * 3600L * 1000000L}
+             THEN 3 ELSE 0 END)) AS funnel_level
+    FROM lv2
+    GROUP BY user_id
+    HAVING GREATEST(
+        MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END),
+        MAX(CASE WHEN event_type = 'click' AND lv IS NOT NULL
+                  AND lv < ts_us THEN 2 ELSE 0 END),
+        MAX(CASE WHEN event_type = 'purchase' AND lvc IS NOT NULL
+                  AND ts_us - lvc <= ${24L * 3600L * 1000000L}
+             THEN 3 ELSE 0 END)) >= 1
+    ORDER BY user_id"""
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("q_funnel_window", funnelWindow, Some(funnelWindowSql)),
     QueryDef("q_cdc_delete", cdcDelete, Some(cdcDeleteSql)),
     QueryDef("q_retention", retention, Some(retentionSql)),
     QueryDef("q_snapshot_diff", snapshotDiff, Some(snapshotDiffSql)),

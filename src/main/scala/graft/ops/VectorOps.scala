@@ -811,8 +811,97 @@ object VectorOps {
     FROM ranked WHERE rn <= $K ORDER BY qid, rn"""
   }
 
+  // ---- Matryoshka truncation quality -----------------------------------
+  /** MRL-style dimensionality audit: how good is nearest-neighbor
+    * retrieval when vectors are TRUNCATED to their first k dims (the
+    * Matryoshka deployment trick — serve prefix embeddings, pay k/D
+    * of the storage and compute)? Per prefix k ∈ {8, 32}: top-1
+    * recall vs the full-dim top-1, and the mean FULL-dim cosine of
+    * the truncated pick (the true-metric quality of the cheap
+    * choice). Exact all-pairs baseline, guarded like ann_cosine —
+    * at scale the same audit runs over ann_lsh/ann_ivf candidates.
+    * One pair pass; the three argmaxes share one window exchange. */
+  def embedMrl(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    guardAllPairs("embed_mrl", e, "the LSH/IVF candidate variants")
+    val q = e.filter(expr(QueryFilter))
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    def wOf(c: String) =
+      Window.partitionBy("qid").orderBy(col(c).desc, col("cid"))
+    val pairs = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        Vec.cosine(col("qv"), col("v")).as("cos_full"),
+        Vec.cosine(slice(col("qv"), 1, 8), slice(col("v"), 1, 8))
+          .as("cos_8"),
+        Vec.cosine(slice(col("qv"), 1, 32), slice(col("v"), 1, 32))
+          .as("cos_32"))
+      .withColumn("rn_full", row_number().over(wOf("cos_full")))
+      .withColumn("rn_8", row_number().over(wOf("cos_8")))
+      .withColumn("rn_32", row_number().over(wOf("cos_32")))
+    val top = pairs
+      .filter(col("rn_full") === 1 || col("rn_8") === 1 || col("rn_32") === 1)
+    val full = top.filter(col("rn_full") === 1)
+      .select(col("qid"), col("cid").as("cid_full"))
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    def recallOf(k: Int): DataFrame =
+      top.filter(col(s"rn_$k") === 1)
+        .select(col("qid"), col("cid").as("cid_k"), col("cos_full"))
+        .join(full, Seq("qid"))
+        .groupBy(lit(k).as("prefix_dims"))
+        .agg(
+          count(lit(1)).as("n_queries"),
+          sum(when(col("cid_k") === col("cid_full"), 1L).otherwise(0L))
+            .as("n_top1_match"),
+          (sum(col("cos_full").cast(dec)).cast("double") /
+            count(lit(1))).as("avg_full_cos_raw"))
+        .select(col("prefix_dims"), col("n_queries"), col("n_top1_match"),
+          round(col("n_top1_match") / col("n_queries"), 6).as("recall1"),
+          round(col("avg_full_cos_raw"), 6).as("avg_full_cos"))
+    recallOf(8).unionByName(recallOf(32)).orderBy("prefix_dims")
+  }
+
+  val embedMrlSql: String = s"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE $QueryFilter),
+    pairs AS (
+      SELECT q.qid, e.vec_id AS cid,
+        list_dot_product(q.qv, e.v) /
+          (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS cos_full,
+        list_dot_product(q.qv[1:8], e.v[1:8]) /
+          (sqrt(list_dot_product(q.qv[1:8], q.qv[1:8])) * sqrt(list_dot_product(e.v[1:8], e.v[1:8]))) AS cos_8,
+        list_dot_product(q.qv[1:32], e.v[1:32]) /
+          (sqrt(list_dot_product(q.qv[1:32], q.qv[1:32])) * sqrt(list_dot_product(e.v[1:32], e.v[1:32]))) AS cos_32
+      FROM q CROSS JOIN e WHERE e.vec_id != q.qid),
+    ranked AS (
+      SELECT *,
+        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_full DESC, cid) AS rn_full,
+        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_8 DESC, cid) AS rn_8,
+        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_32 DESC, cid) AS rn_32
+      FROM pairs),
+    fullpick AS (SELECT qid, cid AS cid_full FROM ranked WHERE rn_full = 1),
+    r8 AS (
+      SELECT 8 AS prefix_dims, COUNT(*) AS n_queries,
+        CAST(SUM(CASE WHEN r.cid = f.cid_full THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_top1_match,
+        ROUND(CAST(SUM(CASE WHEN r.cid = f.cid_full THEN 1 ELSE 0 END) AS DOUBLE)
+          / COUNT(*), 6) AS recall1,
+        ROUND(CAST(SUM(CAST(r.cos_full AS DECIMAL(28,12))) AS DOUBLE)
+          / COUNT(*), 6) AS avg_full_cos
+      FROM ranked r JOIN fullpick f ON r.qid = f.qid WHERE r.rn_8 = 1),
+    r32 AS (
+      SELECT 32 AS prefix_dims, COUNT(*) AS n_queries,
+        CAST(SUM(CASE WHEN r.cid = f.cid_full THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_top1_match,
+        ROUND(CAST(SUM(CASE WHEN r.cid = f.cid_full THEN 1 ELSE 0 END) AS DOUBLE)
+          / COUNT(*), 6) AS recall1,
+        ROUND(CAST(SUM(CAST(r.cos_full AS DECIMAL(28,12))) AS DOUBLE)
+          / COUNT(*), 6) AS avg_full_cos
+      FROM ranked r JOIN fullpick f ON r.qid = f.qid WHERE r.rn_32 = 1)
+    SELECT * FROM r8 UNION ALL SELECT * FROM r32 ORDER BY prefix_dims"""
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("ann_cosine", annCosine, Some(annCosineSql)),
+    QueryDef("embed_mrl", embedMrl, Some(embedMrlSql)),
     QueryDef("ann_ivf_pq", annIvfPq, Some(annIvfPqSql)),
     QueryDef("embed_pq", embedPq, Some(embedPqSql)),
     QueryDef("ann_pq", annPq, Some(annPqSql)),
