@@ -133,6 +133,79 @@ object WebData {
     FROM canon
     GROUP BY canonical_url ORDER BY canonical_url"""
 
+  // ---- WebDataset tar shards -------------------------------------------
+  final case class WdsShard(shard: Long, tar: Array[Byte])
+  final case class WdsMember(shard: Long, name: String,
+                             content: Array[Byte])
+
+  /** WebDataset-style shard packing UNDER THE ORACLE GATE: documents
+    * are written into real USTAR archives (one per 50-doc shard, the
+    * de-facto LLM data-loading container), read BACK through the tar
+    * parser, and per-shard statistics of the round-tripped members —
+    * member count, byte sum, id sum parsed from member names, and an
+    * md5-derived content checksum — must equal the oracle's direct
+    * computation from the documents table. Any header/size/padding/
+    * content defect in the archive breaks the hash. Scale shape:
+    * repartition by shard + sortWithinPartitions, then ONE
+    * mapPartitions pass builds consecutive shards with one bounded
+    * shard buffer in memory (never a per-group collect of the whole
+    * partition); parsing is a second mapPartitions codec pass. */
+  def packWds(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docsPerShard = 50L
+    val sorted = Tables.fanout(Tables.load(s, dir, "documents"))
+      .select(col("doc_id"), col("text"),
+        expr(s"doc_id DIV $docsPerShard").as("shard"))
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "doc_id")
+      .select("shard", "doc_id", "text").as[(Long, Long, String)]
+    val shards = sorted.mapPartitions { rows =>
+      // consecutive rows of one shard are adjacent after the sort;
+      // buffer exactly one shard at a time
+      new Iterator[WdsShard] {
+        private val it = rows.buffered
+        def hasNext: Boolean = it.hasNext
+        def next(): WdsShard = {
+          val shard = it.head._1
+          val members = scala.collection.mutable.ArrayBuffer
+            .empty[(String, Array[Byte])]
+          while (it.hasNext && it.head._1 == shard) {
+            val (_, id, text) = it.next()
+            members += ((s"$id.txt", text.getBytes("UTF-8")))
+          }
+          WdsShard(shard, graft.functions.Tar.archive(members.iterator))
+        }
+      }
+    }
+    val parsed = shards.flatMap { sh =>
+      graft.functions.Tar.extract(sh.tar).map { case (n, c) =>
+        WdsMember(sh.shard, n, c)
+      }
+    }.toDF()
+    parsed
+      .select(col("shard"),
+        expr("CAST(substring_index(name, '.', 1) AS BIGINT)").as("mid"),
+        length(col("content")).as("nbytes"), // byte length of binary
+        expr("""CAST(conv(substring(md5(content), 1, 15), 16, 10)
+                AS BIGINT) % 1000000007""").as("h"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_members"),
+        sum("nbytes").as("byte_sum"),
+        sum("mid").as("id_sum"),
+        sum("h").as("h_sum"))
+      .orderBy("shard")
+  }
+
+  val packWdsSql: String = """
+    SELECT doc_id // 50 AS shard, COUNT(*) AS n_members,
+           CAST(SUM(strlen(text)) AS BIGINT) AS byte_sum,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(SUM(CAST(('0x' || substr(md5(text), 1, 15)) AS UBIGINT)::BIGINT
+             % 1000000007) AS BIGINT) AS h_sum
+    FROM documents
+    GROUP BY 1 ORDER BY shard"""
+
   def all: Seq[QueryDef] = Seq(
-    QueryDef("dedup_url", dedupUrl, Some(dedupUrlSql)))
+    QueryDef("dedup_url", dedupUrl, Some(dedupUrlSql)),
+    QueryDef("pack_wds", packWds, Some(packWdsSql)))
 }
