@@ -208,6 +208,58 @@ object EventStream {
       .toDF()
   }
 
+  // ---- streaming ordered funnel ---------------------------------------
+  final case class FunnelState(bestView: Long, bestChainView: Long,
+                               level: Int)
+  final case class FunnelOut(user_id: Long, funnel_level: Int)
+
+  /** Streaming twin of Events.funnelWindow: per user the running
+    * ordered-funnel level (1 view, 2 view→click, 3 full chain within
+    * 24 h of its opening view). State is THREE numbers per user —
+    * best view ts, best chain-opening view ts over valid clicks, and
+    * the level — the O(1) sufficient statistic of the batch
+    * construction's two running maxes (contrast slidingActive's
+    * per-window sets). Like every running materialization here the
+    * levels are monotone, so Update-mode emissions converge to the
+    * batch answer; rows are processed in (ts, event_id) order within
+    * each batch, and cross-batch disorder follows the standard
+    * watermark contract (a view arriving after its click was
+    * processed cannot retro-upgrade the click). */
+  def funnelLevels(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val winUs = 24L * 3600L * 1000000L
+    readEvents(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("event_type")).as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[FunnelState, FunnelOut](
+        GroupStateTimeout.NoTimeout) {
+        case (user, rows, state) =>
+          var st = state.getOption
+            .getOrElse(FunnelState(Long.MinValue, Long.MinValue, 0))
+          rows.toSeq.sortBy(r => (r._3, r._2)).foreach {
+            case (_, _, ts, typ) => typ match {
+              case "view" =>
+                st = FunnelState(math.max(st.bestView, ts),
+                  st.bestChainView, math.max(st.level, 1))
+              case "click"
+                  if st.bestView != Long.MinValue && st.bestView < ts =>
+                st = FunnelState(st.bestView,
+                  math.max(st.bestChainView, st.bestView),
+                  math.max(st.level, 2))
+              case "purchase"
+                  if st.bestChainView != Long.MinValue &&
+                    ts - st.bestChainView <= winUs =>
+                st = st.copy(level = math.max(st.level, 3))
+              case _ => ()
+            }
+          }
+          state.update(st)
+          FunnelOut(user, st.level)
+      }
+      .toDF()
+  }
+
   // ---- stateful sessionization ---------------------------------------
   final case class Ev(user_id: Long, ts_us: Long)
   final case class SessionState(start: Long, end: Long, n: Long)

@@ -131,6 +131,22 @@ class EventStreamSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("streaming funnel levels equal the batch ordered funnel") {
+    val q = EventStream.funnelLevels(spark, sfDir)
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode(OutputMode.Update()).start()
+    try q.processAllAvailable() finally q.stop()
+    // Update mode: levels are monotone per user — the max is final
+    val streamed = spark.table("funnel_out")
+      .groupBy("user_id").agg(max("funnel_level").as("l"))
+      .filter(col("l") >= 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val batch = Events.funnelWindow(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("streaming sliding distinct actives equals the batch decomposition") {
     val q = EventStream.slidingActive(spark, sfDir)
       .writeStream.format("memory").queryName("sliding_out")
