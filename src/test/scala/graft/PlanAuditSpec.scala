@@ -177,6 +177,18 @@ class PlanAuditSpec extends SparkSpec {
       "text_dup_coverage: first-occurrence join must be a shuffled hash join")
     assert(!dc.exists(_.isInstanceOf[BroadcastHashJoinExec]),
       "text_dup_coverage: shingle vocabulary must not be broadcast")
+    // q_funnel_window: the two chained running-max windows and the
+    // per-user aggregate all share ONE user-hash exchange — a second
+    // exchange or a second sort would mean the windows didn't compose
+    val fw = collectAll(initialPlan("q_funnel_window"))
+    val fwHash = fw.collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.toString.contains("hashpartitioning") => e
+    }
+    assert(fwHash.length == 1,
+      s"q_funnel_window: expected one user-hash exchange, got ${fwHash.length}")
+    assert(fw.count(_.nodeName == "Sort") <= 1,
+      "q_funnel_window: both windows must share one sort")
   }
 
   test("no registered query plans a cartesian product") {
