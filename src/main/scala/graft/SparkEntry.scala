@@ -16,7 +16,8 @@ object SparkEntry {
       ops.LangModel.all ++ ops.IoQueries.all ++
       ops.GeoQueries.all ++ ops.TextDedup.all ++ ops.DedupCluster.all ++
       ops.VectorOps.all ++
-      ops.Multimodal.all ++ ops.WebData.all ++ ops.Graph.all
+      ops.Multimodal.all ++ ops.WebData.all ++ ops.Graph.all ++
+      ops.TimeSeries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -58,6 +58,181 @@ object Graph {
     SELECT id, CAST(d AS BIGINT) AS depth
     FROM walk WHERE anc = 1 ORDER BY id"""
 
+  // ---- co-purchase graph (shared by triangles + pagerank) -------------
+
+  /** Undirected co-purchase edge list over parts: (a, b) with a < b iff
+    * the two parts appear in the same order. The self-join key is the
+    * order key, so the pair explode is bounded by lines-per-order² (≤7
+    * lines in TPC-H-shaped data); a lake with pathological giant orders
+    * would cap lines per order before pairing. Distinct collapses
+    * repeat co-purchases — the graph is unweighted.
+    */
+  private[graft] def coEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    li.as("l1").join(li.as("l2"), col("l1.ok") === col("l2.ok") &&
+        col("l1.pk") < col("l2.pk"))
+      .select(col("l1.pk").as("a"), col("l2.pk").as("b"))
+      .distinct()
+  }
+
+  private val coEdgesSql: String = """
+    pairs AS (
+      SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey)"""
+
+  /** Per-vertex triangle counts on the co-purchase graph — the clustering
+    * primitive (spam-farm detection, community cores) whose naive form is
+    * an O(m·n) join explosion. The distributed shape is degree-ordered
+    * ORIENTATION: each undirected edge becomes one directed edge from the
+    * (deg, id)-smaller endpoint, so every wedge-join fan-out is bounded by
+    * the max ORIENTED out-degree ≈ O(√m) regardless of hub degrees — the
+    * standard trick that makes triangle counting shuffle-partitionable at
+    * any scale. Each triangle is emitted exactly once (its vertices in
+    * rank order) and fanned back to its three corners with one explode +
+    * one hash aggregate. The (deg, id) rank rides a packed long with a
+    * loud range guard (DedupCluster precedent).
+    */
+  def triangleCounts(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.hot(Tables.fanout(coEdges(s, dir)))
+    val deg = e.select(col("a").as("v"))
+      .unionAll(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    // rank = deg·2³² + v: total order by (deg, id); guard both fields
+    val rank = expr("""CASE WHEN v >= 0 AND v < 4294967296 AND deg < 2147483648
+      THEN deg * 4294967296 + v
+      ELSE raise_error(concat('graph_triangles: unpackable (deg, v)=(',
+        CAST(deg AS STRING), ',', CAST(v AS STRING), ')')) END""")
+    val rk = deg.select(col("v"), rank.as("rk"))
+    val oriented = e
+      .join(rk.withColumnRenamed("v", "a").withColumnRenamed("rk", "ra"), "a")
+      .join(rk.withColumnRenamed("v", "b").withColumnRenamed("rk", "rb"), "b")
+      .select(
+        when(col("ra") < col("rb"), col("a")).otherwise(col("b")).as("src"),
+        when(col("ra") < col("rb"), col("b")).otherwise(col("a")).as("dst"),
+        greatest(col("ra"), col("rb")).as("rdst"))
+    val o = Tables.hot(oriented)
+    val wedges = o.as("e1")
+      .join(o.as("e2"), col("e1.src") === col("e2.src") &&
+        col("e1.rdst") < col("e2.rdst"))
+      .select(col("e1.src").as("u"), col("e1.dst").as("v1"),
+        col("e2.dst").as("v2"))
+    val tris = wedges.join(o.as("e3"),
+      col("v1") === col("e3.src") && col("v2") === col("e3.dst"))
+      .select(col("u"), col("v1"), col("v2"))
+    tris.select(explode(array(col("u"), col("v1"), col("v2"))).as("part"))
+      .groupBy("part").agg(count(lit(1)).as("n_tri"))
+      .orderBy("part")
+  }
+
+  val triangleCountsSql: String = s"""
+    WITH $coEdgesSql,
+    deg AS (
+      SELECT v, COUNT(*) AS deg FROM (
+        SELECT a AS v FROM pairs UNION ALL SELECT b AS v FROM pairs)
+      GROUP BY v),
+    rk AS (SELECT v, deg * 4294967296 + v AS rk FROM deg),
+    oriented AS (
+      SELECT CASE WHEN ra.rk < rb.rk THEN p.a ELSE p.b END AS src,
+             CASE WHEN ra.rk < rb.rk THEN p.b ELSE p.a END AS dst,
+             GREATEST(ra.rk, rb.rk) AS rdst
+      FROM pairs p JOIN rk ra ON p.a = ra.v JOIN rk rb ON p.b = rb.v),
+    tris AS (
+      SELECT e1.src AS u, e1.dst AS v1, e2.dst AS v2
+      FROM oriented e1
+      JOIN oriented e2 ON e1.src = e2.src AND e1.rdst < e2.rdst
+      JOIN oriented e3 ON e3.src = e1.dst AND e3.dst = e2.dst)
+    SELECT part, COUNT(*) AS n_tri FROM (
+      SELECT u AS part FROM tris UNION ALL
+      SELECT v1 FROM tris UNION ALL SELECT v2 FROM tris)
+    GROUP BY part ORDER BY part"""
+
+  /** PageRank over the (undirected → both-direction) co-purchase graph:
+    * 5 damped power iterations, each ONE map-side join (edges ⋈
+    * broadcast rank state) + one map-side-combined hash aggregate —
+    * the classic bulk-synchronous shape. The static source degree is
+    * pre-joined onto the edge list once, so the per-round state is just
+    * (v, pr). Every vertex has out-degree ≥ 1 by construction (it is on
+    * an edge), so there is no dangling-mass correction to smuggle in.
+    * Determinism policy: per-edge contributions pr/deg are identical
+    * doubles in both engines, quantized at 1e-15 and summed as plain
+    * LONGS (the q_hll_sketch scaled-integer trick — order-proof AND
+    * codegen-fast; the decimal-sum variant measured 3× the CPU), with
+    * a loud in-degree guard on the overflow bound. State is
+    * localCheckpointed per round (the dedup_cluster contract) so the
+    * plan stays O(1) deep. Broadcasting the state is right while
+    * |V| ≪ executor memory (rank state is 16 B/vertex); a billion-node
+    * graph swaps the broadcast for a co-partitioned shuffle join of
+    * state and bucketed edges — same round structure, one narrow
+    * shuffle of the STATE per round, never the edges. Output is rank
+    * relative to uniform (rank·N, 6 dp) so the scale factor drops out.
+    */
+  def pageRank(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.hot(Tables.fanout(coEdges(s, dir)))
+    val dirE = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+    val deg = Tables.hot(
+      dirE.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg")))
+    // the SOURCE degree is static — join it onto the edge list ONCE so
+    // each iteration touches only (edges ⋈ broadcast rank-state); the
+    // state after a localCheckpoint has no stats, so without the
+    // explicit broadcast every round regressed to a full 2·m-row
+    // shuffle join (measured 12× the CPU of the map-side shape)
+    // scaled-integer contributions overflow a long only past in-degree
+    // ~9e3 (terms ≤ 1e15 each) — fail loudly there; a graph with such
+    // hubs routes to a decimal-sum variant instead
+    val degGuard = expr("""CASE WHEN deg < 9000 THEN deg
+      ELSE raise_error(concat('graph_pagerank: hub degree ', CAST(deg AS STRING),
+        ' overflows the scaled-integer contribution sum')) END""")
+    val adj = Tables.hot(dirE
+      .join(deg.withColumnRenamed("v", "src"), "src")
+      .select(col("src"), col("dst"), degGuard.as("deg")))
+    val n = broadcast(deg.agg(count(lit(1)).as("nv")))
+    var st = Tables.hot(deg.crossJoin(n)
+      .select(col("v"), (lit(1.0) / col("nv")).as("pr")))
+    for (_ <- 1 to 5) {
+      val contrib = adj.join(broadcast(st), col("src") === col("v"))
+        .select(col("dst"),
+          round(col("pr") / col("deg") * lit(1e15)).cast("long").as("c"))
+      val merged = contrib.groupBy(col("dst").as("v"))
+        .agg((sum(col("c")).cast("double") / lit(1e15)).as("sc"))
+        .crossJoin(n)
+        .select(col("v"), (lit(0.15) / col("nv") + lit(0.85) * col("sc")).as("pr"))
+      st = Tables.hot(merged)
+    }
+    st.crossJoin(n)
+      .select(col("v").as("part"), round(col("pr") * col("nv"), 6).as("r_rel"))
+      .orderBy("part")
+  }
+
+  val pageRankSql: String = {
+    def iter(k: Int): String = s"""
+    it$k AS (
+      SELECT g.v, g.deg,
+             CAST(0.15 AS DOUBLE) / n.nv + CAST(0.85 AS DOUBLE) *
+               (CAST(SUM(CAST(ROUND(p.pr / p.deg * 1e15) AS BIGINT))
+                     AS DOUBLE) / 1e15)
+               AS pr
+      FROM dirE e JOIN it${k - 1} p ON e.src = p.v
+      JOIN deg g ON e.dst = g.v, n
+      GROUP BY g.v, g.deg, n.nv)"""
+    s"""
+    WITH $coEdgesSql,
+    dirE AS (
+      SELECT a AS src, b AS dst FROM pairs
+      UNION ALL SELECT b, a FROM pairs),
+    deg AS (SELECT src AS v, COUNT(*) AS deg FROM dirE GROUP BY src),
+    n AS (SELECT COUNT(*) AS nv FROM deg),
+    it0 AS (
+      SELECT v, deg, CAST(1.0 AS DOUBLE) / n.nv AS pr FROM deg, n),
+    ${(1 to 5).map(iter).mkString(",")}
+    SELECT it5.v AS part, ROUND(it5.pr * n.nv, 6) AS r_rel
+    FROM it5, n ORDER BY part"""
+  }
+
   def all: Seq[QueryDef] = Seq(
-    QueryDef("q_transitive", transitiveDepth, Some(transitiveDepthSql)))
+    QueryDef("q_transitive", transitiveDepth, Some(transitiveDepthSql)),
+    QueryDef("graph_triangles", triangleCounts, Some(triangleCountsSql)),
+    QueryDef("graph_pagerank", pageRank, Some(pageRankSql)))
 }

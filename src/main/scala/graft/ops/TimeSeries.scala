@@ -1,0 +1,167 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Time-series operators over the events stream: sweep-line interval
+  * concurrency via a DISTRIBUTED prefix sum, and tap-based exponential
+  * smoothing. Both follow the house determinism policy (decimal-routed
+  * sums, fully tie-broken orders) so the DuckDB oracle hash-matches.
+  */
+object TimeSeries {
+
+  private val DayUs = 86400000000L
+  private val SessUs = 1800000000L // 30 min interval per event
+
+  /** Max interval concurrency per event type (each event opens a 30-min
+    * interval): the sweep-line +1/−1 running sum — but as a DISTRIBUTED
+    * prefix sum, never one global window. Deltas are bucketed by day;
+    * a window per (type, day) computes the LOCAL running sum, a tiny
+    * per-bucket rollup cumsums the bucket totals per type (the carry),
+    * and the global concurrency is carry + local — two narrow shuffles
+    * and O(rows/bucket) memory at any scale, where the textbook single
+    * `SUM OVER (PARTITION BY type ORDER BY t)` serializes each type on
+    * one task. Tie order (t, delta, event_id) is total, with −1 before
+    * +1 at equal t — end-exclusive intervals (back-to-back intervals
+    * never overlap). The oracle states the same semantics as the plain
+    * global running sum, so hash equality certifies the decomposition.
+    * Peak pick: max concurrency per type, then earliest instant that
+    * attains it via a tiny broadcast join-back (a packed argmax would
+    * overflow: t ~ 1.7e15 µs leaves no headroom above the count).
+    */
+  def intervalSweep(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.loadEventsUs(s, dir)
+      .select(col("event_type"), col("ts_us"), col("event_id"))
+    val deltas = ev.select(col("event_type"), col("ts_us").as("t"),
+        lit(1).as("d"), col("event_id"))
+      .unionAll(ev.select(col("event_type"),
+        (col("ts_us") + lit(SessUs)).as("t"), lit(-1).as("d"),
+        col("event_id")))
+    val bucketed = deltas.withColumn("bk", expr("t DIV 86400000000"))
+    val local = bucketed.withColumn("c_local",
+      sum(col("d")).over(Window.partitionBy("event_type", "bk")
+        .orderBy(col("t"), col("d"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val carry = bucketed.groupBy("event_type", "bk")
+      .agg(sum(col("d")).as("tot"))
+      .withColumn("carry",
+        coalesce(sum(col("tot")).over(Window.partitionBy("event_type")
+          .orderBy("bk")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("event_type").as("ct"), col("bk").as("cb"), col("carry"))
+    val conc = local.join(broadcast(carry),
+        col("event_type") === col("ct") && col("bk") === col("cb"))
+      .select(col("event_type"), col("t"),
+        (col("carry") + col("c_local")).as("c"))
+    val peak = conc.groupBy("event_type").agg(max(col("c")).as("max_concurrent"))
+    conc.join(broadcast(peak), Seq("event_type"))
+      .filter(col("c") === col("max_concurrent"))
+      .groupBy("event_type")
+      .agg(first(col("max_concurrent")).as("max_concurrent"),
+        min(col("t")).as("peak_t_us"))
+      .join(ev.groupBy("event_type").agg(count(lit(1)).as("n_intervals")),
+        Seq("event_type"))
+      .select(col("event_type"), col("n_intervals"),
+        col("max_concurrent"), col("peak_t_us"))
+      .orderBy("event_type")
+  }
+
+  val intervalSweepSql: String = """
+    WITH ev AS (
+      SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_id FROM events),
+    deltas AS (
+      SELECT event_type, t, 1 AS d, event_id FROM ev
+      UNION ALL
+      SELECT event_type, t + 1800000000, -1, event_id FROM ev),
+    sweep AS (
+      SELECT event_type, t,
+             SUM(d) OVER (PARTITION BY event_type
+                          ORDER BY t, d, event_id) AS c
+      FROM deltas),
+    peak AS (
+      SELECT event_type, MAX(c) AS max_concurrent FROM sweep GROUP BY 1),
+    counts AS (SELECT event_type, COUNT(*) AS n_intervals FROM ev GROUP BY 1)
+    SELECT s.event_type, n.n_intervals,
+           CAST(p.max_concurrent AS BIGINT) AS max_concurrent,
+           MIN(s.t) AS peak_t_us
+    FROM sweep s
+    JOIN peak p ON s.event_type = p.event_type AND s.c = p.max_concurrent
+    JOIN counts n ON s.event_type = n.event_type
+    GROUP BY s.event_type, n.n_intervals, p.max_concurrent
+    ORDER BY s.event_type"""
+
+  /** Exponentially-weighted moving average of the daily mean value per
+    * event type — 8 dyadic taps (weight 2⁻ᵏ on the k-th previous
+    * OBSERVATION, normalized over the taps present), the smoothing
+    * signal dashboards layer over q_top_movers' raw deltas. Aggregate
+    * FIRST: the per-(type, day) rollup is tiny at any scale, so the lag
+    * window runs over thousands of rows, never the raw stream. Dyadic
+    * weights are exact in binary, the daily mean is the same 6-dp
+    * davg double in both engines, and each tap term is cast to
+    * DECIMAL(38,16) before the sum — order-proof, then one double
+    * division at the end (the q_stats recipe).
+    */
+  def ewma(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.loadEventsUs(s, dir)
+      .withColumn("day", expr("ts_us DIV 86400000000"))
+      .groupBy("event_type", "day")
+      .agg(QueryDef.davg(col("value"), 6).as("x"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    // x is never NULL (the group exists), so absent taps can fold to a
+    // decimal 0 and the sums stay LINEAR expression trees — a
+    // coalesce(a+b, a, b) chain would double the subtree per tap
+    // (the CLAUDE.md expression-duplication tax)
+    val zero = lit(BigDecimal(0)).cast(DecimalType(38, 16))
+    val taps = (0 to 7).map { k =>
+      val xv = if (k == 0) col("x") else lag(col("x"), k).over(w)
+      val wt = math.pow(0.5, k)
+      (coalesce((xv * lit(wt)).cast(DecimalType(38, 16)), zero),
+       when(xv.isNotNull, lit(BigDecimal(wt)).cast(DecimalType(38, 16)))
+         .otherwise(zero))
+    }
+    val num = taps.map(_._1).reduce(_ + _)
+    val den = taps.map(_._2).reduce(_ + _)
+    daily.select(col("event_type"), col("day"), col("x"),
+        num.as("num"), den.as("den"))
+      .select(col("event_type"), col("day"), col("x"),
+        round(col("num").cast("double") / col("den").cast("double"), 6)
+          .as("ewma"))
+      .orderBy("event_type", "day")
+  }
+
+  val ewmaSql: String = {
+    val tapsNum = (0 to 7).map { k =>
+      val x = if (k == 0) "x"
+      else s"LAG(x, $k) OVER (PARTITION BY event_type ORDER BY day)"
+      val wt = java.math.BigDecimal.valueOf(math.pow(0.5, k)).toPlainString
+      s"COALESCE(CAST($x * CAST($wt AS DOUBLE) AS DECIMAL(38,16)), CAST(0 AS DECIMAL(38,16)))"
+    }
+    val tapsDen = (0 to 7).map { k =>
+      val x = if (k == 0) "x"
+      else s"LAG(x, $k) OVER (PARTITION BY event_type ORDER BY day)"
+      val wt = java.math.BigDecimal.valueOf(math.pow(0.5, k)).toPlainString
+      s"CASE WHEN $x IS NOT NULL THEN CAST($wt AS DECIMAL(38,16)) ELSE CAST(0 AS DECIMAL(38,16)) END"
+    }
+    s"""
+    WITH daily AS (
+      SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(*), 6) AS x
+      FROM events GROUP BY 1, 2),
+    tapped AS (
+      SELECT event_type, day, x,
+             ${tapsNum.mkString(" + ")} AS num,
+             ${tapsDen.mkString(" + ")} AS den
+      FROM daily)
+    SELECT event_type, day, x,
+           ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS ewma
+    FROM tapped ORDER BY event_type, day"""
+  }
+
+  def all: Seq[QueryDef] = Seq(
+    QueryDef("q_interval_sweep", intervalSweep, Some(intervalSweepSql)),
+    QueryDef("q_ewma", ewma, Some(ewmaSql)))
+}

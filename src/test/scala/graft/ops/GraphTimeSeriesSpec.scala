@@ -1,0 +1,85 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Brute-force cross-checks for the graph analytics + time-series
+  * operators: the distributed constructions (degree-oriented triangle
+  * join, bucket-carry prefix sum) must equal the small-scale naive
+  * constructions exactly.
+  */
+class GraphTimeSeriesSpec extends SparkSpec {
+
+  test("graph_triangles equals the brute-force count at sf0.001") {
+    val edges = Graph.coEdges(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // naive: for every vertex pair path a-b, b-c check closing edge
+    val adj = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (v, ns) => v -> ns.map(_._2).toSet }
+    def hasEdge(a: Long, b: Long): Boolean =
+      edges.contains((math.min(a, b), math.max(a, b)))
+    val verts = adj.keys.toSeq.sorted
+    var naive = Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      u <- verts
+      v <- adj(u) if v > u
+      w <- adj(u) if w > v && hasEdge(v, w)
+    } {
+      naive = naive.updated(u, naive(u) + 1)
+        .updated(v, naive(v) + 1).updated(w, naive(w) + 1)
+    }
+    val got = Graph.triangleCounts(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty, "expected triangles in the co-purchase graph")
+    assert(got === naive.filter(_._2 > 0))
+  }
+
+  test("graph_pagerank conserves mass and stays positive") {
+    val rows = Graph.pageRank(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // r_rel = rank·N, so mean of r_rel over vertices must be ~1
+    val mean = rows.map(_.getDouble(1)).sum / rows.length
+    assert(math.abs(mean - 1.0) < 1e-3,
+      s"PageRank mass not conserved: mean r_rel = $mean")
+    assert(rows.forall(_.getDouble(1) > 0.0))
+  }
+
+  test("q_interval_sweep equals the single global running sum") {
+    import graft.Tables
+    val ev = Tables.loadEventsUs(spark, sfDir)
+      .select(col("event_type"), col("ts_us"), col("event_id"))
+    val deltas = ev.select(col("event_type"), col("ts_us").as("t"),
+        lit(1).as("d"), col("event_id"))
+      .unionAll(ev.select(col("event_type"),
+        (col("ts_us") + lit(1800000000L)).as("t"), lit(-1).as("d"),
+        col("event_id")))
+    // textbook construction: ONE window per type (serial at scale —
+    // the operator's bucket-carry decomposition must match it exactly)
+    val sweep = deltas.withColumn("c",
+      sum(col("d")).over(Window.partitionBy("event_type")
+        .orderBy(col("t"), col("d"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val naive = sweep.groupBy("event_type").agg(max(col("c")).as("mc"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = TimeSeries.intervalSweep(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got === naive)
+  }
+
+  test("q_ewma: first observation is its own smooth; constant series fixed") {
+    val rows = TimeSeries.ewma(spark, sfDir).collect()
+    val first = rows.groupBy(_.getString(0))
+      .map { case (_, rs) => rs.minBy(_.getLong(1)) }
+    first.foreach { r =>
+      assert(math.abs(r.getDouble(2) - r.getDouble(3)) < 1e-6,
+        s"first-day ewma must equal x: $r")
+    }
+    // smoothing stays inside the observed range per type
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val xs = rs.map(_.getDouble(2))
+      val (lo, hi) = (xs.min - 1e-6, xs.max + 1e-6)
+      assert(rs.forall(r => r.getDouble(3) >= lo && r.getDouble(3) <= hi))
+    }
+  }
+}
