@@ -1,0 +1,159 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer training and corpus encoding — the
+  * tokenizer-construction stage of an LLM data pipeline, certified
+  * end-to-end under the oracle gate (the DuckDB twin unrolls every
+  * merge round in SQL, the ann_ivf_pq precedent).
+  *
+  * The scale split is the real one: merge selection runs on the
+  * WORD-FREQUENCY table (tiny at any corpus size — that is also how
+  * production BPE trainers work), while the two corpus-sized stages —
+  * the vocabulary aggregation feeding training and the encode join-back
+  * — are single map-side-combined shuffles. Reference semantics: the
+  * classic Sennrich et al. greedy pair-merge; leftmost-greedy,
+  * within-word, no end-of-word marker (documented simplification).
+  */
+object Bpe {
+
+  val Rounds = 6
+
+  /** Leftmost-greedy single-pair merge of a space-separated symbol
+    * string, as a string FOLD so both engines replay it step-for-step:
+    * Spark `aggregate` seeded with '' ≡ DuckDB `list_reduce` seeded
+    * with the first element. A plain string replace of "x y" cannot
+    * express this: on runs like "a a a a" the shared boundary space
+    * makes replace yield [aa, a, a] where BPE requires [aa, aa]. */
+  private def mergeFold(bx: String, by: String): String = s"""
+    aggregate(split(sq, ' '), CAST('' AS STRING), (acc, s) ->
+      CASE WHEN acc = '' THEN s
+           WHEN element_at(split(acc, ' '), -1) = $bx AND s = $by
+             THEN concat(left(acc, length(acc) - length($bx)), $bx, $by)
+           ELSE concat(acc, ' ', s) END)"""
+
+  /** Adjacent symbol pairs of the current sequences, weighted by word
+    * frequency. Guarded: Spark's sequence(1, 0) DESCENDS, so
+    * single-symbol words must short-circuit to an empty pair array. */
+  private val pairsExpr = """
+    CASE WHEN size(split(sq, ' ')) >= 2 THEN
+      transform(sequence(1, size(split(sq, ' ')) - 1),
+        i -> named_struct('x', element_at(split(sq, ' '), i),
+                          'y', element_at(split(sq, ' '), i + 1)))
+    ELSE CAST(array() AS ARRAY<STRUCT<x: STRING, y: STRING>>) END"""
+
+  private def vocab(s: SparkSession, dir: String): DataFrame =
+    Tables.fanout(Tables.load(s, dir, "documents"))
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+
+  /** Run the merge loop; returns (merge table, final sequences). */
+  private def train(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    var st = Tables.hot(vocab(s, dir).select(col("w"), col("freq"),
+      concat_ws(" ", split(col("w"), "")).as("sq")))
+    var bests = Seq.empty[DataFrame]
+    for (k <- 1 to Rounds) {
+      val best = Tables.hot(
+        st.select(col("freq"), explode(expr(pairsExpr)).as("p"))
+          .groupBy(col("p.x").as("bx"), col("p.y").as("by"))
+          .agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("bx"), col("by"))
+          .limit(1))
+      bests :+= best.select(lit(k).as("step"), col("bx").as("x"),
+        col("by").as("y"), col("cnt"))
+      st = Tables.hot(st.crossJoin(broadcast(best))
+        .select(col("w"), col("freq"),
+          expr(mergeFold("bx", "by")).as("sq")))
+    }
+    (bests.reduce(_ unionAll _).orderBy("step"), st)
+  }
+
+  /** The learned merge table: 6 rounds of (step, x, y, cnt). */
+  def bpeTrain(s: SparkSession, dir: String): DataFrame =
+    train(s, dir)._1
+
+  /** Corpus encoded with the learned merges: per-source whitespace
+    * token count, BPE token count, and BPE tokens per word. The encode
+    * is ONE corpus explode + a shuffle hash join onto the merged
+    * vocabulary — pinned off broadcast (text_unigram_lp rule: a real
+    * vocabulary is unbounded at web scale) — + one aggregate. */
+  def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val seqs = train(s, dir)._2
+      .select(col("w"), size(split(col("sq"), " ")).as("n_sym"))
+    Tables.fanout(Tables.load(s, dir, "documents"))
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .join(seqs.hint("shuffle_hash"), "w")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_sym")).as("n_bpe"),
+        round(sum(col("n_sym")).cast("double") / count(lit(1)), 6)
+          .as("bpe_per_word"))
+      .orderBy("source")
+  }
+
+  // ---- oracle: the merge loop unrolled in SQL ------------------------
+
+  private val vocabSql = """
+    vocab AS (
+      SELECT w, COUNT(*) AS freq FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> '' GROUP BY w),
+    seq0 AS (
+      SELECT w, freq,
+             array_to_string(regexp_split_to_array(w, ''), ' ') AS sq
+      FROM vocab)"""
+
+  private def roundSql(k: Int): String = s"""
+    pairs$k AS (
+      SELECT p.x AS x, p.y AS y, SUM(freq) AS cnt FROM (
+        SELECT freq,
+               unnest(list_transform(
+                 generate_series(1, len(string_split(sq, ' ')) - 1),
+                 i -> struct_pack(x := string_split(sq, ' ')[i],
+                                  y := string_split(sq, ' ')[i + 1]))) AS p
+        FROM seq${k - 1})
+      GROUP BY 1, 2),
+    best$k AS (
+      SELECT x, y, CAST(cnt AS BIGINT) AS cnt
+      FROM pairs$k ORDER BY cnt DESC, x, y LIMIT 1),
+    seq$k AS (
+      SELECT w, freq,
+             list_reduce(string_split(sq, ' '), (acc, s) ->
+               CASE WHEN (string_split(acc, ' '))[-1] = b.x AND s = b.y
+                    THEN left(acc, len(acc) - len(b.x)) || b.x || b.y
+                    ELSE acc || ' ' || s END) AS sq
+      FROM seq${k - 1}, best$k b)"""
+
+  val bpeTrainSql: String = s"""
+    WITH $vocabSql,
+    ${(1 to Rounds).map(roundSql).mkString(",")}
+    SELECT * FROM (
+      ${(1 to Rounds)
+        .map(k => s"SELECT $k AS step, x, y, cnt FROM best$k")
+        .mkString(" UNION ALL ")})
+    ORDER BY step"""
+
+  val bpeEncodeSql: String = s"""
+    WITH $vocabSql,
+    ${(1 to Rounds).map(roundSql).mkString(",")},
+    enc AS (
+      SELECT w, len(string_split(sq, ' ')) AS n_sym FROM seq$Rounds)
+    SELECT d.source, COUNT(*) AS n_words,
+           CAST(SUM(e.n_sym) AS BIGINT) AS n_bpe,
+           ROUND(CAST(SUM(e.n_sym) AS DOUBLE) / COUNT(*), 6)
+             AS bpe_per_word
+    FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+          FROM documents) d
+    JOIN enc e ON d.w = e.w
+    WHERE d.w <> ''
+    GROUP BY d.source ORDER BY d.source"""
+
+  def all: Seq[QueryDef] = Seq(
+    QueryDef("text_bpe_train", bpeTrain, Some(bpeTrainSql)),
+    QueryDef("text_bpe_encode", bpeEncode, Some(bpeEncodeSql)))
+}

@@ -1,0 +1,57 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The BPE merge fold must implement LEFTMOST-GREEDY non-overlapping
+  * pair replacement — the property a plain string replace gets wrong
+  * on runs sharing a boundary separator.
+  */
+class BpeSpec extends SparkSpec {
+
+  private def fold(sq: String, x: String, y: String): String = {
+    import spark.implicits._
+    Seq(sq).toDF("sq")
+      .select(expr(
+        s"""aggregate(split(sq, ' '), CAST('' AS STRING), (acc, s) ->
+          CASE WHEN acc = '' THEN s
+               WHEN element_at(split(acc, ' '), -1) = '$x' AND s = '$y'
+                 THEN concat(left(acc, length(acc) - length('$x')), '$x', '$y')
+               ELSE concat(acc, ' ', s) END)""").as("m"))
+      .collect()(0).getString(0)
+  }
+
+  test("merge fold is leftmost-greedy on runs") {
+    assert(fold("a a a", "a", "a") === "aa a")
+    assert(fold("a a a a", "a", "a") === "aa aa")
+    assert(fold("a a a a a", "a", "a") === "aa aa a")
+  }
+
+  test("merge fold does not cross symbol boundaries") {
+    // symbols [bx, y]: pair (x, y) must NOT match inside "bx"
+    assert(fold("bx y", "x", "y") === "bx y")
+    // merged symbols are atomic: (a, a) does not re-match against "aa"
+    assert(fold("aa a", "a", "a") === "aa a")
+  }
+
+  test("merge fold handles mixed neighborhoods") {
+    assert(fold("t h e", "t", "h") === "th e")
+    assert(fold("t h t h", "t", "h") === "th th")
+    assert(fold("h t h", "t", "h") === "h th")
+  }
+
+  test("train yields monotone-usable merge table; encode conserves words") {
+    val m = Bpe.bpeTrain(spark, sfDir).collect()
+    assert(m.length === Bpe.Rounds)
+    assert(m.map(_.getInt(0)).toSeq === (1 to Bpe.Rounds))
+    assert(m.forall(_.getLong(3) > 0))
+    val enc = Bpe.bpeEncode(spark, sfDir).collect()
+    // BPE can only SHORTEN the per-word symbol count from chars and
+    // never below 1 token per word
+    enc.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"bpe tokens below one per word: $r")
+      assert(r.getDouble(3) >= 1.0)
+    }
+  }
+}
