@@ -761,7 +761,79 @@ object Corpus {
                     THEN 0 ELSE 1 END) AS BIGINT) AS n_lang_other
     FROM documents GROUP BY 1 ORDER BY source"""
 
+  /** C4-style duplicate-block REMOVAL — the rewrite companion to
+    * dedup_lines' signals: every 10-token block that already occurred
+    * anywhere else in the corpus (canonical first occurrence = smallest
+    * (doc_id, pos), the deterministic analog of C4's processing order)
+    * is dropped, documents are rebuilt from their surviving blocks,
+    * and the rebuilt text is certified byte-for-byte by md5. Two
+    * map-side-combined shuffles on the block key (canonical argmin as
+    * ONE primitive-MIN hash aggregate over a packed (doc_id, pos)
+    * long, guarded — the dedup_keep_best recipe) plus one per-doc
+    * aggregate; the block STRING never rides a shuffle twice (joins on
+    * the 8-byte hash). Unlike dedup_lines this keeps the tail partial
+    * block — removal must cover the whole document.
+    */
+  def dedupParagraphs(s: SparkSession, dir: String): DataFrame = {
+    val nBlocks = ceil(size(toks) / lit(10.0)).cast("int")
+    val blockArr = transform(sequence(lit(1), nBlocks),
+      i => concat_ws(" ", slice(toks, (i - 1) * 10 + 1, lit(10))))
+    val b = Tables.hot(docs(s, dir)
+      .select(col("doc_id"), posexplode(blockArr).as(Seq("pos", "blk")))
+      .select(col("doc_id"), col("pos"), xxhash64(col("blk")).as("bh"),
+        col("blk")))
+    val packed = expr("""CASE WHEN doc_id >= 0 AND doc_id < 4398046511104
+        AND pos >= 0 AND pos < 1048576
+      THEN doc_id * 1048576 + pos
+      ELSE raise_error(concat('dedup_paragraphs: unpackable (doc_id, pos)=(',
+        CAST(doc_id AS STRING), ',', CAST(pos AS STRING), ')')) END""")
+    val canon = b.select(col("bh"), packed.as("pk"))
+      .groupBy("bh").agg(min(col("pk")).as("cp"))
+    val kept = b.join(canon, Seq("bh"))
+      .filter(packed === col("cp"))
+    val reb = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("blk")))),
+            x => x.getField("blk")))).as("rebuilt_md5"))
+    val tot = b.groupBy("doc_id").agg(count(lit(1)).as("n_blocks"))
+    tot.join(reb, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_blocks") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        coalesce(col("rebuilt_md5"), md5(lit(""))).as("rebuilt_md5"))
+      .orderBy("doc_id")
+  }
+
+  val dedupParagraphsSql: String = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    b AS (
+      SELECT doc_id, pos,
+             array_to_string(t[pos * 10 + 1 : pos * 10 + 10], ' ') AS blk
+      FROM (SELECT doc_id, t,
+              unnest(generate_series(0,
+                CAST(ceil(len(t) / 10.0) AS INT) - 1)) AS pos
+            FROM toks)),
+    canon AS (
+      SELECT blk, MIN(doc_id * 1048576 + pos) AS cp FROM b GROUP BY blk),
+    kept AS (
+      SELECT b.doc_id, b.pos, b.blk
+      FROM b JOIN canon c ON b.blk = c.blk
+      WHERE b.doc_id * 1048576 + b.pos = c.cp),
+    reb AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             md5(string_agg(blk, ' ' ORDER BY pos)) AS rebuilt_md5
+      FROM kept GROUP BY doc_id),
+    tot AS (SELECT doc_id, COUNT(*) AS n_blocks FROM b GROUP BY doc_id)
+    SELECT t.doc_id,
+           COALESCE(r.n_kept, 0) AS n_kept,
+           t.n_blocks - COALESCE(r.n_kept, 0) AS n_dropped,
+           COALESCE(r.rebuilt_md5, md5('')) AS rebuilt_md5
+    FROM tot t LEFT JOIN reb r ON t.doc_id = r.doc_id
+    ORDER BY t.doc_id"""
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("dedup_paragraphs", dedupParagraphs, Some(dedupParagraphsSql)),
     QueryDef("corpus_datasheet", corpusDatasheet, Some(corpusDatasheetSql)),
     QueryDef("corpus_pipeline_full", pipelineFull, Some(pipelineFullSql)),
     QueryDef("pack_shards", (s, d) => packShards(s, d), Some(packShardsSql)),

@@ -899,7 +899,127 @@ object VectorOps {
       FROM ranked r JOIN fullpick f ON r.qid = f.qid WHERE r.rn_32 = 1)
     SELECT * FROM r8 UNION ALL SELECT * FROM r32 ORDER BY prefix_dims"""
 
+  // ---- PCA by power iteration ----------------------------------------
+
+  private val PcaIters = 4
+  private val Dim = 64
+
+  /** Top principal component of the embedding cloud by MATRIX-FREE
+    * power iteration: 4 rounds of w ← Σᵢ (xᵢ−μ)((xᵢ−μ)·v), each round
+    * ONE corpus pass — a broadcast of the 64-double state, a zip_with
+    * subtract, one dot product per row, and a map-side-combined
+    * per-dimension decimal sum (the covariance matrix is never
+    * materialized; at 100 TB that is the only viable shape, and it is
+    * also how production randomized-SVD warm starts run). μ is the
+    * 6-dp decimal-routed mean (q_stats policy), every cross-row sum is
+    * decimal-routed, every per-row op is the same double arithmetic in
+    * both engines — the oracle unrolls all 4 iterations in SQL and
+    * matches hash-exactly (the ann_ivf_pq precedent). Sign is fixed by
+    * the largest-|loading| dimension (ties → smallest dim); output is
+    * the unit loading vector plus λ/n, the top explained variance.
+    */
+  def embedPca(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.hot(emb(s, dir))
+    val n = broadcast(e.agg(count(lit(1)).as("n")))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 12)
+    // per-dimension 6-dp mean, assembled into ONE array row
+    val mu = e.select(posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("dim")
+      .agg(sum(col("x").cast(dec)).as("sx"))
+      .crossJoin(n)
+      .select(col("dim"), round(col("sx").cast("double") / col("n"), 6).as("m"))
+    val muArr = broadcast(mu.agg(
+      transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+        x => x.getField("m")).as("mu")))
+    var vArr = broadcast(s.range(1)
+      .select(array((0 until Dim).map(_ => lit(0.125)): _*).as("vk")))
+    for (_ <- 1 to PcaIters) {
+      val scored = e.crossJoin(muArr).crossJoin(vArr)
+        .select(
+          zip_with(col("v"), col("mu"), (a, b) => a - b).as("d"),
+          col("vk"))
+        .select(col("d"),
+          call_function("vec_dot", col("d"), col("vk")).as("sc"))
+      val w = scored
+        .select(posexplode(col("d")).as(Seq("dim", "dx")), col("sc"))
+        .groupBy("dim")
+        .agg(sum((col("dx") * col("sc")).cast(dec)).as("sw"))
+        .select(col("dim"), col("sw").cast("double").as("w"))
+      val nrm = w.agg(
+        sqrt(sum((col("w") * col("w")).cast(dec)).cast("double")).as("nrm"))
+      vArr = broadcast(Tables.hot(w.crossJoin(broadcast(nrm)).agg(
+        transform(array_sort(collect_list(struct(col("dim"),
+          (col("w") / col("nrm")).as("u")))), x => x.getField("u"))
+          .as("vk"))))
+    }
+    // one extra half-step recovers λ·n = ||Σ d (d·v)|| for the CONVERGED v
+    val scored = e.crossJoin(muArr).crossJoin(vArr)
+      .select(zip_with(col("v"), col("mu"), (a, b) => a - b).as("d"),
+        col("vk"))
+      .select(col("d"), call_function("vec_dot", col("d"), col("vk")).as("sc"))
+    val w = scored
+      .select(posexplode(col("d")).as(Seq("dim", "dx")), col("sc"))
+      .groupBy("dim")
+      .agg(sum((col("dx") * col("sc")).cast(dec)).as("sw"))
+      .select(col("dim"), col("sw").cast("double").as("w"))
+    val nrm = broadcast(w.agg(
+      sqrt(sum((col("w") * col("w")).cast(dec)).cast("double")).as("nrm")))
+    val sgn = broadcast(w
+      .orderBy(abs(col("w")).desc, col("dim")).limit(1)
+      .select(signum(col("w")).as("sg")))
+    w.crossJoin(nrm).crossJoin(sgn).crossJoin(n)
+      .select(col("dim"),
+        round(col("w") / col("nrm") * col("sg"), 6).as("loading"),
+        round(col("nrm") / col("n"), 6).as("lam"))
+      .orderBy("dim")
+  }
+
+  val embedPcaSql: String = {
+    def iterSql(k: Int): String = s"""
+    sc$k AS (
+      SELECT list_transform(generate_series(1, $Dim),
+               i -> e.v[i] - mu.m[i]) AS d
+      FROM e, mu
+    ),
+    scd$k AS (
+      SELECT d, list_dot_product(d, v$k.vk) AS sc FROM sc$k, v$k
+    ),
+    w$k AS (
+      SELECT dim, CAST(SUM(CAST(d[dim] * sc AS DECIMAL(38,12))) AS DOUBLE) AS w
+      FROM scd$k, generate_series(1, $Dim) AS g(dim)
+      GROUP BY dim
+    ),
+    nrm$k AS (
+      SELECT sqrt(CAST(SUM(CAST(w * w AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+      FROM w$k
+    ),
+    v${k + 1} AS (
+      SELECT list(w / nrm ORDER BY dim) AS vk FROM w$k, nrm$k GROUP BY nrm
+    )"""
+    s"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT COUNT(*) AS n FROM e),
+    mu0 AS (
+      SELECT dim, ROUND(CAST(SUM(CAST(v[dim] AS DECIMAL(38,12))) AS DOUBLE)
+                        / n.n, 6) AS m
+      FROM e, n, generate_series(1, $Dim) AS g(dim)
+      GROUP BY dim, n.n),
+    mu AS (SELECT list(m ORDER BY dim) AS m FROM mu0),
+    v1 AS (SELECT list_transform(generate_series(1, $Dim),
+                    i -> CAST(0.125 AS DOUBLE)) AS vk),
+    ${(1 to PcaIters + 1).map(iterSql).mkString(",")},
+    sgn AS (
+      SELECT CASE WHEN w > 0 THEN 1.0 WHEN w < 0 THEN -1.0 ELSE 0.0 END AS sg
+      FROM w${PcaIters + 1} ORDER BY abs(w) DESC, dim LIMIT 1)
+    SELECT dim - 1 AS dim,
+           ROUND(w / nrm * sg, 6) AS loading,
+           ROUND(nrm / n.n, 6) AS lam
+    FROM w${PcaIters + 1}, nrm${PcaIters + 1}, sgn, n
+    ORDER BY dim"""
+  }
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("embed_pca", embedPca, Some(embedPcaSql)),
     QueryDef("ann_cosine", annCosine, Some(annCosineSql)),
     QueryDef("embed_mrl", embedMrl, Some(embedMrlSql)),
     QueryDef("ann_ivf_pq", annIvfPq, Some(annIvfPqSql)),
