@@ -198,6 +198,45 @@ class PlanAuditSpec extends SparkSpec {
       "q_funnel_window: both windows must share one sort")
   }
 
+  test("round-7b operators keep their scale shapes") {
+    // dedup_paragraphs: the canonical-first-occurrence argmin rides a
+    // packed primitive long — a struct/string min would regress the
+    // hash aggregate to SortAggregate (the dedup_keep_best trap)
+    val dp = collectAll(initialPlan("dedup_paragraphs"))
+    assert(!dp.exists(_.nodeName.contains("SortAggregate")),
+      "dedup_paragraphs: canonical argmin must stay a hash aggregate")
+    // q_interval_sweep: the running sum must be the BUCKETED local
+    // window (partition (event_type, bk), order (t, d, event_id) → a
+    // 5-column sort), never one serial global window per type (which
+    // would show up as a 4-column sort: type + t + d + event_id)
+    val sw = collectAll(initialPlan("q_interval_sweep"))
+    val swSorts = sw.collect {
+      case s: org.apache.spark.sql.execution.SortExec => s.sortOrder.length
+    }
+    assert(swSorts.contains(5),
+      s"q_interval_sweep: bucketed (type, day) window sort missing — sorts: $swSorts")
+    // dedup_containment: both the candidate prefilter count and the
+    // array_intersect verification are hash aggregates / hash joins —
+    // no sort-based fallback, no nested-loop pair generation
+    val ct = collectAll(initialPlan("dedup_containment"))
+    assert(!ct.exists(_.nodeName.contains("SortAggregate")),
+      "dedup_containment: aggregates must stay hash-based")
+    assert(!ct.exists(_.nodeName.contains("BroadcastNestedLoop")),
+      "dedup_containment: no nested-loop pair generation")
+    // text_bpe_encode: the merged vocabulary joins back by SHUFFLE —
+    // a real corpus vocabulary is unbounded (text_unigram_lp rule)
+    val be = collectAll(initialPlan("text_bpe_encode"))
+    assert(be.exists(_.nodeName.contains("ShuffledHashJoin")),
+      "text_bpe_encode: vocab join must be a shuffled hash join")
+    assert(!be.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "text_bpe_encode: vocab must not be broadcast")
+    // graph_triangles: wedge + closing-edge joins are equi-joins on the
+    // oriented edge keys — never a nested-loop over the edge set
+    val gt = collectAll(initialPlan("graph_triangles"))
+    assert(!gt.exists(_.nodeName.contains("BroadcastNestedLoop")),
+      "graph_triangles: wedge/closing joins must be equi-joins")
+  }
+
   test("no registered query plans a cartesian product") {
     // build-time driver rounds (documented in each operator):
     val skip = Set("dedup_cluster", "corpus_near_dedup", "dedup_ngram",
