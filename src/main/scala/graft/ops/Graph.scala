@@ -206,7 +206,7 @@ object Graph {
       ELSE raise_error(concat('graph_pagerank: hub degree ', CAST(deg AS STRING),
         ' overflows the scaled-integer contribution sum')) END""")
     val adj = Tables.hot(dirE
-      .join(deg.withColumnRenamed("v", "src"), "src")
+      .join(broadcast(deg).withColumnRenamed("v", "src"), "src")
       .select(col("src"), col("dst"), degGuard.as("deg")))
     val n = broadcast(deg.agg(count(lit(1)).as("nv")))
     var st = Tables.hot(deg.crossJoin(n)
