@@ -313,4 +313,48 @@ object EventStream {
       }
       .toDF()
   }
+
+  // ---- streaming interval concurrency --------------------------------
+  final case class SweepState(ends: Array[Long], best: Long, bestT: Long)
+  final case class SweepOut(event_type: String, max_concurrent: Long,
+                            peak_t_us: Long)
+
+  /** Streaming twin of TimeSeries.intervalSweep: the running MAX
+    * concurrency of 30-minute intervals per event type. State per type
+    * is the OPEN-interval end-time heap — its size IS the current
+    * concurrency, so state is bounded by the answer itself plus two
+    * longs; closed intervals pop as soon as a later start passes their
+    * end (end-exclusive, matching the batch sweep's −1-before-+1 tie
+    * order). Emissions are monotone (Update mode), so the final
+    * emission per type equals the batch maximum; rows are processed in
+    * (ts, event_id) order within each batch and cross-batch disorder
+    * follows the standard watermark contract (a start arriving after
+    * later events were processed would see too-small a heap).
+    */
+  def sweepConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sessUs = 1800000000L
+    readEvents(spark, dir)
+      .select(col("event_type"), col("ts_us"), col("event_id"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[SweepState, SweepOut](
+        GroupStateTimeout.NoTimeout) {
+        case (typ, rows, state) =>
+          val st = state.getOption
+            .getOrElse(SweepState(Array.empty, 0L, Long.MinValue))
+          val heap = scala.collection.mutable.PriorityQueue(
+            st.ends.toSeq: _*)(Ordering[Long].reverse)
+          var best = st.best
+          var bestT = st.bestT
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, ts, _) =>
+            while (heap.nonEmpty && heap.head <= ts) { heap.dequeue(); () }
+            heap.enqueue(ts + sessUs)
+            if (heap.size > best) { best = heap.size.toLong; bestT = ts }
+          }
+          state.update(SweepState(heap.toArray, best, bestT))
+          SweepOut(typ, best, bestT)
+      }
+      .toDF()
+  }
 }

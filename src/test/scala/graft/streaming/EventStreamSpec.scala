@@ -205,4 +205,25 @@ class EventStreamSpec extends SparkSpec {
       s"missing=${(expected -- streamed).take(3)} extra=${(streamed -- expected).take(3)}")
     assert(expected.nonEmpty)
   }
+  test("streaming interval concurrency equals the batch sweep") {
+    val q = EventStream.sweepConcurrency(spark, sfDir)
+      .writeStream.format("memory").queryName("sweep_out")
+      .outputMode(OutputMode.Update()).start()
+    try q.processAllAvailable() finally q.stop()
+    // Update mode: max_concurrent is monotone per type; peak_t_us is
+    // paired with it, so the row carrying the final max carries the
+    // final peak instant
+    val streamed = spark.table("sweep_out")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy(col("max_concurrent").desc)))
+      .filter(col("rn") === 1)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val batch = graft.ops.TimeSeries.intervalSweep(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
+  }
 }
