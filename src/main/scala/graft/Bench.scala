@@ -181,10 +181,16 @@ object Bench {
     // — an empty bench is strictly worse than an over-budget one (the
     // per-query watchdog still bounds each query, and an external kill
     // reaches the shutdown-hook emit with every sample so far).
+    // A later pass starts whenever HALF of it is likely to fit: a pass
+    // curtails cleanly at the budget line, and a half-pass of second
+    // samples (fewest-sampled queries first) still turns min-of-1
+    // steal noise into a real minimum for the queries it reaches —
+    // requiring the whole pass to fit (the old *1.1 gate) forfeited
+    // every second sample the moment pass 1 ran under a steal burst.
     while (!spark.sparkContext.isStopped &&
       (it == 1 || (elapsed < budget &&
         ((unsampled && it <= iters + 3) ||
-          (it <= iters && elapsed + lastIter * 1.1 < budget))))) {
+          (it <= iters && elapsed + lastIter * 0.5 < budget))))) {
       val t0 = elapsed
       var curtailed = false
       // retry passes (beyond `iters`) re-run ONLY still-unsampled

@@ -373,7 +373,48 @@ object Relational9 {
                  RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING)
     ORDER BY event_type, d"""
 
+  /** SKYLINE (Pareto frontier) — suppliers no other supplier beats on
+    * BOTH total cost (lower is better) and total quantity shipped
+    * (higher is better): the multi-criteria "best offers" operator
+    * some engines ship as SKYLINE OF. Aggregate FIRST (q_top_movers
+    * rule): the per-supplier rollup is tiny at any corpus size, so the
+    * dominance test runs as one broadcast anti-join over it — the
+    * literal NOT EXISTS, which is what the oracle states, so the tie
+    * semantics (equal on both axes → both survive; equal on one,
+    * strictly worse on the other → dominated) hold by construction
+    * rather than via a fragile sweep-order encoding. A raw-row skyline
+    * at 100 TB would first reduce per partition (local skylines are a
+    * superset of the global one) and anti-join only the survivors.
+    */
+  def qSkyline(s: SparkSession, dir: String): DataFrame = {
+    val roll = Tables.hot(Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_suppkey"))
+      .agg(QueryDef.dsum(col("l_extendedprice"), 2).as("cost"),
+        QueryDef.dsum(col("l_quantity"), 2).as("qty")))
+    val dom = roll.as("a").join(broadcast(roll.as("b")),
+      col("b.cost") <= col("a.cost") && col("b.qty") >= col("a.qty") &&
+        (col("b.cost") < col("a.cost") || col("b.qty") > col("a.qty")),
+      "left_anti")
+    dom.select(col("l_suppkey"), col("cost"), col("qty"))
+      .orderBy("l_suppkey")
+  }
+
+  val qSkylineSql: String = """
+    WITH roll AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS cost,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      FROM lineitem GROUP BY 1)
+    SELECT a.l_suppkey, a.cost, a.qty
+    FROM roll a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM roll b
+      WHERE b.cost <= a.cost AND b.qty >= a.qty
+        AND (b.cost < a.cost OR b.qty > a.qty))
+    ORDER BY a.l_suppkey"""
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("q_skyline", qSkyline, Some(qSkylineSql)),
     QueryDef("q_centered_frame", qCenteredFrame, Some(qCenteredFrameSql)),
     QueryDef("q_explode_outer", qExplodeOuter, Some(qExplodeOuterSql)),
     QueryDef("q_incr_join", qIncrJoin, Some(qIncrJoinSql)),
