@@ -251,8 +251,69 @@ object Graph {
     FROM it5, n ORDER BY part"""
   }
 
+  /** Edge EMBEDDEDNESS distribution — per edge the fraction of its
+    * endpoints' other neighbors that are shared, |N(u)∩N(v)| /
+    * (|N(u)|+|N(v)|−2−|N(u)∩N(v)|) — the tie-strength signal crawl
+    * graphs use to separate organic links from spam farms (strong
+    * ties embed in shared neighborhoods; link-farm edges don't).
+    * Same machinery as graph_triangles: full sorted adjacency arrays
+    * (loud degree bound), one codegen array_intersect per edge, then
+    * ONE hash aggregate into decile buckets — the per-edge scores
+    * never leave the executors.
+    */
+  def edgeOverlap(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.hot(Tables.fanout(coEdges(s, dir)))
+    val dirE = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+    val adj = broadcast(Tables.hot(dirE.groupBy(col("src").as("v"))
+      .agg(array_sort(collect_list(col("dst"))).as("nbr"))
+      .select(col("v"), expr("""CASE WHEN size(nbr) <= 65536 THEN nbr
+        ELSE raise_error(concat('graph_edge_overlap: degree ',
+          CAST(size(nbr) AS STRING),
+          ' exceeds the adjacency-array bound')) END""").as("nbr"))))
+    val scored = e
+      .join(adj.select(col("v").as("a"), col("nbr").as("na")), Seq("a"))
+      .join(adj.select(col("v").as("b"), col("nbr").as("nb")), Seq("b"))
+      .select(size(array_intersect(col("na"), col("nb"))).as("common"),
+        (size(col("na")) + size(col("nb")) - 2).as("others"))
+      .select(when(col("others") > col("common"),
+        col("common").cast("double") / (col("others") - col("common")))
+        .otherwise(lit(1.0)).as("ov"))
+    scored
+      .select(least(floor(col("ov") * 10).cast("int"), lit(9)).as("decile"),
+        col("ov"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_edges"),
+        round(sum(col("ov").cast(
+          org.apache.spark.sql.types.DecimalType(38, 12))).cast("double")
+          / count(lit(1)), 6).as("avg_overlap"))
+      .orderBy("decile")
+  }
+
+  val edgeOverlapSql: String = s"""
+    WITH $coEdgesSql,
+    dirE AS (
+      SELECT a AS src, b AS dst FROM pairs
+      UNION ALL SELECT b, a FROM pairs),
+    adj AS (SELECT src AS v, list(dst ORDER BY dst) AS nbr
+            FROM dirE GROUP BY src),
+    scored AS (
+      SELECT CASE WHEN (len(na.nbr) + len(nb.nbr) - 2) >
+                       len(list_intersect(na.nbr, nb.nbr))
+        THEN CAST(len(list_intersect(na.nbr, nb.nbr)) AS DOUBLE) /
+             (len(na.nbr) + len(nb.nbr) - 2 -
+              len(list_intersect(na.nbr, nb.nbr)))
+        ELSE CAST(1.0 AS DOUBLE) END AS ov
+      FROM pairs p JOIN adj na ON p.a = na.v JOIN adj nb ON p.b = nb.v)
+    SELECT LEAST(CAST(floor(ov * 10) AS INT), 9) AS decile,
+           COUNT(*) AS n_edges,
+           ROUND(CAST(SUM(CAST(ov AS DECIMAL(38,12))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_overlap
+    FROM scored GROUP BY 1 ORDER BY decile"""
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("q_transitive", transitiveDepth, Some(transitiveDepthSql)),
     QueryDef("graph_triangles", triangleCounts, Some(triangleCountsSql)),
-    QueryDef("graph_pagerank", pageRank, Some(pageRankSql)))
+    QueryDef("graph_pagerank", pageRank, Some(pageRankSql)),
+    QueryDef("graph_edge_overlap", edgeOverlap, Some(edgeOverlapSql)))
 }
