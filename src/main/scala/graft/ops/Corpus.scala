@@ -832,7 +832,54 @@ object Corpus {
     FROM tot t LEFT JOIN reb r ON t.doc_id = r.doc_id
     ORDER BY t.doc_id"""
 
+  /** Importance sampling — keep probability PROPORTIONAL to a per-doc
+    * quality weight (here the distinct-token ratio, the Gopher-style
+    * diversity signal), not a flat per-stratum rate: the
+    * quality-weighted downsampling step between corpus_quality_filter's
+    * hard gate and corpus_mix's stratum equalization. The keep decision
+    * is u(doc) < w(doc) with u an md5-derived uniform — a pure function
+    * of the row (sample_stratified contract: rerunnable, engine- and
+    * cluster-size-independent, no RNG state), so the oracle replays it
+    * exactly. One scan, one map-side-combined aggregate; E[kept] =
+    * Σw certified by emitting both.
+    */
+  def sampleImportance(s: SparkSession, dir: String): DataFrame = {
+    val w = (size(array_distinct(toks)).cast("double") /
+      greatest(size(toks), lit(1))).as("w")
+    val u = (expr(
+      "CAST(conv(substring(md5(concat('imp1:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS DOUBLE)")
+      / lit(4294967296.0)).as("u")
+    docs(s, dir).select(col("source"), w, u)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("u") < col("w"), 1L).otherwise(0L)).as("n_kept"),
+        round(sum(col("w").cast(
+          org.apache.spark.sql.types.DecimalType(38, 12))).cast("double"), 6)
+          .as("expected_kept"),
+        round(sum(when(col("u") < col("w"), col("w")).otherwise(lit(0.0))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 12)))
+          .cast("double"), 6).as("kept_weight"))
+      .orderBy("source")
+  }
+
+  val sampleImportanceSql: String = """
+    WITH d AS (
+      SELECT source,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / GREATEST(len(string_split(text, ' ')), 1) AS w,
+             CAST(('0x' || substring(md5('imp1:' || CAST(doc_id AS VARCHAR)),
+               1, 8)) AS UBIGINT)::DOUBLE / 4294967296.0 AS u
+      FROM documents)
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN u < w THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           ROUND(CAST(SUM(CAST(w AS DECIMAL(38,12))) AS DOUBLE), 6)
+             AS expected_kept,
+           ROUND(CAST(SUM(CAST(CASE WHEN u < w THEN w ELSE 0.0 END
+             AS DECIMAL(38,12))) AS DOUBLE), 6) AS kept_weight
+    FROM d GROUP BY source ORDER BY source"""
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("sample_importance", sampleImportance, Some(sampleImportanceSql)),
     QueryDef("dedup_paragraphs", dedupParagraphs, Some(dedupParagraphsSql)),
     QueryDef("corpus_datasheet", corpusDatasheet, Some(corpusDatasheetSql)),
     QueryDef("corpus_pipeline_full", pipelineFull, Some(pipelineFullSql)),
