@@ -311,9 +311,68 @@ object Graph {
                  / COUNT(*), 6) AS avg_overlap
     FROM scored GROUP BY 1 ORDER BY decile"""
 
+  /** Market-basket association rules: support, confidence, and LIFT of
+    * part co-purchases — the top-20 strongest associations with a
+    * minimum-support floor. Everything is a ratio of INTEGER counts
+    * (lift = c_ab·N / (n_a·n_b)), so no libm call enters the gate and
+    * the ranking is bit-deterministic; ties break on the pair key.
+    * Scale shape: one distinct pass, one bounded per-basket pair
+    * explode (the coEdges contract), two hash aggregates, a broadcast
+    * of the two tiny count tables, sort-limit (TakeOrdered) — the raw
+    * pair space never sorts globally.
+    */
+  def basketLift(s: SparkSession, dir: String): DataFrame = {
+    val po = Tables.hot(Tables.fanout(
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()))
+    val pairs = po.as("l1").join(po.as("l2"),
+        col("l1.ok") === col("l2.ok") && col("l1.pk") < col("l2.pk"))
+      .groupBy(col("l1.pk").as("a"), col("l2.pk").as("b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= 2)
+    val tot = broadcast(Tables.hot(
+      po.groupBy(col("pk")).agg(count(lit(1)).as("n"))))
+    val nOrders = broadcast(
+      po.select(col("ok")).distinct().agg(count(lit(1)).as("n_orders")))
+    pairs
+      .join(tot.select(col("pk").as("a"), col("n").as("n_a")), Seq("a"))
+      .join(tot.select(col("pk").as("b"), col("n").as("n_b")), Seq("b"))
+      .crossJoin(nOrders)
+      .select(col("a"), col("b"), col("c_ab"),
+        (col("c_ab") * col("n_orders")).cast("double")
+          ./((col("n_a") * col("n_b")).cast("double")).as("lift"),
+        (col("c_ab").cast("double") / col("n_a")).as("conf_a_b"))
+      .orderBy(col("lift").desc, col("a"), col("b"))
+      .limit(20)
+      .select(col("a"), col("b"), col("c_ab"), round(col("lift"), 6).as("lift"),
+        round(col("conf_a_b"), 6).as("conf_a_b"))
+  }
+
+  val basketLiftSql: String = """
+    WITH po AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                FROM lineitem),
+    pairs AS (
+      SELECT l1.pk AS a, l2.pk AS b, COUNT(*) AS c_ab
+      FROM po l1 JOIN po l2 ON l1.ok = l2.ok AND l1.pk < l2.pk
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    tot AS (SELECT pk, COUNT(*) AS n FROM po GROUP BY 1),
+    nn AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM po),
+    scored AS (
+      SELECT p.a, p.b, CAST(p.c_ab AS BIGINT) AS c_ab,
+             CAST(p.c_ab * nn.n_orders AS DOUBLE)
+               / CAST(ta.n * tb.n AS DOUBLE) AS lift,
+             CAST(p.c_ab AS DOUBLE) / ta.n AS conf_a_b
+      FROM pairs p
+      JOIN tot ta ON p.a = ta.pk
+      JOIN tot tb ON p.b = tb.pk, nn)
+    SELECT a, b, c_ab, ROUND(lift, 6) AS lift, ROUND(conf_a_b, 6) AS conf_a_b
+    FROM scored ORDER BY scored.lift DESC, a, b LIMIT 20"""
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("q_transitive", transitiveDepth, Some(transitiveDepthSql)),
     QueryDef("graph_triangles", triangleCounts, Some(triangleCountsSql)),
     QueryDef("graph_pagerank", pageRank, Some(pageRankSql)),
-    QueryDef("graph_edge_overlap", edgeOverlap, Some(edgeOverlapSql)))
+    QueryDef("graph_edge_overlap", edgeOverlap, Some(edgeOverlapSql)),
+    QueryDef("q_basket_lift", basketLift, Some(basketLiftSql)))
 }
