@@ -161,7 +161,87 @@ object TimeSeries {
     FROM tapped ORDER BY event_type, day"""
   }
 
+  /** Two-sample A/B test per event type: Welch z on `value` between
+    * the hash-bucket variants (k even = A, k odd = B — assignment by
+    * bucket, the standard experiment design). ONE conditional-
+    * aggregation pass (never two scans outer-joined back); moments
+    * ride the q_stats decimal power sums so both engines hold
+    * identical doubles, and the only non-arithmetic call is sqrt —
+    * IEEE-754 correctly rounded in both engines, unlike log/exp, so
+    * the z-score itself passes the hash gate at 6 dp.
+    */
+  def abTest(s: SparkSession, dir: String): DataFrame = {
+    def d(c: org.apache.spark.sql.Column, sc: Int) = c.cast(DecimalType(28, sc))
+    val isA = from_json(col("props"), lit("k INT"))
+      .getField("k") % 2 === 0
+    val v = col("value")
+    Tables.load(s, dir, "events")
+      .select(col("event_type"), isA.as("is_a"), v.as("value"))
+      .groupBy("event_type")
+      .agg(
+        sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("is_a"), d(col("value"), 6))).cast("double").as("sa"),
+        sum(when(!col("is_a"), d(col("value"), 6))).cast("double").as("sb"),
+        sum(when(col("is_a"), d(col("value") * col("value"), 8)))
+          .cast("double").as("sa2"),
+        sum(when(!col("is_a"), d(col("value") * col("value"), 8)))
+          .cast("double").as("sb2"))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        round(col("sa") / col("n_a"), 6).as("mean_a"),
+        round(col("sb") / col("n_b"), 6).as("mean_b"),
+        round(
+          (col("sa") / col("n_a") - col("sb") / col("n_b")) /
+            sqrt(
+              ((col("sa2") * col("n_a") - col("sa") * col("sa")) /
+                (col("n_a") * (col("n_a") - 1))) / col("n_a") +
+              ((col("sb2") * col("n_b") - col("sb") * col("sb")) /
+                (col("n_b") * (col("n_b") - 1))) / col("n_b")), 6).as("z"),
+        when(abs(
+          (col("sa") / col("n_a") - col("sb") / col("n_b")) /
+            sqrt(
+              ((col("sa2") * col("n_a") - col("sa") * col("sa")) /
+                (col("n_a") * (col("n_a") - 1))) / col("n_a") +
+              ((col("sb2") * col("n_b") - col("sb") * col("sb")) /
+                (col("n_b") * (col("n_b") - 1))) / col("n_b"))) > 1.96,
+          1).otherwise(0).as("significant"))
+      .orderBy("event_type")
+  }
+
+  val abTestSql: String = {
+    val za = "(sa / n_a - sb / n_b) / sqrt(((sa2 * n_a - sa * sa) / (n_a * (n_a - 1))) / n_a + ((sb2 * n_b - sb * sb) / (n_b * (n_b - 1))) / n_b)"
+    s"""
+    WITH e AS (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$$.k') AS INTEGER) % 2 = 0
+               AS is_a,
+             value
+      FROM events),
+    m AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN is_a
+               THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS sa,
+             CAST(SUM(CASE WHEN NOT is_a
+               THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS sb,
+             CAST(SUM(CASE WHEN is_a
+               THEN CAST(value * value AS DECIMAL(28,8)) END) AS DOUBLE)
+               AS sa2,
+             CAST(SUM(CASE WHEN NOT is_a
+               THEN CAST(value * value AS DECIMAL(28,8)) END) AS DOUBLE)
+               AS sb2
+      FROM e GROUP BY 1)
+    SELECT event_type, n_a, n_b,
+           ROUND(sa / n_a, 6) AS mean_a,
+           ROUND(sb / n_b, 6) AS mean_b,
+           ROUND($za, 6) AS z,
+           CASE WHEN abs($za) > 1.96 THEN 1 ELSE 0 END AS significant
+    FROM m ORDER BY event_type"""
+  }
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("q_interval_sweep", intervalSweep, Some(intervalSweepSql)),
-    QueryDef("q_ewma", ewma, Some(ewmaSql)))
+    QueryDef("q_ewma", ewma, Some(ewmaSql)),
+    QueryDef("q_abtest", abTest, Some(abTestSql)))
 }
