@@ -42,6 +42,40 @@ final case class CorpusPipeline(df: DataFrame) {
           >= minDistinctRatio))
   }
 
+  /** Cross-corpus duplicate-BLOCK removal (the ops.Corpus
+    * dedup_paragraphs rewrite as a chain step): every 10-token block
+    * already seen at a smaller (doc_id, pos) is dropped and the
+    * document is rebuilt from its survivors; documents losing every
+    * block drop out. Stays ONE lazy plan — two block-key shuffles and
+    * a doc-key join, but no materialization, so the later steps'
+    * column pruning still reaches the scan. */
+  def dedupParagraphs(blockTokens: Int = 10): CorpusPipeline = {
+    val t = split(col("text"), " ")
+    val nBlocks = ceil(size(t) / lit(blockTokens.toDouble)).cast("int")
+    val blockArr = transform(sequence(lit(1), nBlocks),
+      i => concat_ws(" ", slice(t, (i - 1) * blockTokens + 1,
+        lit(blockTokens))))
+    val b = df.select(col("doc_id"),
+      posexplode(blockArr).as(Seq("pos", "blk")))
+    val packed = expr("""CASE WHEN doc_id >= 0 AND doc_id < 4398046511104
+        AND pos >= 0 AND pos < 1048576
+      THEN doc_id * 1048576 + pos
+      ELSE raise_error('dedupParagraphs: unpackable (doc_id, pos)') END""")
+    val canon = b.select(xxhash64(col("blk")).as("bh"), packed.as("pk"))
+      .groupBy("bh").agg(min(col("pk")).as("cp"))
+    val rebuilt = b
+      .select(col("doc_id"), col("pos"), col("blk"),
+        xxhash64(col("blk")).as("bh"), packed.as("pk"))
+      .join(canon, Seq("bh"))
+      .filter(col("pk") === col("cp"))
+      .groupBy("doc_id")
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("pos"), col("blk")))),
+          x => x.getField("blk"))).as("_rebuilt"))
+    CorpusPipeline(df.join(rebuilt, Seq("doc_id"))
+      .withColumn("text", col("_rebuilt")).drop("_rebuilt"))
+  }
+
   /** Exact dedup keeping the smallest doc_id per identical text —
     * one hash shuffle; rows keep their full schema (window argmin,
     * not a groupBy that would drop columns). */

@@ -721,6 +721,67 @@ object Corpus {
            COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tok_sum
     FROM packed GROUP BY 1, 2 ORDER BY source, shard"""
 
+  /** The assembly chain with cross-corpus duplicate-BLOCK removal
+    * fused in: qualityFilter → dedupParagraphs (documents REWRITTEN
+    * from their surviving 10-token blocks) → dedupExact →
+    * sampleStratified → packShards — still ONE lazy Catalyst plan (the
+    * rewrite adds two block-key shuffles and a doc join, never a
+    * materialization), and every later step operates on the REBUILT
+    * text (the md5 sampling threshold provably sees the rewritten
+    * bytes — the oracle replays the rebuild with string_agg and then
+    * the same md5 cuts). */
+  def pipelineV2(s: SparkSession, dir: String): DataFrame =
+    graft.api.CorpusPipeline(docs(s, dir))
+      .qualityFilter()
+      .dedupParagraphs()
+      .dedupExact
+      .sampleStratified()
+      .packShards(2000)
+      .shardStats
+
+  val pipelineV2Sql: String = """
+    WITH q AS (
+      SELECT * FROM documents
+      WHERE len(string_split(text, ' ')) >= 20
+        AND len(string_split(text, ' ')) <= 100000
+        AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+              / len(string_split(text, ' ')) >= 0.1),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM q),
+    b AS (
+      SELECT doc_id, pos,
+             array_to_string(t[pos * 10 + 1 : pos * 10 + 10], ' ') AS blk
+      FROM (SELECT doc_id, t,
+              unnest(generate_series(0,
+                CAST(ceil(len(t) / 10.0) AS INT) - 1)) AS pos
+            FROM toks)),
+    canon AS (
+      SELECT blk, MIN(doc_id * 1048576 + pos) AS cp FROM b GROUP BY blk),
+    reb AS (
+      SELECT b.doc_id, string_agg(b.blk, ' ' ORDER BY b.pos) AS text
+      FROM b JOIN canon c ON b.blk = c.blk
+      WHERE b.doc_id * 1048576 + b.pos = c.cp
+      GROUP BY b.doc_id),
+    rw AS (
+      SELECT q.doc_id, reb.text, q.lang, q.source
+      FROM q JOIN reb ON q.doc_id = reb.doc_id),
+    dedup AS (
+      SELECT * FROM rw
+      QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+    sampled AS (
+      SELECT * FROM dedup
+      WHERE substring(md5(text), 1, 2) <
+            (CASE WHEN lang = 'en' THEN '29' ELSE '80' END)),
+    packed AS (
+      SELECT source, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+               OVER (PARTITION BY source ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) AS cum
+      FROM sampled)
+    SELECT source, CAST(FLOOR((cum - n_tok) / 2000.0) AS BIGINT) AS shard,
+           COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tok_sum
+    FROM packed GROUP BY 1, 2 ORDER BY source, shard"""
+
   /** The corpus DATASHEET — the per-source summary every corpus
     * release publishes: document/token/char totals, mean lengths, and
     * the language mix, in ONE map-side-combined aggregate pass.
@@ -883,6 +944,7 @@ object Corpus {
     QueryDef("dedup_paragraphs", dedupParagraphs, Some(dedupParagraphsSql)),
     QueryDef("corpus_datasheet", corpusDatasheet, Some(corpusDatasheetSql)),
     QueryDef("corpus_pipeline_full", pipelineFull, Some(pipelineFullSql)),
+    QueryDef("corpus_pipeline_v2", pipelineV2, Some(pipelineV2Sql)),
     QueryDef("pack_shards", (s, d) => packShards(s, d), Some(packShardsSql)),
     QueryDef("sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
     QueryDef("sample_reservoir", (s, d) => sampleReservoir(s, d),
