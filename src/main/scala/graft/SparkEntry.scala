@@ -17,7 +17,8 @@ object SparkEntry {
       ops.GeoQueries.all ++ ops.TextDedup.all ++ ops.DedupCluster.all ++
       ops.VectorOps.all ++
       ops.Multimodal.all ++ ops.WebData.all ++ ops.Graph.all ++
-      ops.TimeSeries.all ++ ops.Bpe.all ++ ops.Sketches.all
+      ops.TimeSeries.all ++ ops.Bpe.all ++ ops.Sketches.all ++
+      ops.Journey.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,143 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** User-journey operators over the event stream: regex sequence matching
+  * (the MATCH_RECOGNIZE / ClickHouse-windowFunnel class, generalized
+  * from q_funnel_window's fixed 3-step chain to arbitrary patterns with
+  * negations) and first-order Markov transition structure.
+  *
+  * Reference analog: duckpipe has no event-sequence surface; these are
+  * the product-analytics operators a warehouse runs next to funnels.
+  *
+  * Regex policy: patterns restricted to the Java∩RE2 intersection
+  * (character classes, *, anchors — no lookaround/backrefs), the
+  * text_pii precedent, so Spark's Java regex and DuckDB's RE2 agree.
+  */
+object Journey {
+
+  /** Per-user journey length cap: the collect-per-user state bound. At
+    * 99 events/user in the synthetic stream this never binds; a corpus
+    * that exceeds it fails LOUDLY instead of silently truncating a
+    * sequence (which would corrupt negated patterns like [^p]*$). */
+  private val Cap = 4096
+
+  private def code: Column =
+    when(col("event_type") === "click", "c")
+      .when(col("event_type") === "error", "e")
+      .when(col("event_type") === "purchase", "p")
+      .when(col("event_type") === "signup", "s")
+      .when(col("event_type") === "view", "v")
+      .otherwise(raise_error(concat(lit("q_sequence_match: unknown event_type "),
+        col("event_type"))))
+
+  /** Regex sequence match over per-user event-code strings: each user's
+    * journey is rendered once as an ordered single-char code string
+    * (ONE shuffle on the user key; state per user = its own journey,
+    * capped loudly at [[Cap]]), then every pattern is a conditional
+    * count in ONE aggregate — adding patterns costs zero extra passes.
+    * Patterns exercise the shapes fixed-step funnels cannot express:
+    * a negated-gap chain (view→click→purchase with no purchase
+    * between), an absorbing failure (error never followed by a
+    * purchase), and an anchored prefix (purchase before any view or
+    * click).
+    */
+  def sequenceMatch(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.loadEventsUs(s, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"), code.as("code"))
+    val arr = array_sort(collect_list(struct(col("ts_us"), col("event_id"),
+      col("code"))))
+    val seqs = ev.groupBy("user_id")
+      .agg(arr.as("arr"))
+      .select(when(size(col("arr")) <= Cap,
+        array_join(transform(col("arr"), x => x.getField("code")), ""))
+        .otherwise(raise_error(concat(lit("q_sequence_match: journey longer "),
+          lit(s"than $Cap events for user "), col("user_id").cast("string"))))
+        .as("s"))
+    val m = seqs.agg(
+      count(lit(1)).as("n_users"),
+      sum(when(col("s").rlike("v[^p]*c[^p]*p"), 1L).otherwise(0L)).as("m1"),
+      sum(when(col("s").rlike("e[^p]*$"), 1L).otherwise(0L)).as("m2"),
+      sum(when(col("s").rlike("^[^vc]*p"), 1L).otherwise(0L)).as("m3"))
+    m.select(expr(
+        """stack(3, 'browse_buy', m1, 'error_churn', m2, 'direct_buy', m3)
+           AS (pattern, n_matched)"""),
+        col("n_users"))
+      .select(col("pattern"), col("n_users"), col("n_matched"),
+        round(col("n_matched").cast("double") / col("n_users"), 6)
+          .as("match_rate"))
+      .orderBy("pattern")
+  }
+
+  val sequenceMatchSql: String = """
+    WITH ev AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_id,
+        CASE event_type WHEN 'click' THEN 'c' WHEN 'error' THEN 'e'
+          WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+          WHEN 'view' THEN 'v' END AS code
+      FROM events),
+    seqs AS (
+      SELECT user_id, string_agg(code, '' ORDER BY t, event_id) AS s
+      FROM ev GROUP BY 1),
+    m AS (
+      SELECT COUNT(*) AS n_users,
+        SUM(CASE WHEN regexp_matches(s, 'v[^p]*c[^p]*p') THEN 1 ELSE 0 END) AS m1,
+        SUM(CASE WHEN regexp_matches(s, 'e[^p]*$') THEN 1 ELSE 0 END) AS m2,
+        SUM(CASE WHEN regexp_matches(s, '^[^vc]*p') THEN 1 ELSE 0 END) AS m3
+      FROM seqs)
+    SELECT pattern, CAST(n_users AS BIGINT) AS n_users,
+           CAST(n_matched AS BIGINT) AS n_matched,
+           ROUND(CAST(n_matched AS DOUBLE) / n_users, 6) AS match_rate
+    FROM (
+      SELECT 'browse_buy' AS pattern, n_users, m1 AS n_matched FROM m
+      UNION ALL SELECT 'error_churn', n_users, m2 FROM m
+      UNION ALL SELECT 'direct_buy', n_users, m3 FROM m)
+    ORDER BY pattern"""
+
+  /** First-order Markov transition matrix over event types: counts and
+    * conditional probabilities P(to | from) of consecutive event pairs
+    * per user. ONE per-user lag window (single shuffle) + one hash
+    * aggregate; the row-normalizing total rides a window over the tiny
+    * 5×5 count matrix. Probabilities are single divisions of exact
+    * integer counts — bit-deterministic cross-engine.
+    */
+  def markov(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val tr = Tables.loadEventsUs(s, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        col("event_type").as("to_type"))
+      .withColumn("from_type", lag(col("to_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+    val counts = tr.groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("tot", sum(col("n")).over(Window.partitionBy("from_type")))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("tot"), 6).as("p"))
+      .orderBy("from_type", "to_type")
+  }
+
+  val markovSql: String = """
+    WITH ev AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_id,
+             event_type
+      FROM events),
+    tr AS (
+      SELECT event_type AS to_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id)
+               AS from_type
+      FROM ev),
+    counts AS (
+      SELECT from_type, to_type, COUNT(*) AS n
+      FROM tr WHERE from_type IS NOT NULL GROUP BY 1, 2)
+    SELECT from_type, to_type, n,
+           ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type), 6)
+             AS p
+    FROM counts ORDER BY from_type, to_type"""
+
+  def all: Seq[QueryDef] = Seq(
+    QueryDef("q_sequence_match", sequenceMatch, Some(sequenceMatchSql)),
+    QueryDef("q_markov", markov, Some(markovSql)))
+}

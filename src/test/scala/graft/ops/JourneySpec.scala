@@ -1,0 +1,41 @@
+package graft.ops
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class JourneySpec extends SparkSpec {
+
+  test("markov: rows normalize to 1 and transitions total events minus users") {
+    val out = Journey.markov(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getAs[String]("from_type")).foreach { case (_, rows) =>
+      val psum = rows.map(_.getAs[Double]("p")).sum
+      assert(math.abs(psum - 1.0) < 1e-4)
+    }
+    val ev = Tables.load(spark, sfDir, "events")
+    val nEvents = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    assert(out.map(_.getAs[Long]("n")).sum == nEvents - nUsers)
+  }
+
+  test("sequence_match equals a driver-side regex replay") {
+    val seqs = Tables.loadEventsUs(spark, sfDir)
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+      .collect()
+      .groupBy(_.getAs[Long]("user_id"))
+      .map { case (_, rows) =>
+        rows.sortBy(r => (r.getAs[Long]("ts_us"), r.getAs[Long]("event_id")))
+          .map(r => r.getAs[String]("event_type").head).mkString
+      }.toSeq
+    val expect = Map(
+      "browse_buy" -> seqs.count(_.matches(".*v[^p]*c[^p]*p.*")),
+      "error_churn" -> seqs.count(s => "e[^p]*$".r.findFirstIn(s).isDefined),
+      "direct_buy" -> seqs.count(s => "^[^vc]*p".r.findFirstIn(s).isDefined))
+    val out = Journey.sequenceMatch(spark, sfDir).collect()
+      .map(r => r.getAs[String]("pattern") -> r.getAs[Long]("n_matched")).toMap
+    assert(out.keySet == expect.keySet)
+    expect.foreach { case (k, v) => assert(out(k) == v.toLong, s"pattern $k") }
+    assert(Journey.sequenceMatch(spark, sfDir).collect()
+      .forall(_.getAs[Long]("n_users") == seqs.size))
+  }
+}
