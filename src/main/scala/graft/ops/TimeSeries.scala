@@ -240,8 +240,164 @@ object TimeSeries {
     FROM m ORDER BY event_type"""
   }
 
+  /** Lag-k autocorrelation (k = 1..7) of the daily event-count series
+    * per type — the seasonality detector (a weekly cycle shows as an
+    * r-spike at lag 7). Aggregate FIRST: the per-(type, day) rollup is
+    * tiny at any scale, so the 7 lag pairs ride ONE window over it,
+    * stacked into (lag, x, y) rows and folded by one hash aggregate.
+    * Pairs pair day t with OBSERVED day t−k only (a gap in the series
+    * contributes no pair, rather than silently pairing across it).
+    * Counts are integers, so every power sum is exact; Pearson r is
+    * then pure double arithmetic + one sqrt (IEEE-correctly rounded in
+    * both engines — the q_stats/abtest policy), rounded at 6 dp.
+    * Degenerate (constant) segments yield NULL r via a zero-variance
+    * guard, mirrored in the oracle.
+    */
+  def autocorr(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.loadEventsUs(s, dir)
+      .withColumn("day", expr("ts_us DIV 86400000000"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val lagged = (1 to 7).foldLeft(daily) { (df, k) =>
+      df.withColumn(s"x$k",
+          when(lag(col("day"), k).over(w) === col("day") - k,
+            lag(col("x"), k).over(w)))
+    }
+    val stacked = lagged.select(col("event_type"), col("x"),
+      expr(s"stack(7, ${(1 to 7).map(k => s"$k, x$k").mkString(", ")}) AS (lag, y)"))
+      .filter(col("y").isNotNull)
+    stacked.groupBy("event_type", "lag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("event_type"), col("lag"), col("n"),
+        when(col("n") * col("sxx") - col("sx") * col("sx") > 0 &&
+             col("n") * col("syy") - col("sy") * col("sy") > 0,
+          round(
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+                   (col("n") * col("syy") - col("sy") * col("sy")).cast("double")),
+            6)).as("r"))
+      .orderBy("event_type", "lag")
+  }
+
+  val autocorrSql: String = {
+    val lagCols = (1 to 7).map { k =>
+      s"""CASE WHEN LAG(day, $k) OVER w = day - $k
+            THEN LAG(x, $k) OVER w END AS x$k"""
+    }.mkString(",\n             ")
+    val stacked = (1 to 7).map { k =>
+      s"SELECT event_type, x, $k AS lag, x$k AS y FROM lagged"
+    }.mkString("\n      UNION ALL ")
+    s"""
+    WITH daily AS (
+      SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+             COUNT(*) AS x
+      FROM events GROUP BY 1, 2),
+    lagged AS (
+      SELECT event_type, day, x,
+             $lagCols
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+    stacked AS ($stacked),
+    m AS (
+      SELECT event_type, lag, COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM stacked WHERE y IS NOT NULL GROUP BY 1, 2)
+    SELECT event_type, lag, n,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+             THEN ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                        / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                               * CAST(n * syy - sy * sy AS DOUBLE)), 6) END AS r
+    FROM m ORDER BY event_type, lag"""
+  }
+
+  /** CUSUM changepoint detection per event type over the daily count
+    * series: the day where the cumulative deviation from the global
+    * mean peaks in magnitude — the level-shift locator behind drift
+    * alerts. The whole statistic stays INTEGER: with S the total, n the
+    * day count and P_t the prefix sum, n·S_t = n·P_t − t·S (S_t = the
+    * textbook Σ(x−x̄) cusum), so the argmax is exact and the only
+    * doubles are the final reported magnitudes. Aggregate-first (tiny
+    * rollup), one window for the prefix sum, peak picked by the
+    * broadcast join-back pattern (intervalSweep precedent) with ties
+    * to the earliest day; before/after segment means certify the shift
+    * direction.
+    */
+  def cusum(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.loadEventsUs(s, dir)
+      .withColumn("day", expr("ts_us DIV 86400000000"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val pre = daily
+      .withColumn("t", row_number().over(w))
+      .withColumn("p", sum(col("x")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = daily.groupBy("event_type")
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+    val cu = pre.join(broadcast(tot), "event_type")
+      .withColumn("c", col("n") * col("p") - col("t") * col("s"))
+    val peak = cu.groupBy("event_type").agg(max(abs(col("c"))).as("cmax"))
+    cu.join(broadcast(peak), "event_type")
+      .filter(abs(col("c")) === col("cmax"))
+      .groupBy("event_type")
+      .agg(first(col("cmax")).as("cmax"), min(col("day")).as("cp_day"),
+        min_by(struct(col("t"), col("p"), col("c"), col("s"), col("n")),
+          col("day")).as("at"))
+      .select(col("event_type"),
+        col("at.n").as("n_days"), col("cp_day"),
+        round(col("at.c").cast("double") / col("at.n"), 6).as("cusum"),
+        round(col("at.p").cast("double") / col("at.t"), 6).as("mean_before"),
+        when(col("at.n") > col("at.t"),
+          round((col("at.s") - col("at.p")).cast("double") /
+            (col("at.n") - col("at.t")), 6)).as("mean_after"),
+        when(col("at.c") >= 0, "down").otherwise("up").as("direction"))
+      .orderBy("event_type")
+  }
+
+  val cusumSql: String = """
+    WITH daily AS (
+      SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+             COUNT(*) AS x
+      FROM events GROUP BY 1, 2),
+    pre AS (
+      SELECT event_type, day, x,
+             ROW_NUMBER() OVER w AS t,
+             SUM(x) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS UNBOUNDED PRECEDING) AS p
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+    tot AS (
+      SELECT event_type, CAST(SUM(x) AS BIGINT) AS s, COUNT(*) AS n
+      FROM daily GROUP BY 1),
+    cu AS (
+      SELECT pre.event_type, day, t, CAST(p AS BIGINT) AS p, s, n,
+             n * CAST(p AS BIGINT) - t * s AS c
+      FROM pre JOIN tot ON pre.event_type = tot.event_type),
+    peak AS (SELECT event_type, MAX(abs(c)) AS cmax FROM cu GROUP BY 1),
+    hit AS (
+      SELECT cu.event_type, cu.day, cu.t, cu.p, cu.c, cu.s, cu.n, pk.cmax,
+             ROW_NUMBER() OVER (PARTITION BY cu.event_type ORDER BY cu.day)
+               AS rn
+      FROM cu JOIN peak pk
+        ON cu.event_type = pk.event_type AND abs(cu.c) = pk.cmax)
+    SELECT event_type, n AS n_days, day AS cp_day,
+           ROUND(CAST(c AS DOUBLE) / n, 6) AS cusum,
+           ROUND(CAST(p AS DOUBLE) / t, 6) AS mean_before,
+           CASE WHEN n > t
+             THEN ROUND(CAST(s - p AS DOUBLE) / (n - t), 6) END AS mean_after,
+           CASE WHEN c >= 0 THEN 'down' ELSE 'up' END AS direction
+    FROM hit WHERE rn = 1 ORDER BY event_type"""
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("q_interval_sweep", intervalSweep, Some(intervalSweepSql)),
     QueryDef("q_ewma", ewma, Some(ewmaSql)),
-    QueryDef("q_abtest", abTest, Some(abTestSql)))
+    QueryDef("q_abtest", abTest, Some(abTestSql)),
+    QueryDef("q_autocorr", autocorr, Some(autocorrSql)),
+    QueryDef("q_cusum", cusum, Some(cusumSql)))
 }

@@ -82,4 +82,52 @@ class GraphTimeSeriesSpec extends SparkSpec {
       assert(rs.forall(r => r.getDouble(3) >= lo && r.getDouble(3) <= hi))
     }
   }
+
+  test("q_autocorr: r bounded, pair counts shrink with lag") {
+    val rows = TimeSeries.autocorr(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      if (!r.isNullAt(3))
+        assert(math.abs(r.getDouble(3)) <= 1.0 + 1e-9, s"out-of-range r: $r")
+    }
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val byLag = rs.map(r => r.getInt(1) -> r.getLong(2)).toMap
+      (2 to 7).foreach { k =>
+        for (a <- byLag.get(k); b <- byLag.get(k - 1)) assert(a <= b)
+      }
+    }
+  }
+
+  test("q_cusum equals a driver-side argmax replay") {
+    import org.apache.spark.sql.functions._
+    val daily = graft.Tables.loadEventsUs(spark, sfDir)
+      .withColumn("day", expr("ts_us DIV 86400000000"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("x"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (t, rs) =>
+        t -> rs.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+      }
+    val expect = daily.map { case (t, series) =>
+      val n = series.length.toLong
+      val s = series.map(_._2).sum
+      var p = 0L
+      val cus = series.zipWithIndex.map { case ((day, x), i) =>
+        p += x; (day, n * p - (i + 1) * s)
+      }
+      val cmax = cus.map(c => math.abs(c._2)).max
+      t -> cus.filter(c => math.abs(c._2) == cmax).minBy(_._1)._1
+    }
+    val got = TimeSeries.cusum(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got === expect)
+    // direction consistent with the before/after segment means
+    TimeSeries.cusum(spark, sfDir).collect().foreach { r =>
+      if (!r.isNullAt(5)) {
+        val (before, after) = (r.getDouble(4), r.getDouble(5))
+        if (r.getString(6) == "down") assert(before >= after - 1e-9)
+        else assert(before <= after + 1e-9)
+      }
+    }
+  }
 }
