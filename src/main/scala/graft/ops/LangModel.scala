@@ -206,7 +206,106 @@ object LangModel {
     FROM pred WHERE rn = 1
     GROUP BY 1, 2 ORDER BY lang, pred_lang"""
 
+  /** CCNet-style perplexity bucketing: every document scored under the
+    * corpus unigram LM (scoreUnigram — the certified text_unigram_lp
+    * machinery), then split per source into head/middle/tail TERCILES
+    * of avg negative log-likelihood, with per-bucket survival stats —
+    * the bucket label that decides which third of a crawl enters
+    * training, which gets LM-filtered, which is dropped.
+    *
+    * The tercile cuts come from a 300-bin MERGEABLE histogram per
+    * source (the q_incr_quantile machinery), never a per-source global
+    * sort: bin counts aggregate with map-side combine, the cut bins
+    * fold over the tiny (source × 300) table, and bucket assignment is
+    * an integer bin comparison against two broadcast cut points. Cut
+    * positions are exact integer ceilings ((n+2) DIV 3), and avg_nll
+    * is already rounded at 6 dp by the scorer, so binning the
+    * identical doubles is bit-deterministic cross-engine.
+    */
+  def textPplBucket(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nb = 300
+    val docs = Tables.load(s, dir, "documents")
+    val scored = scoreUnigram(Tables.fanout(docs))
+      .join(docs.select("doc_id", "source"), "doc_id")
+    val span = scored.groupBy("source")
+      .agg(min("avg_nll").as("lo"), max("avg_nll").as("hi"))
+    val binned = scored.join(broadcast(span), "source")
+      .withColumn("bin",
+        when(col("hi") > col("lo"),
+          least(lit(nb - 1), greatest(lit(0),
+            floor((col("avg_nll") - col("lo")) / (col("hi") - col("lo")) * nb)
+              .cast("int"))))
+          .otherwise(0))
+    val counts = binned.groupBy("source", "bin").agg(count(lit(1)).as("c"))
+    val cum = counts
+      .withColumn("cc", sum(col("c")).over(Window.partitionBy("source")
+        .orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("nn", sum(col("c")).over(Window.partitionBy("source")))
+    val cuts = cum.groupBy("source").agg(
+      min(when(col("cc") >= expr("(nn + 2) DIV 3"), col("bin"))).as("b1"),
+      min(when(col("cc") >= expr("(2 * nn + 2) DIV 3"), col("bin"))).as("b2"))
+    binned.join(broadcast(cuts), "source")
+      .withColumn("bucket",
+        when(col("bin") <= col("b1"), "head")
+          .when(col("bin") <= col("b2"), "middle")
+          .otherwise("tail"))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        QueryDef.davg(col("avg_nll"), 6).as("mean_nll"),
+        QueryDef.davg(col("n_tok"), 4).as("mean_tok"))
+      .orderBy("source", "bucket")
+  }
+
+  val textPplBucketSql: String = """
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    v AS (SELECT w, COUNT(*) AS c FROM w GROUP BY 1),
+    n AS (SELECT CAST(SUM(c) AS DOUBLE) AS nt FROM v),
+    j AS (SELECT doc_id, c FROM w JOIN v USING (w)),
+    lp AS (
+      SELECT doc_id, COUNT(*) AS n_tok,
+             ROUND(ln((SELECT nt FROM n))
+                   - SUM(CASE WHEN c >= 2 THEN ln(CAST(c AS DOUBLE))
+                         ELSE 0.0 END) / COUNT(*), 6) AS avg_nll
+      FROM j GROUP BY doc_id),
+    sc AS (
+      SELECT lp.doc_id, d.source, lp.n_tok, lp.avg_nll
+      FROM lp JOIN documents d USING (doc_id)),
+    span AS (
+      SELECT source, MIN(avg_nll) AS lo, MAX(avg_nll) AS hi
+      FROM sc GROUP BY 1),
+    b AS (
+      SELECT sc.*, CASE WHEN hi > lo
+        THEN least(299, greatest(0,
+          CAST(floor((avg_nll - lo) / (hi - lo) * 300) AS INTEGER)))
+        ELSE 0 END AS bin
+      FROM sc JOIN span USING (source)),
+    c AS (SELECT source, bin, COUNT(*) AS c FROM b GROUP BY 1, 2),
+    cum AS (
+      SELECT source, bin,
+             SUM(c) OVER (PARTITION BY source ORDER BY bin
+                          ROWS UNBOUNDED PRECEDING) AS cc,
+             SUM(c) OVER (PARTITION BY source) AS nn
+      FROM c),
+    cuts AS (
+      SELECT source,
+             MIN(CASE WHEN cc >= (nn + 2) // 3 THEN bin END) AS b1,
+             MIN(CASE WHEN cc >= (2 * nn + 2) // 3 THEN bin END) AS b2
+      FROM cum GROUP BY 1)
+    SELECT b.source,
+           CASE WHEN bin <= b1 THEN 'head'
+                WHEN bin <= b2 THEN 'middle' ELSE 'tail' END AS bucket,
+           COUNT(*) AS n_docs,
+           ROUND(CAST(SUM(CAST(avg_nll AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_nll,
+           ROUND(CAST(SUM(CAST(n_tok AS DECIMAL(18,4))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_tok
+    FROM b JOIN cuts USING (source)
+    GROUP BY 1, 2 ORDER BY 1, 2"""
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("text_ppl_bucket", textPplBucket, Some(textPplBucketSql)),
     QueryDef("text_unigram_lp", textUnigramLp, Some(textUnigramLpSql)),
     QueryDef("text_bigram_lp", textBigramLp, Some(textBigramLpSql)),
     QueryDef("text_langid_stat", textLangidStat, Some(textLangidStatSql)))

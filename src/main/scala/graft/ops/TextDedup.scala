@@ -497,8 +497,59 @@ object TextDedup {
     WHERE CAST(c AS DOUBLE) / cnt_a.n >= 0.8
     ORDER BY da, db"""
 
+  // ---- soft (frequency-proportional) dedup ----------------------------
+  /** SOFT dedup: instead of keeping exactly one copy per duplicate
+    * group (dedup_exact) every copy survives with probability 1/n for
+    * a group of n — the UniMax/"soft dedup" policy that keeps the
+    * corpus-level token distribution of a document independent of how
+    * many times crawls re-fetched it, without deleting rare natural
+    * repetition. The keep decision is a PURE function of the row:
+    * md5-derived 60-bit uniform u(doc) kept iff u < 2⁶⁰ DIV n — all
+    * INTEGER comparisons (no float boundary can flip cross-engine),
+    * rerunnable on any cluster size. Shapes: one hash aggregate for
+    * group sizes, one shuffle join back on the md5 key (group count is
+    * unbounded — never broadcast), one per-source aggregate. n_uniq
+    * (what dedup_exact would keep) rides along as the comparison
+    * point.
+    */
+  def dedupSoft(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"), md5(col("text")).as("k"))
+    val grp = d.groupBy("k").agg(count(lit(1)).as("n"))
+    d.join(grp.hint("shuffle_hash"), "k")
+      .withColumn("h", conv(substring(md5(concat(lit("soft:"),
+        col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long"))
+      .withColumn("keep",
+        col("h") < expr("CAST(1152921504606846976 AS BIGINT) DIV n"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("k")).as("n_uniq"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+      .select(col("source"), col("n_docs"), col("n_uniq"), col("n_kept"),
+        round(col("n_kept").cast("double") / col("n_docs"), 6).as("kept_rate"))
+      .orderBy("source")
+  }
+
+  val dedupSoftSql: String = """
+    WITH d AS (SELECT doc_id, source, md5(text) AS k FROM documents),
+    g AS (SELECT k, COUNT(*) AS n FROM d GROUP BY 1),
+    j AS (
+      SELECT d.doc_id, d.source, d.k, g.n,
+        CAST(('0x' || substr(md5('soft:' || CAST(doc_id AS VARCHAR)), 1, 15))
+          ::UBIGINT AS BIGINT) AS h
+      FROM d JOIN g USING (k))
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT k) AS BIGINT) AS n_uniq,
+           CAST(SUM(CASE WHEN h < 1152921504606846976 // n THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_kept,
+           ROUND(CAST(SUM(CASE WHEN h < 1152921504606846976 // n
+                          THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+             AS kept_rate
+    FROM j GROUP BY source ORDER BY source"""
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("text_normalize", textNormalize, Some(textNormalizeSql)),
+    QueryDef("dedup_soft", dedupSoft, Some(dedupSoftSql)),
     QueryDef("dedup_containment", dedupContainment, Some(dedupContainmentSql)),
     QueryDef("dedup_exact", dedupExact, Some(dedupExactSql)),
     QueryDef("dedup_keep_best", dedupKeepBest, Some(dedupKeepBestSql)),

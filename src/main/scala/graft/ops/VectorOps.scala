@@ -918,7 +918,12 @@ object VectorOps {
     * the largest-|loading| dimension (ties → smallest dim); output is
     * the unit loading vector plus λ/n, the top explained variance.
     */
-  def embedPca(s: SparkSession, dir: String): DataFrame = {
+  /** The shared power-iteration core: embeddings (hot), the broadcast
+    * mean array, and the CONVERGED unit loading vector after
+    * [[PcaIters]] rounds — reused by embed_pca (adds the λ half-step)
+    * and embed_abtt (projects the component out). */
+  private def pcaConverged(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val e = Tables.hot(emb(s, dir))
     val n = broadcast(e.agg(count(lit(1)).as("n")))
     val dec = org.apache.spark.sql.types.DecimalType(38, 12)
@@ -952,6 +957,13 @@ object VectorOps {
           (col("w") / col("nrm")).as("u")))), x => x.getField("u"))
           .as("vk"))))
     }
+    (e, muArr, vArr)
+  }
+
+  def embedPca(s: SparkSession, dir: String): DataFrame = {
+    val (e, muArr, vArr) = pcaConverged(s, dir)
+    val n = broadcast(e.agg(count(lit(1)).as("n")))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 12)
     // one extra half-step recovers λ·n = ||Σ d (d·v)|| for the CONVERGED v
     val scored = e.crossJoin(muArr).crossJoin(vArr)
       .select(zip_with(col("v"), col("mu"), (a, b) => a - b).as("d"),
@@ -972,6 +984,94 @@ object VectorOps {
         round(col("w") / col("nrm") * col("sg"), 6).as("loading"),
         round(col("nrm") / col("n"), 6).as("lam"))
       .orderBy("dim")
+  }
+
+  /** All-but-the-top (ABTT) embedding post-process audit: mean-center,
+    * project out the top principal component, report per-label total
+    * variance, residual variance and the fraction the component
+    * carried — the standard isotropy fix before cosine retrieval
+    * (common-direction dominance makes raw cosine scores collapse).
+    * Reuses the converged [[pcaConverged]] state: ONE extra corpus
+    * pass (broadcast 64-double state, two native vec_dot per row, one
+    * map-side-combined aggregate). sc² is sign-invariant so no sign
+    * fix is needed; all cross-row sums are decimal-routed, so the
+    * oracle — which unrolls the full 4-round iteration AND the
+    * residual pass in SQL — matches hash-exactly.
+    */
+  def embedAbtt(s: SparkSession, dir: String): DataFrame = {
+    val (e, muArr, vArr) = pcaConverged(s, dir)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 12)
+    val lab = Tables.load(s, dir, "embeddings").select(col("vec_id"), col("label"))
+    val scored = e.join(lab, "vec_id").crossJoin(muArr).crossJoin(vArr)
+      .select(col("label"),
+        zip_with(col("v"), col("mu"), (a, b) => a - b).as("d"), col("vk"))
+      .select(col("label"),
+        call_function("vec_dot", col("d"), col("d")).as("d2"),
+        call_function("vec_dot", col("d"), col("vk")).as("sc"))
+    scored.groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("d2").cast(dec)).as("sd2"),
+        sum((col("sc") * col("sc")).cast(dec)).as("ss2"))
+      .select(col("label"), col("n_vecs"),
+        round(col("sd2").cast("double") / col("n_vecs"), 6).as("var_total"),
+        round((col("sd2") - col("ss2")).cast("double") / col("n_vecs"), 6)
+          .as("var_resid"),
+        round(col("ss2").cast("double") / col("sd2").cast("double"), 6)
+          .as("removed_frac"))
+      .orderBy("label")
+  }
+
+  val embedAbttSql: String = {
+    def iterSql(k: Int): String = s"""
+    sc$k AS (
+      SELECT list_transform(generate_series(1, $Dim),
+               i -> e.v[i] - mu.m[i]) AS d
+      FROM e, mu
+    ),
+    scd$k AS (
+      SELECT d, list_dot_product(d, v$k.vk) AS sc FROM sc$k, v$k
+    ),
+    w$k AS (
+      SELECT dim, CAST(SUM(CAST(d[dim] * sc AS DECIMAL(38,12))) AS DOUBLE) AS w
+      FROM scd$k, generate_series(1, $Dim) AS g(dim)
+      GROUP BY dim
+    ),
+    nrm$k AS (
+      SELECT sqrt(CAST(SUM(CAST(w * w AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+      FROM w$k
+    ),
+    v${k + 1} AS (
+      SELECT list(w / nrm ORDER BY dim) AS vk FROM w$k, nrm$k GROUP BY nrm
+    )"""
+    s"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    n AS (SELECT COUNT(*) AS n FROM e),
+    mu0 AS (
+      SELECT dim, ROUND(CAST(SUM(CAST(v[dim] AS DECIMAL(38,12))) AS DOUBLE)
+                        / n.n, 6) AS m
+      FROM e, n, generate_series(1, $Dim) AS g(dim)
+      GROUP BY dim, n.n),
+    mu AS (SELECT list(m ORDER BY dim) AS m FROM mu0),
+    v1 AS (SELECT list_transform(generate_series(1, $Dim),
+                    i -> CAST(0.125 AS DOUBLE)) AS vk),
+    ${(1 to PcaIters).map(iterSql).mkString(",")},
+    res AS (
+      SELECT label, list_dot_product(d, d) AS d2,
+             list_dot_product(d, v${PcaIters + 1}.vk) AS sc
+      FROM (SELECT label, list_transform(generate_series(1, $Dim),
+                     i -> e.v[i] - mu.m[i]) AS d
+            FROM e, mu), v${PcaIters + 1})
+    SELECT label, COUNT(*) AS n_vecs,
+      ROUND(CAST(SUM(CAST(d2 AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6)
+        AS var_total,
+      ROUND(CAST(SUM(CAST(d2 AS DECIMAL(38,12)))
+                 - SUM(CAST(sc * sc AS DECIMAL(38,12))) AS DOUBLE)
+            / COUNT(*), 6) AS var_resid,
+      ROUND(CAST(SUM(CAST(sc * sc AS DECIMAL(38,12))) AS DOUBLE)
+            / CAST(SUM(CAST(d2 AS DECIMAL(38,12))) AS DOUBLE), 6)
+        AS removed_frac
+    FROM res GROUP BY label ORDER BY label"""
   }
 
   val embedPcaSql: String = {
@@ -1020,6 +1120,7 @@ object VectorOps {
 
   def all: Seq[QueryDef] = Seq(
     QueryDef("embed_pca", embedPca, Some(embedPcaSql)),
+    QueryDef("embed_abtt", embedAbtt, Some(embedAbttSql)),
     QueryDef("ann_cosine", annCosine, Some(annCosineSql)),
     QueryDef("embed_mrl", embedMrl, Some(embedMrlSql)),
     QueryDef("ann_ivf_pq", annIvfPq, Some(annIvfPqSql)),
