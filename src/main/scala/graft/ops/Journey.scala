@@ -137,7 +137,41 @@ object Journey {
              AS p
     FROM counts ORDER BY from_type, to_type"""
 
+  /** Top-10 three-step user paths (the Sankey/path-analysis rollup):
+    * consecutive event-type trigrams per user journey, globally
+    * counted. Two lead windows sharing ONE per-user sort (single
+    * shuffle), one hash aggregate, TakeOrdered for the top-10 with a
+    * full (count desc, path) tie-break — the q_top_movers shape.
+    */
+  def path3(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    Tables.loadEventsUs(s, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        col("event_type").as("t0"))
+      .withColumn("t1", lead(col("t0"), 1).over(w))
+      .withColumn("t2", lead(col("t0"), 2).over(w))
+      .filter(col("t2").isNotNull)
+      .select(concat_ws(">", col("t0"), col("t1"), col("t2")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path")).limit(10)
+  }
+
+  val path3Sql: String = """
+    WITH ev AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_id,
+             event_type AS t0
+      FROM events),
+    tri AS (
+      SELECT t0,
+             LEAD(t0, 1) OVER w AS t1,
+             LEAD(t0, 2) OVER w AS t2
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id))
+    SELECT t0 || '>' || t1 || '>' || t2 AS path, COUNT(*) AS n
+    FROM tri WHERE t2 IS NOT NULL
+    GROUP BY 1 ORDER BY n DESC, path LIMIT 10"""
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("q_sequence_match", sequenceMatch, Some(sequenceMatchSql)),
-    QueryDef("q_markov", markov, Some(markovSql)))
+    QueryDef("q_markov", markov, Some(markovSql)),
+    QueryDef("q_path3", path3, Some(path3Sql)))
 }

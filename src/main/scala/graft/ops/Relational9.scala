@@ -413,7 +413,64 @@ object Relational9 {
         AND (b.cost < a.cost OR b.qty > a.qty))
     ORDER BY a.l_suppkey"""
 
+  /** Gini inequality coefficient of customer spend per nation — the
+    * concentration metric (revenue concentration, wealth curves,
+    * traffic skew) computed from the rank-weighted identity
+    * G = (2·Σᵢ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx). Aggregate FIRST: the
+    * window ranks the per-CUSTOMER rollup (one row per customer),
+    * never raw orders; spend sums route through DECIMAL(18,2) so
+    * x, Σx and Σ i·x are exact cross-engine, ties rank by (x,
+    * custkey) — and since equal x contribute equal i·x under any
+    * permutation, the statistic is tie-order invariant anyway. The
+    * only doubles are the two final casts feeding one division.
+    */
+  def qGini(s: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val spend = Tables.load(s, dir, "orders")
+      .groupBy(col("o_custkey").as("ck"))
+      .agg(sum(col("o_totalprice").cast(dec)).as("x"))
+    val cust = Tables.load(s, dir, "customer")
+      .select(col("c_custkey").as("ck"), col("c_nationkey"))
+    val nat = Tables.load(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    val j = spend.join(broadcast(cust), "ck")
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+    val w = Window.partitionBy("n_name").orderBy(col("x"), col("ck"))
+    j.withColumn("i", row_number().over(w))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_cust"), sum(col("x")).as("s"),
+        sum(col("x") * col("i")).as("s1"))
+      .select(col("n_name"), col("n_cust"),
+        round(col("s").cast("double"), 2).as("total_spend"),
+        round(
+          (lit(2) * col("s1") - (col("n_cust") + 1) * col("s")).cast("double") /
+            (col("n_cust") * col("s")).cast("double"), 6).as("gini"))
+      .orderBy("n_name")
+  }
+
+  val qGiniSql: String = """
+    WITH spend AS (
+      SELECT o_custkey AS ck, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+      FROM orders GROUP BY 1),
+    j AS (
+      SELECT n.n_name, s.ck, s.x
+      FROM spend s
+      JOIN customer c ON c.c_custkey = s.ck
+      JOIN nation n ON n.n_nationkey = c.c_nationkey),
+    r AS (
+      SELECT n_name, x,
+             ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY x, ck) AS i
+      FROM j),
+    m AS (
+      SELECT n_name, COUNT(*) AS n_cust, SUM(x) AS s, SUM(x * i) AS s1
+      FROM r GROUP BY 1)
+    SELECT n_name, n_cust, ROUND(CAST(s AS DOUBLE), 2) AS total_spend,
+           ROUND(CAST(2 * s1 - (n_cust + 1) * s AS DOUBLE)
+                 / CAST(n_cust * s AS DOUBLE), 6) AS gini
+    FROM m ORDER BY n_name"""
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("q_gini", qGini, Some(qGiniSql)),
     QueryDef("q_skyline", qSkyline, Some(qSkylineSql)),
     QueryDef("q_centered_frame", qCenteredFrame, Some(qCenteredFrameSql)),
     QueryDef("q_explode_outer", qExplodeOuter, Some(qExplodeOuterSql)),

@@ -38,4 +38,32 @@ class JourneySpec extends SparkSpec {
     assert(Journey.sequenceMatch(spark, sfDir).collect()
       .forall(_.getAs[Long]("n_users") == seqs.size))
   }
+
+  test("path3 matches a driver-side trigram count") {
+    val seqs = Tables.loadEventsUs(spark, sfDir)
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+      .collect()
+      .groupBy(_.getAs[Long]("user_id"))
+      .map { case (_, rows) =>
+        rows.sortBy(r => (r.getAs[Long]("ts_us"), r.getAs[Long]("event_id")))
+          .map(_.getAs[String]("event_type"))
+      }
+    val expect = seqs.toSeq.flatMap(_.sliding(3).filter(_.size == 3))
+      .groupBy(_.mkString(">")).view.mapValues(_.size.toLong).toMap
+    val got = Journey.path3(spark, sfDir).collect()
+      .map(r => r.getAs[String]("path") -> r.getAs[Long]("n"))
+    assert(got.nonEmpty && got.length <= 10)
+    got.foreach { case (p, n) => assert(expect(p) == n, s"path $p") }
+    // top-1 really is the global max
+    assert(got.head._2 == expect.values.max)
+  }
+
+  test("q_gini within [0, 1)") {
+    val out = Relational9.qGini(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val g = r.getAs[Double]("gini")
+      assert(g >= 0.0 && g < 1.0, s"gini out of range: $r")
+    }
+  }
 }
