@@ -27,8 +27,18 @@ object Sketches {
   private val TwoPow60 = 1152921504606846976L
 
   /** md5-derived 60-bit non-negative hash of a string column. */
-  private def h60(c: Column): Column =
+  private[graft] def h60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Scala-side replica of [[h60]] — byte-identical, used by the
+    * streaming KMV twin's typed state function (and certified against
+    * the column form in SketchesSpec). */
+  private[graft] def h60Scala(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val hex = d.take(8).map(b => f"$b%02x").mkString.take(15)
+    java.lang.Long.parseLong(hex, 16)
+  }
 
   /** KMV bottom-k distinct sketch per event type over user ids, plus
     * pairwise UNION and INTERSECTION cardinality estimates — the

@@ -357,4 +357,36 @@ object EventStream {
       }
       .toDF()
   }
+
+  final case class KmvState(sk: Array[Long])
+  final case class KmvSketchOut(event_type: String, sk: Array[Long])
+
+  /** Streaming twin of Sketches.kmvSketch: the running bottom-256 KMV
+    * distinct sketch per event type. State is the sketch itself — 256
+    * longs per key, FIXED regardless of stream length (the whole point
+    * of sketch state vs. the exact distinct set slidingActive keeps for
+    * its 7-day window): merging a batch folds new hashes in and
+    * re-truncates, and because bottom-k merge is associative and
+    * order-insensitive, the final streamed state equals the batch
+    * tournament's sketch exactly — certified in EventStreamSpec, which
+    * also certifies the estimates derived from it. Emissions are
+    * per-batch refreshed sketches (Update mode).
+    */
+  def kmvSketches(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    readEvents(spark, dir)
+      .select(col("event_type"), col("user_id"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[KmvState, KmvSketchOut](GroupStateTimeout.NoTimeout) {
+        case (typ, rows, state) =>
+          val prev = state.getOption.map(_.sk).getOrElse(Array.empty[Long])
+          val merged = (prev ++ rows.map(r => graft.ops.Sketches.h60Scala(
+              r._2.toString)))
+            .distinct.sorted.take(256)
+          state.update(KmvState(merged))
+          KmvSketchOut(typ, merged)
+      }
+      .toDF()
+  }
 }

@@ -23,6 +23,15 @@ class SketchesSpec extends SparkSpec {
     assert(merged == skU)
   }
 
+  test("h60Scala replicates the h60 column hash byte-for-byte") {
+    import spark.implicits._
+    val ids = (0L to 500L).toSeq
+    val fromCol = ids.toDF("u")
+      .select(Sketches.h60(col("u").cast("string")).as("h"))
+      .as[Long].collect().toSeq
+    assert(fromCol == ids.map(i => Sketches.h60Scala(i.toString)))
+  }
+
   test("CMS additivity: sketch(all) == cellwise sum of split sketches") {
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
       .select(col("user_id").as("u"), col("event_id"))

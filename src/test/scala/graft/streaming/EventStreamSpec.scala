@@ -226,4 +226,26 @@ class EventStreamSpec extends SparkSpec {
     assert(batch.nonEmpty)
     assert(streamed == batch)
   }
+
+  test("streaming KMV sketch state equals the batch tournament sketch") {
+    val q = EventStream.kmvSketches(spark, sfDir)
+      .writeStream.format("memory").queryName("kmv_out")
+      .outputMode(OutputMode.Update()).start()
+    try q.processAllAvailable() finally q.stop()
+    // a true global bottom-256 hash is never displaced once seen, so the
+    // bottom-256 of the union of all per-batch emissions IS the final state
+    val streamed = spark.table("kmv_out").collect()
+      .groupBy(_.getString(0))
+      .map { case (t, rows) =>
+        t -> rows.flatMap(_.getSeq[Long](1)).distinct.sorted.take(256).toSeq
+      }
+    val dp = graft.Tables.load(spark, sfDir, "events")
+      .select(col("event_type").as("t"),
+        graft.ops.Sketches.h60(col("user_id").cast("string")).as("h"))
+      .distinct()
+    val batch = graft.ops.Sketches.kmvSketch(dp).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
+  }
 }
