@@ -170,8 +170,63 @@ object Journey {
     FROM tri WHERE t2 IS NOT NULL
     GROUP BY 1 ORDER BY n DESC, path LIMIT 10"""
 
+  /** Last-touch revenue attribution: every purchase credits its value
+    * to the most recent click/view by the same user within 24 h (else
+    * 'none') — the marketing-attribution operator behind channel ROI
+    * reports. The carried touch rides ONE per-user window (two
+    * last_value(ignoreNulls) columns sharing the same sort/exchange —
+    * no self-join, no per-purchase scan-back), then one conditional
+    * hash aggregate; revenue sums are decimal-routed (QueryDef.dsum
+    * policy). The same window construction is stated in the oracle, so
+    * hash equality certifies the carry semantics including the
+    * same-instant tie order (t, event_id).
+    */
+  def attribution(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val isTouch = col("event_type").isin("click", "view")
+    Tables.loadEventsUs(s, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        col("event_type"), col("value"))
+      .withColumn("lt_ts", last(when(isTouch, col("ts_us")), ignoreNulls = true).over(w))
+      .withColumn("lt_type", last(when(isTouch, col("event_type")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(
+        when(col("lt_ts").isNotNull &&
+          col("ts_us") - col("lt_ts") <= 86400000000L, col("lt_type"))
+          .otherwise("none").as("touch"),
+        col("value"))
+      .groupBy("touch")
+      .agg(count(lit(1)).as("n_purchases"),
+        round(QueryDef.dsum(col("value"), 6), 4).as("revenue"))
+      .orderBy("touch")
+  }
+
+  val attributionSql: String = """
+    WITH ev AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_id,
+             event_type, value
+      FROM events),
+    m AS (
+      SELECT user_id, t, event_id, event_type, value,
+        LAST_VALUE(CASE WHEN event_type IN ('click', 'view') THEN t END
+                   IGNORE NULLS) OVER w AS lt_ts,
+        LAST_VALUE(CASE WHEN event_type IN ('click', 'view') THEN event_type
+                   END IGNORE NULLS) OVER w AS lt_type
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+                   ROWS UNBOUNDED PRECEDING))
+    SELECT CASE WHEN lt_ts IS NOT NULL AND t - lt_ts <= 86400000000
+             THEN lt_type ELSE 'none' END AS touch,
+           COUNT(*) AS n_purchases,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
+             AS revenue
+    FROM m WHERE event_type = 'purchase'
+    GROUP BY 1 ORDER BY 1"""
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("q_sequence_match", sequenceMatch, Some(sequenceMatchSql)),
     QueryDef("q_markov", markov, Some(markovSql)),
-    QueryDef("q_path3", path3, Some(path3Sql)))
+    QueryDef("q_path3", path3, Some(path3Sql)),
+    QueryDef("q_attribution", attribution, Some(attributionSql)))
 }

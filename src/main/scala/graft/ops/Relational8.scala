@@ -131,7 +131,10 @@ object Relational8 {
     * carry no natural NULLs. Expand is a map stage: the only shuffle
     * is the 5-group aggregation. */
   def qProfile(s: SparkSession, dir: String): DataFrame = {
-    Tables.load(s, dir, "orders")
+    // fanout FIRST: the 5× stack + distinct partials would otherwise
+    // run on the single scan split (geo_bearing precedent; measured
+    // 2.75 s wall on 5 CPU-s at sf0.1 before the exchange)
+    Tables.fanout(Tables.load(s, dir, "orders"))
       .select(
         col("o_orderkey").cast("string").as("c_key"),
         col("o_custkey").cast("string").as("c_cust"),

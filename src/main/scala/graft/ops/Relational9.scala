@@ -469,7 +469,122 @@ object Relational9 {
                  / CAST(n_cust * s AS DOUBLE), 6) AS gini
     FROM m ORDER BY n_name"""
 
+  /** Attach a 1..5 quintile column derived from a 300-bin MERGEABLE
+    * histogram of `xc` (cast to double): bin counts aggregate with
+    * map-side combine, the four cut bins fold over the tiny bin table,
+    * assignment is an integer comparison against the broadcast cuts —
+    * never a global sort/ntile over the input (the q_incr_quantile /
+    * text_ppl_bucket machinery, generalized). Cut positions are exact
+    * integer ceilings ((i·n+4) DIV 5). */
+  private def binnedQuintile(base: DataFrame, xc: String, qn: String): DataFrame = {
+    val nb = 300
+    val xd = col(xc).cast("double")
+    val span = base.agg(min(xd).as("lo"), max(xd).as("hi"))
+    val withBin = base.crossJoin(broadcast(span))
+      .withColumn(s"${qn}_bin",
+        when(col("hi") > col("lo"),
+          least(lit(nb - 1), greatest(lit(0),
+            floor((xd - col("lo")) / (col("hi") - col("lo")) * nb).cast("int"))))
+          .otherwise(0))
+      .drop("lo", "hi")
+    val counts = withBin.groupBy(col(s"${qn}_bin").as("bin"))
+      .agg(count(lit(1)).as("c"))
+    val cum = counts
+      .withColumn("cc", sum(col("c")).over(Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("nn", sum(col("c")).over(Window.partitionBy()))
+    val cutCols = (1 to 4).map(i =>
+      min(when(col("cc") >= expr(s"($i * nn + 4) DIV 5"), col("bin"))).as(s"c$i"))
+    val cuts = cum.agg(cutCols.head, cutCols.tail: _*)
+    withBin.crossJoin(broadcast(cuts))
+      .withColumn(qn,
+        when(col(s"${qn}_bin") <= col("c1"), 1)
+          .when(col(s"${qn}_bin") <= col("c2"), 2)
+          .when(col(s"${qn}_bin") <= col("c3"), 3)
+          .when(col(s"${qn}_bin") <= col("c4"), 4)
+          .otherwise(5))
+      .drop(s"${qn}_bin", "c1", "c2", "c3", "c4")
+  }
+
+  /** RFM customer segmentation — recency (last order day) / frequency
+    * (order count) / monetary (decimal-exact spend) quintiles per
+    * customer, rolled up to segment cells. Aggregate FIRST (the
+    * per-customer rollup), then THREE binned-histogram quintile
+    * assignments ([[binnedQuintile]]) — the scale story is that no
+    * metric is ever globally sorted: each quintile costs one tiny bin
+    * aggregate plus a broadcast of four cut points, which is also the
+    * mergeable shape an incremental refresh keeps per day. Output is
+    * the ≤125-cell segment matrix with counts and mean spend.
+    */
+  def qRfm(s: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val o = Tables.withMicros(Tables.load(s, dir, "orders"),
+      "o_orderdate", "od_us")
+    val cust = Tables.hot(o.groupBy(col("o_custkey").as("ck"))
+      .agg(expr("MAX(od_us DIV 86400000000)").as("r"),
+        count(lit(1)).as("f"),
+        sum(col("o_totalprice").cast(dec)).as("m")))
+    val seg = binnedQuintile(
+      binnedQuintile(binnedQuintile(cust, "r", "r_q"), "f", "f_q"), "m", "m_q")
+    seg.groupBy("r_q", "f_q", "m_q")
+      .agg(count(lit(1)).as("n_cust"), sum(col("m")).as("sm"))
+      // mean floored to the cent: (100·Σm) DIV n stays INTEGER end to
+      // end — a ROUND(double) here hits .xx5 boundaries that the two
+      // engines' double-vs-decimal rounding rules break differently
+      .select(col("r_q"), col("f_q"), col("m_q"), col("n_cust"),
+        (expr("CAST(sm * 100 AS BIGINT) DIV n_cust") / 100.0).as("avg_spend"))
+      .orderBy("r_q", "f_q", "m_q")
+  }
+
+  val qRfmSql: String = {
+    def metric(x: String, p: String): String = s"""
+    ${p}span AS (
+      SELECT MIN(CAST($x AS DOUBLE)) AS lo, MAX(CAST($x AS DOUBLE)) AS hi
+      FROM cust),
+    ${p}bin AS (
+      SELECT ck, CASE WHEN hi > lo
+        THEN least(299, greatest(0,
+          CAST(floor((CAST($x AS DOUBLE) - lo) / (hi - lo) * 300) AS INTEGER)))
+        ELSE 0 END AS bin
+      FROM cust, ${p}span),
+    ${p}cnt AS (SELECT bin, COUNT(*) AS c FROM ${p}bin GROUP BY 1),
+    ${p}cum AS (
+      SELECT bin, SUM(c) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cc,
+             SUM(c) OVER () AS nn
+      FROM ${p}cnt),
+    ${p}cut AS (
+      SELECT MIN(CASE WHEN cc >= (1 * nn + 4) // 5 THEN bin END) AS c1,
+             MIN(CASE WHEN cc >= (2 * nn + 4) // 5 THEN bin END) AS c2,
+             MIN(CASE WHEN cc >= (3 * nn + 4) // 5 THEN bin END) AS c3,
+             MIN(CASE WHEN cc >= (4 * nn + 4) // 5 THEN bin END) AS c4
+      FROM ${p}cum),
+    ${p}q AS (
+      SELECT ck, CASE WHEN bin <= c1 THEN 1 WHEN bin <= c2 THEN 2
+                      WHEN bin <= c3 THEN 3 WHEN bin <= c4 THEN 4
+                      ELSE 5 END AS q
+      FROM ${p}bin, ${p}cut)"""
+    s"""
+    WITH cust AS (
+      SELECT o_custkey AS ck,
+             MAX(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000) AS r,
+             COUNT(*) AS f,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS m
+      FROM orders GROUP BY 1),
+    ${metric("r", "r")},
+    ${metric("f", "f")},
+    ${metric("m", "m")}
+    SELECT rq.q AS r_q, fq.q AS f_q, mq.q AS m_q,
+           COUNT(*) AS n_cust,
+           CAST(SUM(m) * 100 AS BIGINT) // COUNT(*) / 100.0 AS avg_spend
+    FROM cust
+    JOIN rq ON rq.ck = cust.ck
+    JOIN fq ON fq.ck = cust.ck
+    JOIN mq ON mq.ck = cust.ck
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+  }
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("q_rfm", qRfm, Some(qRfmSql)),
     QueryDef("q_gini", qGini, Some(qGiniSql)),
     QueryDef("q_skyline", qSkyline, Some(qSkylineSql)),
     QueryDef("q_centered_frame", qCenteredFrame, Some(qCenteredFrameSql)),

@@ -58,6 +58,34 @@ class JourneySpec extends SparkSpec {
     assert(got.head._2 == expect.values.max)
   }
 
+  test("q_attribution matches a driver-side last-touch replay") {
+    val byUser = Tables.loadEventsUs(spark, sfDir)
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        col("event_type"))
+      .collect()
+      .groupBy(_.getAs[Long]("user_id"))
+    val expect = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    byUser.values.foreach { rows =>
+      val sorted = rows.sortBy(r => (r.getAs[Long]("ts_us"), r.getAs[Long]("event_id")))
+      var lastTouch: Option[(Long, String)] = None
+      sorted.foreach { r =>
+        val t = r.getAs[String]("event_type")
+        if (t == "purchase") {
+          val key = lastTouch match {
+            case Some((ts, tt)) if r.getAs[Long]("ts_us") - ts <= 86400000000L => tt
+            case _ => "none"
+          }
+          expect(key) += 1
+        }
+        if (t == "click" || t == "view")
+          lastTouch = Some((r.getAs[Long]("ts_us"), t))
+      }
+    }
+    val got = Journey.attribution(spark, sfDir).collect()
+      .map(r => r.getAs[String]("touch") -> r.getAs[Long]("n_purchases")).toMap
+    assert(got == expect.toMap.filter(_._2 > 0))
+  }
+
   test("q_gini within [0, 1)") {
     val out = Relational9.qGini(spark, sfDir).collect()
     assert(out.nonEmpty)

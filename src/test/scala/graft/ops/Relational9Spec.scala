@@ -55,4 +55,28 @@ class Relational9Spec extends SparkSpec {
     assert(got == expected)
     assert(got.nonEmpty)
   }
+
+  test("q_rfm: cells partition customers; spend rises with the M quintile") {
+    import org.apache.spark.sql.functions._
+    val out = Relational9.qRfm(spark, sfDir).collect()
+    val nCust = graft.Tables.load(spark, sfDir, "orders")
+      .select("o_custkey").distinct().count()
+    assert(out.map(_.getAs[Long]("n_cust")).sum == nCust)
+    out.foreach { r =>
+      Seq("r_q", "f_q", "m_q").foreach(c =>
+        assert(r.getAs[Int](c) >= 1 && r.getAs[Int](c) <= 5))
+    }
+    // the M-quintile marginal mean spend must be nondecreasing: bins
+    // order by value, so a higher quintile can never average less
+    val byM = out.groupBy(_.getAs[Int]("m_q")).toSeq.sortBy(_._1)
+      .map { case (q, rows) =>
+        val n = rows.map(_.getAs[Long]("n_cust")).sum
+        val s = rows.map(r => r.getAs[Double]("avg_spend") * r.getAs[Long]("n_cust")).sum
+        (q, s / n)
+      }
+    byM.sliding(2).foreach {
+      case Seq((_, a), (_, b)) => assert(a <= b + 0.05) // 2-dp cell rounding
+      case _ =>
+    }
+  }
 }
