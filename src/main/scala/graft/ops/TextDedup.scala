@@ -547,9 +547,101 @@ object TextDedup {
              AS kept_rate
     FROM j GROUP BY source ORDER BY source"""
 
+  // ---- winnowing fingerprints (MOSS) ----------------------------------
+  /** Winnowing document fingerprints (the MOSS algorithm, Schleimer et
+    * al.): hash every token 3-gram, slide a w=4 window over the hash
+    * sequence and select each window's MINIMUM — the selection rule
+    * that GUARANTEES any shared run of ≥ k+w−1 tokens produces a
+    * shared fingerprint, while keeping only ~2/(w+1) of the grams.
+    * This is the position-robust fingerprint text_fingerprint's global
+    * min-sketch can't provide (local plagiarism/quotation detection vs
+    * whole-doc similarity). Because the SELECTED set depends on hash
+    * ORDER, grams hash through the md5-derived 60-bit value both
+    * engines compute bit-identically (dedup_simhash idiom) — xxhash64
+    * would not be replayable in the oracle. Shapes: fanout → one
+    * per-row HOF chain (no shuffle) → hot → one aggregate per source +
+    * one shuffle join on the fingerprint key for the cross-doc shared
+    * fraction (text_dup_coverage rule: fingerprint vocab never
+    * broadcasts).
+    */
+  /** The winnowing core: (doc_id, source, text) → per-doc fingerprint
+    * set. Separated so the k+w−1 match guarantee is spec-testable on
+    * constructed documents. */
+  private[graft] def winnowFp(docsDf: DataFrame): DataFrame =
+    docsDf
+      .select(col("doc_id"), col("source"),
+        split(col("text"), " ").as("t"))
+      .select(col("doc_id"), col("source"), expr(
+        """CASE WHEN size(t) >= 3
+             THEN transform(sequence(1, size(t) - 2),
+               i -> CAST(conv(substring(md5(concat_ws(' ',
+                      t[i-1], t[i], t[i+1])), 1, 15), 16, 10) AS BIGINT))
+             ELSE CAST(array() AS ARRAY<BIGINT>) END""").as("g"))
+      .select(col("doc_id"), col("source"), size(col("g")).as("n_grams"),
+        expr(
+          """CASE WHEN size(g) >= 4
+               THEN array_distinct(transform(sequence(1, size(g) - 3),
+                      j -> array_min(slice(g, j, 4))))
+               ELSE CAST(array() AS ARRAY<BIGINT>) END""").as("fp"))
+
+  def textWinnow(s: SparkSession, dir: String): DataFrame = {
+    val fps = Tables.hot(winnowFp(
+      Tables.fanout(Tables.load(s, dir, "documents"))))
+    val base = fps.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_grams")).as("n_grams"),
+        sum(size(col("fp"))).as("n_fp"))
+    val ex = fps.select(col("doc_id"), col("source"),
+      explode(col("fp")).as("h"))
+    val cnt = ex.groupBy("h").agg(count(lit(1)).as("c"))
+    val shared = ex.join(cnt.hint("shuffle_hash"), "h")
+      .filter(col("c") >= 2)
+      .groupBy("source").agg(count(lit(1)).as("n_shared"))
+    base.join(shared, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_grams"), col("n_fp"),
+        round(col("n_fp").cast("double") / col("n_grams"), 6)
+          .as("fp_density"),
+        round(coalesce(col("n_shared"), lit(0L)).cast("double") /
+          col("n_fp"), 6).as("shared_frac"))
+      .orderBy("source")
+  }
+
+  val textWinnowSql: String = """
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+    gr AS (
+      SELECT doc_id, source,
+        list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+          i -> CAST(('0x' || substr(md5(array_to_string(t[i:i+2], ' ')),
+            1, 15))::UBIGINT AS BIGINT)) AS g
+      FROM toks),
+    fps AS (
+      SELECT doc_id, source, len(g) AS n_grams,
+        CASE WHEN len(g) >= 4
+          THEN list_distinct(list_transform(generate_series(1, len(g) - 3),
+                 j -> list_min(g[j:j+3])))
+          ELSE [] END AS fp
+      FROM gr),
+    base AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_grams) AS BIGINT) AS n_grams,
+             CAST(SUM(len(fp)) AS BIGINT) AS n_fp
+      FROM fps GROUP BY 1),
+    ex AS (SELECT doc_id, source, unnest(fp) AS h FROM fps),
+    cnt AS (SELECT h, COUNT(*) AS c FROM ex GROUP BY 1),
+    shared AS (
+      SELECT source, COUNT(*) AS n_shared
+      FROM ex JOIN cnt USING (h) WHERE c >= 2 GROUP BY 1)
+    SELECT b.source, b.n_docs, b.n_grams, b.n_fp,
+           ROUND(CAST(b.n_fp AS DOUBLE) / b.n_grams, 6) AS fp_density,
+           ROUND(CAST(COALESCE(s.n_shared, 0) AS DOUBLE) / b.n_fp, 6)
+             AS shared_frac
+    FROM base b LEFT JOIN shared s ON s.source = b.source
+    ORDER BY b.source"""
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("text_normalize", textNormalize, Some(textNormalizeSql)),
     QueryDef("dedup_soft", dedupSoft, Some(dedupSoftSql)),
+    QueryDef("text_winnow", textWinnow, Some(textWinnowSql)),
     QueryDef("dedup_containment", dedupContainment, Some(dedupContainmentSql)),
     QueryDef("dedup_exact", dedupExact, Some(dedupExactSql)),
     QueryDef("dedup_keep_best", dedupKeepBest, Some(dedupKeepBestSql)),

@@ -38,6 +38,27 @@ class PipelineDepthSpec extends SparkSpec {
     }
   }
 
+  test("winnowing guarantee: a shared 6-token run yields a shared fingerprint") {
+    import spark.implicits._
+    val shared = "q w e r t y" // k + w - 1 = 3 + 4 - 1 = 6 tokens
+    val docs = Seq(
+      (1L, s"a b c d $shared z x c v", "s1"),
+      (2L, s"m n o $shared p l k j h g f", "s1"),
+      (3L, "completely different tokens with no overlap at all here", "s1"))
+      .toDF("doc_id", "text", "source")
+    val fp = TextDedup.winnowFp(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](3).toSet).toMap
+    assert((fp(1L) intersect fp(2L)).nonEmpty,
+      "docs sharing >= k+w-1 tokens must share a fingerprint")
+    assert((fp(1L) intersect fp(3L)).isEmpty)
+    // selection density: fingerprints never exceed gram count
+    val fps = TextDedup.winnowFp(
+      graft.Tables.load(spark, sfDir, "documents")).collect()
+    fps.foreach { r =>
+      assert(r.getSeq[Long](3).size <= math.max(r.getAs[Int]("n_grams"), 1))
+    }
+  }
+
   test("embed_abtt: residual variance bounded by total, fraction in [0,1)") {
     val out = VectorOps.embedAbtt(spark, sfDir).collect()
     assert(out.nonEmpty)
