@@ -939,7 +939,102 @@ object Corpus {
              AS DECIMAL(38,12))) AS DOUBLE), 6) AS kept_weight
     FROM d GROUP BY source ORDER BY source"""
 
+  // ---- content-defined chunking (CDC) ---------------------------------
+  /** Content-defined chunking: a chunk boundary falls after token i
+    * exactly when the hash of the trigram ENDING at i ≡ 0 (mod 8) — so
+    * boundaries are a function of local CONTENT, not position, and an
+    * insertion near the head re-chunks only its neighborhood instead of
+    * shifting every window (the rsync/LBFS/storage-dedup property;
+    * certified on an edited document in spec). Expected chunk length 8
+    * tokens, geometric tail — chunk_windows' fixed stride is the
+    * position-fragile sibling. Per-source output reports the duplicate-
+    * chunk fraction: how much of the corpus a chunk store would dedup
+    * away. Boundary hashes use the md5-derived 60-bit value (oracle-
+    * replayable ordering-free modulus). Shapes: fanout → posexplode →
+    * TWO lag columns + one cumulative sum sharing a single per-doc
+    * window sort → one (doc, chunk) aggregate (chunk state is
+    * geometrically bounded) → md5-key shuffle join for global chunk
+    * counts (chunk vocab never broadcasts) → one source aggregate.
+    */
+  private[graft] def cdcChunks(docsDf: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val h = expr("""CAST(conv(substring(md5(concat_ws(' ', t2, t1, w)),
+      1, 15), 16, 10) AS BIGINT)""")
+    docsDf
+      .select(col("doc_id"), col("source"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .withColumn("t1", lag(col("w"), 1).over(w))
+      .withColumn("t2", lag(col("w"), 2).over(w))
+      .withColumn("b",
+        when(col("t2").isNotNull && pmod(h, lit(8)) === 0, 1).otherwise(0))
+      .withColumn("cid", coalesce(
+        sum(col("b")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .groupBy("doc_id", "source", "cid")
+      .agg(array_join(transform(array_sort(collect_list(struct(col("pos"),
+          col("w")))), x => x.getField("w")), " ").as("ctext"),
+        count(lit(1)).as("clen"))
+  }
+
+  def chunkCdc(s: SparkSession, dir: String): DataFrame = {
+    val ch = Tables.hot(cdcChunks(
+      Tables.fanout(Tables.load(s, dir, "documents"))))
+    val cnt = ch.select(md5(col("ctext")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("c"))
+    ch.withColumn("h", md5(col("ctext")))
+      .join(cnt.hint("shuffle_hash"), "h")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_chunks"), sum(col("clen")).as("n_tokens"),
+        sum(when(col("c") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .select(col("source"), col("n_chunks"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("n_chunks"), 6)
+          .as("avg_len"),
+        col("n_dup_chunks"),
+        round(col("n_dup_chunks").cast("double") / col("n_chunks"), 6)
+          .as("dup_frac"))
+      .orderBy("source")
+  }
+
+  val chunkCdcSql: String = """
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+    ex AS (
+      SELECT doc_id, source,
+             unnest(generate_series(1, len(t))) AS pos,
+             unnest(t) AS w
+      FROM toks),
+    lagd AS (
+      SELECT doc_id, source, pos, w,
+             LAG(w, 1) OVER wn AS t1, LAG(w, 2) OVER wn AS t2
+      FROM ex WINDOW wn AS (PARTITION BY doc_id ORDER BY pos)),
+    fl AS (
+      SELECT doc_id, source, pos, w,
+        CASE WHEN t2 IS NOT NULL AND
+          CAST(('0x' || substr(md5(t2 || ' ' || t1 || ' ' || w), 1, 15))
+            ::UBIGINT AS BIGINT) % 8 = 0 THEN 1 ELSE 0 END AS b
+      FROM lagd),
+    cids AS (
+      SELECT doc_id, source, pos, w,
+        COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid
+      FROM fl),
+    ch AS (
+      SELECT doc_id, source, cid,
+             string_agg(w, ' ' ORDER BY pos) AS ctext, COUNT(*) AS clen
+      FROM cids GROUP BY 1, 2, 3),
+    cnt AS (SELECT md5(ctext) AS h, COUNT(*) AS c FROM ch GROUP BY 1)
+    SELECT source, COUNT(*) AS n_chunks,
+           CAST(SUM(clen) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(clen) AS DOUBLE) / COUNT(*), 6) AS avg_len,
+           CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks,
+           ROUND(CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS dup_frac
+    FROM ch JOIN cnt ON cnt.h = md5(ch.ctext)
+    GROUP BY source ORDER BY source"""
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("chunk_cdc", chunkCdc, Some(chunkCdcSql)),
     QueryDef("sample_importance", sampleImportance, Some(sampleImportanceSql)),
     QueryDef("dedup_paragraphs", dedupParagraphs, Some(dedupParagraphsSql)),
     QueryDef("corpus_datasheet", corpusDatasheet, Some(corpusDatasheetSql)),

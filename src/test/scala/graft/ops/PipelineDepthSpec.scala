@@ -59,6 +59,24 @@ class PipelineDepthSpec extends SparkSpec {
     }
   }
 
+  test("chunk_cdc: a head insertion re-chunks only its neighborhood") {
+    import spark.implicits._
+    val text = (1 to 200).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, text, "s"), (2L, "INSERTED " + text, "s"))
+      .toDF("doc_id", "text", "source")
+    val ch = Corpus.cdcChunks(docs).collect()
+    val byDoc = ch.groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.map(_.getAs[String]("ctext")).toSet).toMap
+    val shared = (byDoc(1L) intersect byDoc(2L)).size.toDouble / byDoc(1L).size
+    assert(shared > 0.7,
+      s"content-defined boundaries must localize the edit (shared=$shared)")
+    // chunks reassemble the document exactly
+    val rebuilt = ch.filter(_.getAs[Long]("doc_id") == 1L)
+      .sortBy(_.getAs[Long]("cid")).map(_.getAs[String]("ctext"))
+      .mkString(" ")
+    assert(rebuilt == text)
+  }
+
   test("embed_abtt: residual variance bounded by total, fraction in [0,1)") {
     val out = VectorOps.embedAbtt(spark, sfDir).collect()
     assert(out.nonEmpty)
