@@ -192,7 +192,48 @@ object IoQueries {
     FROM events WHERE event_type IN ('click', 'purchase')
     GROUP BY 1 ORDER BY event_type"""
 
+  /** Hive-partitioned SINK + statically pruned read-back: events land
+    * partitioned by day (the layout every lake uses for time-series
+    * facts — the write pays one shuffle-free partitioned fan-out, and
+    * every later day-bounded query prunes at the LISTING level, before
+    * any file is opened). The read back filters on a pure partition
+    * predicate (day % 7 = 3), so the scan's partitionFilters prune
+    * directories statically — IoQueriesSpec asserts the pruned
+    * partition count — and the oracle computes the same aggregate from
+    * raw events, certifying the values survived the partitioned
+    * roundtrip (q_dpp_join covers the RUNTIME-pruning sibling).
+    */
+  def qPartitionSink(s: SparkSession, dir: String): DataFrame = {
+    val tmp = scratchDir("graft-part")
+    Tables.loadEventsUs(s, dir)
+      .withColumn("day", expr("ts_us DIV 86400000000"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("day"))
+      .write.mode("overwrite").partitionBy("day").parquet(tmp)
+    partitionedRead(s, tmp)
+  }
+
+  /** The pruned read-back, factored so the spec can assert the plan. */
+  private[graft] def partitionedRead(s: SparkSession, tmp: String): DataFrame =
+    s.read.parquet(tmp)
+      .filter(pmod(col("day"), lit(7)) === 3)
+      .groupBy(col("day").cast("long").as("day"))
+      .agg(count(lit(1)).as("n"),
+        round(QueryDef.dsum(col("value"), 6), 4).as("sum_value"))
+      .orderBy("day")
+
+  val qPartitionSinkSql: String = """
+    WITH ev AS (
+      SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day, value
+      FROM events)
+    SELECT day, COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
+             AS sum_value
+    FROM ev WHERE day % 7 = 3
+    GROUP BY day ORDER BY day"""
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("q_partition_sink", qPartitionSink, Some(qPartitionSinkSql)),
     QueryDef("io_roundtrip", ioRoundtrip, Some(ioRoundtripSql)),
     QueryDef("q_bucket_join", qBucketJoin, Some(qBucketJoinSql)),
     QueryDef("q_schema_union", qSchemaUnion, Some(qSchemaUnionSql)),

@@ -358,6 +358,47 @@ object EventStream {
       .toDF()
   }
 
+  final case class TouchState(ts: Long, typ: String)
+  final case class AttrOut(user_id: Long, ts_us: Long, event_id: Long,
+                           touch: String)
+
+  /** Streaming twin of Journey.attribution: running last-touch
+    * attribution with O(1) state per user — just the latest click/view
+    * (ts, type), against which each arriving purchase resolves its
+    * channel immediately (Append mode: one emission per purchase, never
+    * revised). The batch op recovers the same answer from a full
+    * per-user window; equality of the aggregated emissions is the
+    * certification that the carried-touch semantics agree, including
+    * the 24 h cutoff and same-instant (ts, event_id) tie order.
+    */
+  def attributionStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    readEvents(spark, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[TouchState, AttrOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state) =>
+          var st = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer[AttrOut]()
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach {
+            case (_, ts, eid, typ) =>
+              if (typ == "purchase") {
+                val touch =
+                  if (st != null && ts - st.ts <= 86400000000L) st.typ
+                  else "none"
+                out += AttrOut(uid, ts, eid, touch)
+              }
+              if (typ == "click" || typ == "view") st = TouchState(ts, typ)
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+      .toDF()
+  }
+
   final case class KmvState(sk: Array[Long])
   final case class KmvSketchOut(event_type: String, sk: Array[Long])
 

@@ -227,6 +227,20 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming last-touch attribution equals the batch window carry") {
+    val q = EventStream.attributionStream(spark, sfDir)
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("attr_out")
+      .groupBy("touch").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = graft.ops.Journey.attribution(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("streaming KMV sketch state equals the batch tournament sketch") {
     val q = EventStream.kmvSketches(spark, sfDir)
       .writeStream.format("memory").queryName("kmv_out")
