@@ -1033,8 +1033,70 @@ object Corpus {
     FROM ch JOIN cnt ON cnt.h = md5(ch.ctext)
     GROUP BY source ORDER BY source"""
 
+  // ---- temperature sampling -------------------------------------------
+  /** Temperature-based mixture rebalancing at α = 1/2 (the mBERT/XLM-R
+    * exponentiated-sampling rule, at the one temperature whose math is
+    * IEEE-exact cross-engine: rate_i = min(1, √(n_min/n_i)) needs only
+    * sqrt, never pow/log): the smallest source keeps everything, a 4×
+    * larger source keeps half its docs and still ends up 2× the
+    * smallest — the soft compromise between corpus_mix's hard
+    * min-count equalization and no rebalancing at all. The keep
+    * decision is a pure function of the row: md5-60-bit uniform vs an
+    * INTEGER threshold floor(rate·2⁶⁰), so the float boundary cannot
+    * flip between engines and the sample is rerunnable on any cluster
+    * size (sample_stratified contract). One 5-row aggregate broadcast
+    * back, single scan.
+    */
+  def sampleTemperature(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents").select(col("doc_id"), col("source"))
+    val counts = d.groupBy("source").agg(count(lit(1)).as("n"))
+    val ref = counts.agg(min(col("n")).as("n_ref"))
+    val rates = counts.crossJoin(broadcast(ref))
+      .select(col("source"), col("n"),
+        round(least(lit(1.0), sqrt(col("n_ref").cast("double") / col("n"))), 9)
+          .as("rate"))
+      .withColumn("thr",
+        floor(col("rate") * lit(1152921504606846976L).cast("double"))
+          .cast("long"))
+    d.join(broadcast(rates), "source")
+      .withColumn("h", expr("""CAST(conv(substring(md5(concat('temp:',
+        CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"""))
+      .groupBy("source", "n", "rate")
+      .agg(sum(when(col("h") < col("thr"), 1L).otherwise(0L)).as("n_kept"))
+      .select(col("source"), col("n").as("n_docs"), col("rate"),
+        col("n_kept"),
+        round(col("n_kept").cast("double") / col("n"), 6).as("achieved"))
+      .orderBy("source")
+  }
+
+  val sampleTemperatureSql: String = """
+    WITH d AS (SELECT doc_id, source FROM documents),
+    c AS (SELECT source, COUNT(*) AS n FROM d GROUP BY 1),
+    r AS (SELECT MIN(n) AS n_ref FROM c),
+    rates AS (
+      SELECT source, n,
+             ROUND(LEAST(1.0, sqrt(CAST(n_ref AS DOUBLE) / n)), 9) AS rate
+      FROM c, r),
+    t AS (
+      SELECT source, n, rate,
+             CAST(floor(rate * CAST(1152921504606846976 AS DOUBLE))
+               AS BIGINT) AS thr
+      FROM rates),
+    j AS (
+      SELECT d.source, t.n, t.rate, t.thr,
+        CAST(('0x' || substr(md5('temp:' || CAST(doc_id AS VARCHAR)), 1, 15))
+          ::UBIGINT AS BIGINT) AS h
+      FROM d JOIN t USING (source))
+    SELECT source, n AS n_docs, rate,
+           CAST(SUM(CASE WHEN h < thr THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           ROUND(CAST(SUM(CASE WHEN h < thr THEN 1 ELSE 0 END) AS DOUBLE)
+                 / n, 6) AS achieved
+    FROM j GROUP BY 1, 2, 3, thr ORDER BY 1"""
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("chunk_cdc", chunkCdc, Some(chunkCdcSql)),
+    QueryDef("sample_temperature", sampleTemperature, Some(sampleTemperatureSql)),
     QueryDef("sample_importance", sampleImportance, Some(sampleImportanceSql)),
     QueryDef("dedup_paragraphs", dedupParagraphs, Some(dedupParagraphsSql)),
     QueryDef("corpus_datasheet", corpusDatasheet, Some(corpusDatasheetSql)),

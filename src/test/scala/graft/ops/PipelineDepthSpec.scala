@@ -59,6 +59,22 @@ class PipelineDepthSpec extends SparkSpec {
     }
   }
 
+  test("sample_temperature: smallest source keeps all, rates soften counts") {
+    val out = Corpus.sampleTemperature(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val minDocs = out.map(_.getAs[Long]("n_docs")).min
+    out.foreach { r =>
+      val (n, rate, kept) = (r.getAs[Long]("n_docs"),
+        r.getAs[Double]("rate"), r.getAs[Long]("n_kept"))
+      assert(rate > 0.0 && rate <= 1.0)
+      if (n == minDocs) assert(kept == n, "smallest source must keep all")
+      // a 60-bit uniform vs rate threshold: kept within +-5 sigma of n*rate
+      val sd = math.sqrt(n * rate * (1 - rate))
+      assert(math.abs(kept - n * rate) <= 5 * sd + 1,
+        s"${r.getAs[String]("source")}: kept=$kept expected ~${n * rate}")
+    }
+  }
+
   test("chunk_cdc: a head insertion re-chunks only its neighborhood") {
     import spark.implicits._
     val text = (1 to 200).map(i => s"tok$i").mkString(" ")
