@@ -369,7 +369,74 @@ object Graph {
     SELECT a, b, c_ab, ROUND(lift, 6) AS lift, ROUND(conf_a_b, 6) AS conf_a_b
     FROM scored ORDER BY scored.lift DESC, a, b LIMIT 20"""
 
+  /** Degree ASSORTATIVITY of the co-purchase graph: the Pearson
+    * correlation of endpoint degrees over all directed edge stubs —
+    * positive means hubs link to hubs (social-network shape), negative
+    * means hubs link to leaves (hub-and-spoke/technological shape);
+    * with triangles (clustering) and edge overlap (embeddedness) it
+    * completes the standard structural profile. Each undirected edge
+    * contributes both stub orientations (the textbook estimator, and
+    * it makes the x/y moments symmetric by construction). Shapes: the
+    * 16 B/vertex degree table broadcasts (the triangleCounts vertex-
+    * state bound), two broadcast joins tag each edge, one aggregate
+    * folds exact INTEGER power sums, r = one sqrt + one division.
+    */
+  def assortativity(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.fanout(coEdges(s, dir))
+    val deg = e.select(col("a").as("v"))
+      .unionAll(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val dk = broadcast(Tables.hot(deg))
+    val stubs = e
+      .join(dk.withColumnRenamed("v", "a").withColumnRenamed("deg", "da"), "a")
+      .join(dk.withColumnRenamed("v", "b").withColumnRenamed("deg", "db"), "b")
+      .select(col("da").as("x"), col("db").as("y"))
+    val both = stubs.unionAll(stubs.select(col("y").as("x"), col("x").as("y")))
+    both.agg(
+        count(lit(1)).as("n_stubs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(
+        (col("n_stubs") / 2).cast("long").as("n_edges"),
+        round(col("sx").cast("double") / col("n_stubs"), 6).as("mean_deg"),
+        when(col("n_stubs") * col("sxx") - col("sx") * col("sx") > 0,
+          round(
+            (col("n_stubs") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              sqrt((col("n_stubs") * col("sxx") - col("sx") * col("sx")).cast("double") *
+                   (col("n_stubs") * col("syy") - col("sy") * col("sy")).cast("double")),
+            6)).as("assortativity"))
+  }
+
+  val assortativitySql: String = s"""
+    WITH $coEdgesSql,
+    deg AS (
+      SELECT v, COUNT(*) AS deg FROM (
+        SELECT a AS v FROM pairs UNION ALL SELECT b FROM pairs) GROUP BY 1),
+    stubs AS (
+      SELECT d1.deg AS x, d2.deg AS y
+      FROM pairs JOIN deg d1 ON d1.v = pairs.a JOIN deg d2 ON d2.v = pairs.b),
+    st2 AS (
+      SELECT x, y FROM stubs UNION ALL SELECT y AS x, x AS y FROM stubs),
+    m AS (
+      SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM st2)
+    SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+           ROUND(CAST(sx AS DOUBLE) / n, 6) AS mean_deg,
+           CASE WHEN n * sxx - sx * sx > 0
+             THEN ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                        / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                               * CAST(n * syy - sy * sy AS DOUBLE)), 6) END
+             AS assortativity
+    FROM m"""
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("graph_assortativity", assortativity, Some(assortativitySql)),
     QueryDef("q_transitive", transitiveDepth, Some(transitiveDepthSql)),
     QueryDef("graph_triangles", triangleCounts, Some(triangleCountsSql)),
     QueryDef("graph_pagerank", pageRank, Some(pageRankSql)),

@@ -583,7 +583,61 @@ object Relational9 {
     GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
   }
 
+  /** Benford first-digit audit of order totals — the classic
+    * fabricated-numbers / data-quality screen: observed leading-digit
+    * shares vs the Benford expectation log₁₀(1+1/d), with each digit's
+    * standardized deviation. No runtime libm: the nine Benford
+    * probabilities are compile-time LITERALS identical in both
+    * engines, and the leading digit comes from the DECIMAL(18,2)
+    * string rendering (both engines print plain digits for values
+    * ≥ 1). One conditional-aggregation pass; z = (obs −
+    * n·p)/√(n·p·(1−p)) is pure double arithmetic + one sqrt.
+    */
+  def qBenford(s: SparkSession, dir: String): DataFrame = {
+    // log10(1 + 1/d) for d = 1..9, printed at 15 significant digits —
+    // parsed identically to the same literals in the oracle text
+    val p = (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d)).toMap
+    val dig = substring(col("o_totalprice")
+      .cast(org.apache.spark.sql.types.DecimalType(18, 2)).cast("string"), 1, 1)
+    val base = Tables.load(s, dir, "orders")
+      .select(dig.cast("int").as("d"))
+      .filter(col("d").between(1, 9))
+      .groupBy("d").agg(count(lit(1)).as("n"))
+      .withColumn("tot", sum(col("n")).over(Window.partitionBy()))
+    val pCol = (1 to 9).map(d => when(col("d") === d, lit(p(d))))
+      .reduceRight((a, b) => a.otherwise(b))
+    base.select(col("d"), col("n"),
+        round(col("n").cast("double") / col("tot"), 6).as("obs_frac"),
+        round(pCol, 6).as("benford_frac"),
+        round(
+          (col("n").cast("double") - col("tot") * pCol) /
+            sqrt(col("tot") * pCol * (lit(1.0) - pCol)), 4).as("z"))
+      .orderBy("d")
+  }
+
+  val qBenfordSql: String = {
+    val cases = (1 to 9).map { d =>
+      val v = java.math.BigDecimal.valueOf(math.log10(1.0 + 1.0 / d)).toPlainString
+      s"WHEN d = $d THEN CAST($v AS DOUBLE)"
+    }.mkString(" ")
+    s"""
+    WITH digs AS (
+      SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+        1, 1) AS INTEGER) AS d
+      FROM orders),
+    cnt AS (
+      SELECT d, COUNT(*) AS n FROM digs WHERE d BETWEEN 1 AND 9 GROUP BY 1),
+    m AS (SELECT d, n, SUM(n) OVER () AS tot, CASE $cases END AS p FROM cnt)
+    SELECT d, n,
+           ROUND(CAST(n AS DOUBLE) / tot, 6) AS obs_frac,
+           ROUND(p, 6) AS benford_frac,
+           ROUND((CAST(n AS DOUBLE) - tot * p)
+                 / sqrt(tot * p * (1 - p)), 4) AS z
+    FROM m ORDER BY d"""
+  }
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("q_benford", qBenford, Some(qBenfordSql)),
     QueryDef("q_rfm", qRfm, Some(qRfmSql)),
     QueryDef("q_gini", qGini, Some(qGiniSql)),
     QueryDef("q_skyline", qSkyline, Some(qSkylineSql)),

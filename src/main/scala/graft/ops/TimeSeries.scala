@@ -394,7 +394,108 @@ object TimeSeries {
            CASE WHEN c >= 0 THEN 'down' ELSE 'up' END AS direction
     FROM hit WHERE rn = 1 ORDER BY event_type"""
 
+  /** Day-of-week seasonality profile per event type: mean daily count
+    * and share of the week for each weekday slot — the profile behind
+    * q_autocorr's lag-7 spike. Weekday = epoch-day mod 7 (engine-
+    * neutral integer arithmetic — calendar dayofweek functions differ
+    * in origin/locale across engines). Two tiny hash aggregates over
+    * the daily rollup; every reported ratio divides exact integers.
+    */
+  def seasonal(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.loadEventsUs(s, dir)
+      .withColumn("day", expr("ts_us DIV 86400000000"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("x"))
+    val dow = daily.withColumn("dow", pmod(col("day"), lit(7)))
+      .groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("n_days"), sum(col("x")).as("total"))
+    dow.withColumn("wk_total",
+        sum(col("total")).over(Window.partitionBy("event_type")))
+      .select(col("event_type"), col("dow"), col("n_days"), col("total"),
+        round(col("total").cast("double") / col("n_days"), 6).as("avg_count"),
+        round(col("total").cast("double") / col("wk_total"), 6).as("share"))
+      .orderBy("event_type", "dow")
+  }
+
+  val seasonalSql: String = """
+    WITH daily AS (
+      SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+             COUNT(*) AS x
+      FROM events GROUP BY 1, 2),
+    dw AS (
+      SELECT event_type, day % 7 AS dow, COUNT(*) AS n_days,
+             CAST(SUM(x) AS BIGINT) AS total
+      FROM daily GROUP BY 1, 2)
+    SELECT event_type, dow, n_days, total,
+           ROUND(CAST(total AS DOUBLE) / n_days, 6) AS avg_count,
+           ROUND(CAST(total AS DOUBLE)
+                 / SUM(total) OVER (PARTITION BY event_type), 6) AS share
+    FROM dw ORDER BY event_type, dow"""
+
+  /** Rolling 14-day Pearson correlation between the click and purchase
+    * daily count series — the co-movement signal behind "do clicks
+    * still convert". The raw stream reduces to ONE (day, clicks,
+    * purchases) rollup row per day (conditional aggregation — no
+    * pivot/join), then every power sum rides a single 14-row window;
+    * counts are integers so the sums are exact and r is one sqrt +
+    * one division (round 6). Warm-up days (window < 14) report with
+    * their actual window size; zero-variance windows yield NULL,
+    * mirrored in the oracle. The global (unpartitioned) window is safe
+    * at ANY corpus size: its input is one row per calendar day.
+    */
+  def rollCorr(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.loadEventsUs(s, dir)
+      .withColumn("day", expr("ts_us DIV 86400000000"))
+      .groupBy("day")
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+    val w = Window.orderBy("day").rowsBetween(-13, Window.currentRow)
+    daily
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("x")).over(w))
+      .withColumn("sy", sum(col("y")).over(w))
+      .withColumn("sxx", sum(col("x") * col("x")).over(w))
+      .withColumn("syy", sum(col("y") * col("y")).over(w))
+      .withColumn("sxy", sum(col("x") * col("y")).over(w))
+      .select(col("day"), col("n"),
+        when(col("n") * col("sxx") - col("sx") * col("sx") > 0 &&
+             col("n") * col("syy") - col("sy") * col("sy") > 0,
+          round(
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+                   (col("n") * col("syy") - col("sy") * col("sy")).cast("double")),
+            6)).as("r"))
+      .orderBy("day")
+  }
+
+  val rollCorrSql: String = """
+    WITH daily AS (
+      SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS y
+      FROM events GROUP BY 1),
+    m AS (
+      SELECT day,
+             COUNT(*) OVER w AS n,
+             CAST(SUM(x) OVER w AS BIGINT) AS sx,
+             CAST(SUM(y) OVER w AS BIGINT) AS sy,
+             CAST(SUM(x * x) OVER w AS BIGINT) AS sxx,
+             CAST(SUM(y * y) OVER w AS BIGINT) AS syy,
+             CAST(SUM(x * y) OVER w AS BIGINT) AS sxy
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+    SELECT day, n,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+             THEN ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                        / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                               * CAST(n * syy - sy * sy AS DOUBLE)), 6) END
+             AS r
+    FROM m ORDER BY day"""
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("q_seasonal", seasonal, Some(seasonalSql)),
+    QueryDef("q_roll_corr", rollCorr, Some(rollCorrSql)),
     QueryDef("q_interval_sweep", intervalSweep, Some(intervalSweepSql)),
     QueryDef("q_ewma", ewma, Some(ewmaSql)),
     QueryDef("q_abtest", abTest, Some(abTestSql)),

@@ -83,6 +83,35 @@ class GraphTimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("q_seasonal: shares normalize; totals reconcile with the event count") {
+    val out = TimeSeries.seasonal(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-4)
+    }
+    val nEvents = graft.Tables.load(spark, sfDir, "events").count()
+    assert(out.map(_.getAs[Long]("total")).sum == nEvents)
+  }
+
+  test("q_roll_corr: windows bounded at 14, r within [-1, 1]") {
+    val out = TimeSeries.rollCorr(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n") >= 1 && r.getAs[Long]("n") <= 14)
+      if (!r.isNullAt(2))
+        assert(math.abs(r.getAs[Double]("r")) <= 1.0 + 1e-9)
+    }
+  }
+
+  test("graph_assortativity: a correlation, over the real edge count") {
+    val row = Graph.assortativity(spark, sfDir).collect().head
+    assert(row.getAs[Long]("n_edges") ==
+      Graph.coEdges(spark, sfDir).count())
+    if (!row.isNullAt(2))
+      assert(math.abs(row.getAs[Double]("assortativity")) <= 1.0 + 1e-9)
+    assert(row.getAs[Double]("mean_deg") > 0)
+  }
+
   test("q_autocorr: r bounded, pair counts shrink with lag") {
     val rows = TimeSeries.autocorr(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -56,6 +56,16 @@ class Relational9Spec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("q_benford: both share columns normalize; every order is counted") {
+    import org.apache.spark.sql.functions._
+    val out = Relational9.qBenford(spark, sfDir).collect()
+    assert(out.map(_.getAs[Int]("d")).toSet.subsetOf((1 to 9).toSet))
+    assert(math.abs(out.map(_.getAs[Double]("obs_frac")).sum - 1.0) < 1e-4)
+    assert(math.abs(out.map(_.getAs[Double]("benford_frac")).sum - 1.0) < 1e-3)
+    val nOrders = graft.Tables.load(spark, sfDir, "orders").count()
+    assert(out.map(_.getAs[Long]("n")).sum == nOrders)
+  }
+
   test("q_rfm: cells partition customers; spend rises with the M quintile") {
     import org.apache.spark.sql.functions._
     val out = Relational9.qRfm(spark, sfDir).collect()
