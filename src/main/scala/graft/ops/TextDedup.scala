@@ -547,6 +547,94 @@ object TextDedup {
              AS kept_rate
     FROM j GROUP BY source ORDER BY source"""
 
+  // ---- MinHash as an ESTIMATOR (calibration audit) --------------------
+  /** MinHash estimation audit: for every true near-dup pair (exact
+    * Jaccard ≥ 0.3), the 32-permutation signature-agreement ESTIMATE
+    * next to the exact value — the calibration table that justifies
+    * trusting signature agreement at the 100 TB scale where exact
+    * Jaccard is unaffordable (dedup_minhash uses the same estimator
+    * family for LSH banding; this op measures its error). The
+    * permutations are REHASHES through md5 per (perm, shingle-hash) —
+    * unlike xxhash64 permutations, both engines replay the exact
+    * min-hash VALUES, so even the estimates are hash-certified.
+    * Small-scale exact mode (the dedup_ngram guard contract): the
+    * truth side is an all-pairs shingle join.
+    */
+  def dedupMinhashEst(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val n = d.count()
+    require(n <= NgramMaxDocs,
+      s"dedup_minhash_est is the small-scale calibration audit ($n docs > " +
+        s"cap $NgramMaxDocs); at scale trust dedup_minhash's LSH bands")
+    val sh = Tables.hot(d.select(col("doc_id"),
+      explode(array_distinct(transform(grams(3),
+        g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")))).as("h")))
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("c"))
+      .join(cnt.withColumnRenamed("doc_id", "da").withColumnRenamed("nsh", "na"), "da")
+      .join(cnt.withColumnRenamed("doc_id", "db").withColumnRenamed("nsh", "nb"), "db")
+      .withColumn("jacc",
+        col("c").cast("double") / (col("na") + col("nb") - col("c")))
+      .filter(col("jacc") >= 0.3)
+    val sig = Tables.fanout(sh)
+      .select(col("doc_id"), explode(sequence(lit(0), lit(31))).as("i"),
+        col("h"))
+      .withColumn("ph", conv(substring(md5(concat(lit("p"),
+        col("i").cast("string"), lit(":"), col("h").cast("string"))),
+        1, 15), 16, 10).cast("long"))
+      .groupBy("doc_id", "i").agg(min(col("ph")).as("m"))
+    val sa = sig.select(col("doc_id").as("da"), col("i"), col("m").as("ma"))
+    val sb = sig.select(col("doc_id").as("db"), col("i"), col("m").as("mb"))
+    broadcast(pairs.select("da", "db", "jacc"))
+      .join(sa, Seq("da")).join(sb, Seq("db", "i"))
+      .groupBy("da", "db", "jacc")
+      .agg(sum(when(col("ma") === col("mb"), 1L).otherwise(0L)).as("agree"))
+      .select(col("da"), col("db"), round(col("jacc"), 6).as("jacc"),
+        round(col("agree").cast("double") / 32.0, 6).as("est_jacc"),
+        round(col("agree").cast("double") / 32.0 - col("jacc"), 6).as("err"))
+      .orderBy("da", "db")
+  }
+
+  val dedupMinhashEstSql: String = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+      CAST(('0x' || substr(md5(s), 1, 15))::UBIGINT AS BIGINT) AS h FROM (
+      SELECT doc_id,
+        unnest(list_transform(generate_series(1, len(t) - 2),
+          i -> array_to_string(t[i:i+2], ' '))) AS s
+      FROM toks)),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT da, db, CAST(c AS DOUBLE) / (ca.n + cb.n - c) AS jacc
+      FROM common
+      JOIN cnt ca ON da = ca.doc_id
+      JOIN cnt cb ON db = cb.doc_id
+      WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.3),
+    perms AS (SELECT unnest(generate_series(0, 31)) AS i),
+    sig AS (
+      SELECT doc_id, i,
+        MIN(CAST(('0x' || substr(md5('p' || CAST(i AS VARCHAR) || ':'
+          || CAST(h AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT)) AS m
+      FROM sh CROSS JOIN perms GROUP BY 1, 2),
+    ag AS (
+      SELECT p.da, p.db, p.jacc,
+             SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS agree
+      FROM pairs p
+      JOIN sig sa ON sa.doc_id = p.da
+      JOIN sig sb ON sb.doc_id = p.db AND sb.i = sa.i
+      GROUP BY 1, 2, 3)
+    SELECT da, db, ROUND(jacc, 6) AS jacc,
+           ROUND(agree / 32.0, 6) AS est_jacc,
+           ROUND(agree / 32.0 - jacc, 6) AS err
+    FROM ag ORDER BY da, db"""
+
   // ---- winnowing fingerprints (MOSS) ----------------------------------
   /** Winnowing document fingerprints (the MOSS algorithm, Schleimer et
     * al.): hash every token 3-gram, slide a w=4 window over the hash
@@ -642,6 +730,7 @@ object TextDedup {
     QueryDef("text_normalize", textNormalize, Some(textNormalizeSql)),
     QueryDef("dedup_soft", dedupSoft, Some(dedupSoftSql)),
     QueryDef("text_winnow", textWinnow, Some(textWinnowSql)),
+    QueryDef("dedup_minhash_est", dedupMinhashEst, Some(dedupMinhashEstSql)),
     QueryDef("dedup_containment", dedupContainment, Some(dedupContainmentSql)),
     QueryDef("dedup_exact", dedupExact, Some(dedupExactSql)),
     QueryDef("dedup_keep_best", dedupKeepBest, Some(dedupKeepBestSql)),

@@ -59,6 +59,20 @@ class PipelineDepthSpec extends SparkSpec {
     }
   }
 
+  test("dedup_minhash_est: estimates calibrated within estimator variance") {
+    val out = TextDedup.dedupMinhashEst(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (j, est, err) = (r.getAs[Double]("jacc"),
+        r.getAs[Double]("est_jacc"), r.getAs[Double]("err"))
+      assert(est >= 0.0 && est <= 1.0)
+      assert(math.abs(est - j - err) < 1e-6)
+      val sd = math.sqrt(j * (1 - j) / 32)
+      assert(math.abs(err) <= 5 * sd + 1.0 / 32 + 1e-9,
+        s"estimator out of calibration: j=$j est=$est")
+    }
+  }
+
   test("sample_temperature: smallest source keeps all, rates soften counts") {
     val out = Corpus.sampleTemperature(spark, sfDir).collect()
     assert(out.nonEmpty)
