@@ -457,7 +457,91 @@ object Events {
              THEN 3 ELSE 0 END)) >= 1
     ORDER BY user_id"""
 
+  /** Cohort LTV matrix: users grouped by first-seen WEEK, purchase
+    * revenue accumulated per cohort-week × age-week cell with the
+    * running cumulative — the lifetime-value companion to q_retention's
+    * activity matrix. First-seen joins back by user-key SHUFFLE (the
+    * user dimension is unbounded at scale — never broadcast); the
+    * cumulative rides a window over the tiny cohort×age matrix and
+    * stays DECIMAL until the final cast, so prefix sums are exact, not
+    * float-order-dependent.
+    */
+  def cohortLtv(s: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val ev = Tables.loadEventsUs(s, dir)
+      .withColumn("wk", expr("ts_us DIV 604800000000"))
+    val first = ev.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+    val m = ev.join(first.hint("shuffle_hash"), "user_id")
+      .withColumn("age_wk", col("wk") - col("cohort_wk"))
+      .groupBy("cohort_wk", "age_wk")
+      .agg(count_distinct(col("user_id")).as("n_users"),
+        sum(when(col("event_type") === "purchase", col("value"))
+          .otherwise(lit(0.0)).cast(dec)).as("rd"))
+    m.withColumn("cum", sum(col("rd")).over(
+        Window.partitionBy("cohort_wk").orderBy("age_wk")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("cohort_wk"), col("age_wk"), col("n_users"),
+        round(col("rd").cast("double"), 4).as("revenue"),
+        round(col("cum").cast("double"), 4).as("cum_revenue"))
+      .orderBy("cohort_wk", "age_wk")
+  }
+
+  val cohortLtvSql: String = """
+    WITH ev AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS wk,
+             event_type, value
+      FROM events),
+    fs AS (SELECT user_id, MIN(wk) AS cohort_wk FROM ev GROUP BY 1),
+    m AS (
+      SELECT cohort_wk, wk - cohort_wk AS age_wk,
+             COUNT(DISTINCT ev.user_id) AS n_users,
+             SUM(CAST(CASE WHEN event_type = 'purchase' THEN value
+                      ELSE 0.0 END AS DECIMAL(18,6))) AS rd
+      FROM ev JOIN fs ON ev.user_id = fs.user_id
+      GROUP BY 1, 2)
+    SELECT cohort_wk, age_wk, CAST(n_users AS BIGINT) AS n_users,
+           ROUND(CAST(rd AS DOUBLE), 4) AS revenue,
+           ROUND(CAST(SUM(rd) OVER (PARTITION BY cohort_wk ORDER BY age_wk
+             ROWS UNBOUNDED PRECEDING) AS DOUBLE), 4) AS cum_revenue
+    FROM m ORDER BY cohort_wk, age_wk"""
+
+  /** Daily new-vs-returning split: per day, distinct active users
+    * partitioned into first-ever-seen (new) and returning — the
+    * growth-accounting companion to q_retention. One (user, day) dedup,
+    * one first-seen aggregate, one user-key shuffle join back, one
+    * daily aggregate; all counts exact integers.
+    */
+  def newVsReturning(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.loadEventsUs(s, dir)
+      .select(col("user_id"), expr("ts_us DIV 86400000000").as("day"))
+      .distinct()
+    val first = daily.groupBy("user_id").agg(min(col("day")).as("fd"))
+    daily.join(first.hint("shuffle_hash"), "user_id")
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("fd") === col("day"), 1L).otherwise(0L)).as("n_new"))
+      .select(col("day"), col("n_active"), col("n_new"),
+        (col("n_active") - col("n_new")).as("n_returning"))
+      .orderBy("day")
+  }
+
+  val newVsReturningSql: String = """
+    WITH daily AS (
+      SELECT DISTINCT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+      FROM events),
+    fs AS (SELECT user_id, MIN(day) AS fd FROM daily GROUP BY 1)
+    SELECT day, COUNT(*) AS n_active,
+           CAST(SUM(CASE WHEN fd = day THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_new,
+           COUNT(*) - CAST(SUM(CASE WHEN fd = day THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_returning
+    FROM daily JOIN fs ON daily.user_id = fs.user_id
+    GROUP BY day ORDER BY day"""
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("q_cohort_ltv", cohortLtv, Some(cohortLtvSql)),
+    QueryDef("q_new_vs_returning", newVsReturning, Some(newVsReturningSql)),
     QueryDef("q_funnel_window", funnelWindow, Some(funnelWindowSql)),
     QueryDef("q_cdc_delete", cdcDelete, Some(cdcDeleteSql)),
     QueryDef("q_retention", retention, Some(retentionSql)),

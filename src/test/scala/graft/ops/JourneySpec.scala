@@ -86,6 +86,31 @@ class JourneySpec extends SparkSpec {
     assert(got == expect.toMap.filter(_._2 > 0))
   }
 
+  test("q_new_vs_returning: new users sum to the user base; day one all new") {
+    val out = Events.newVsReturning(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val nUsers = Tables.load(spark, sfDir, "events")
+      .select("user_id").distinct().count()
+    assert(out.map(_.getAs[Long]("n_new")).sum == nUsers)
+    out.foreach(r => assert(r.getAs[Long]("n_active") ==
+      r.getAs[Long]("n_new") + r.getAs[Long]("n_returning")))
+    val firstDay = out.minBy(_.getAs[Long]("day"))
+    assert(firstDay.getAs[Long]("n_returning") == 0L)
+  }
+
+  test("q_cohort_ltv: cumulative revenue is nondecreasing per cohort") {
+    val out = Events.cohortLtv(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getAs[Long]("cohort_wk")).foreach { case (_, rows) =>
+      val byAge = rows.sortBy(_.getAs[Long]("age_wk"))
+      assert(byAge.head.getAs[Long]("age_wk") == 0L)
+      byAge.map(_.getAs[Double]("cum_revenue")).toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(a <= b + 1e-9)
+        case _ =>
+      }
+    }
+  }
+
   test("q_gini within [0, 1)") {
     val out = Relational9.qGini(spark, sfDir).collect()
     assert(out.nonEmpty)
