@@ -413,9 +413,16 @@ object EventStream {
     * also certifies the estimates derived from it. Emissions are
     * per-batch refreshed sketches (Update mode).
     */
-  def kmvSketches(spark: SparkSession, dir: String): DataFrame = {
+  def kmvSketches(spark: SparkSession, dir: String): DataFrame =
+    kmvSketchStream(readEvents(spark, dir))
+
+  /** The sketch-state transform over any (event_type, user_id) stream —
+    * factored so StreamRecoverySpec can drive it from a multi-file
+    * source and kill it mid-stream. */
+  private[graft] def kmvSketchStream(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
     import spark.implicits._
-    readEvents(spark, dir)
+    events
       .select(col("event_type"), col("user_id"))
       .as[(String, Long)]
       .groupByKey(_._1)

@@ -67,4 +67,70 @@ class StreamRecoverySpec extends SparkSpec {
       s"recovered stream diverged from batch (partial had $partial rows)")
     assert(batch.nonEmpty)
   }
+
+  test("stopped-and-restarted KMV sketch state recovers exactly (stateful)") {
+    val work = Files.createTempDirectory("graft-recovery-kmv").toString
+    val srcDir = s"$work/src"
+    val ckpt = s"$work/ckpt"
+    val outDir = s"$work/emissions"
+
+    // two-phase source: phase-1 files hold 3/4 of the events; the rest
+    // arrive only AFTER the restart, so post-recovery emissions exist
+    // for every key by construction
+    val events = Tables.load(spark, sfDir, "events")
+    events.filter(col("event_id") % 4 =!= 0)
+      .repartition(3).write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+
+    // memory sinks cannot recover an Update-mode query from a
+    // checkpoint; collect emissions through foreachBatch instead
+    // (at-least-once appends are fine — the sketch fold is idempotent)
+    def start() = EventStream.kmvSketchStream(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir))
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.write.mode("append").parquet(outDir); ()
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.ProcessingTime(50))
+      .start()
+
+    // phase 1: absorb the first tranche into state, then stop
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // wipe phase-1 emissions: the certification must hold from
+    // POST-recovery output alone — its first emission per key embeds
+    // the recovered state, so lost state would be visible
+    java.nio.file.Files.walk(java.nio.file.Paths.get(outDir))
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+
+    // phase 2: the remaining quarter lands, the query restarts from
+    // its checkpoint and must carry the phase-1 sketches forward
+    events.filter(col("event_id") % 4 === 0)
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    // a true global bottom-256 hash is never displaced once absorbed,
+    // so bottom-256 of the union of post-recovery emissions IS the
+    // final state — and it must include every phase-1-only hash
+    val streamed = spark.read.parquet(outDir).collect()
+      .groupBy(_.getString(0))
+      .map { case (t, rows) =>
+        t -> rows.flatMap(_.getSeq[Long](1)).distinct.sorted.take(256).toSeq
+      }
+    val dp = events
+      .select(col("event_type").as("t"),
+        graft.ops.Sketches.h60(col("user_id").cast("string")).as("h"))
+      .distinct()
+    val batch = graft.ops.Sketches.kmvSketch(dp).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(batch.nonEmpty)
+    assert(streamed == batch,
+      "recovered sketch state diverged from the batch tournament")
+  }
 }
