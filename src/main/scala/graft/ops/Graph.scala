@@ -382,7 +382,9 @@ object Graph {
     * folds exact INTEGER power sums, r = one sqrt + one division.
     */
   def assortativity(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.fanout(coEdges(s, dir))
+    // hot: the edge set feeds BOTH the degree build and the stub join —
+    // without materialization the coEdges self-join runs twice
+    val e = Tables.hot(Tables.fanout(coEdges(s, dir)))
     val deg = e.select(col("a").as("v"))
       .unionAll(e.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
