@@ -58,6 +58,54 @@ object Graph {
     SELECT id, CAST(d AS BIGINT) AS depth
     FROM walk WHERE anc = 1 ORDER BY id"""
 
+  /** Hierarchical subtree ROLLUP — the recursive-AGGREGATION class next
+    * to q_transitive's reachability (BOM cost rollups, org-chart
+    * headcounts): per ancestor, the count and decimal-exact value sum
+    * over its whole subtree. Over the same encoded binary hierarchy
+    * (parent(k) = k DIV 2) the ancestor chain is CLOSED-FORM — each row
+    * explodes to its ≤ 64 ancestors by bit shifts, then ONE hash
+    * aggregate; no joins, no rounds. (An arbitrary parent table takes
+    * the q_transitive pointer-doubling machinery to build the same
+    * (node, ancestor) pairs first — O(log depth) shuffles — and this
+    * identical aggregate after.) Output = the top 4 levels of the
+    * hierarchy; means follow the floor-to-cent integer rule.
+    */
+  def hierRollup(s: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    // 1-based node key (custkeys start at 0; node 0 has no bit-chain)
+    Tables.fanout(Tables.load(s, dir, "customer"))
+      .select((col("c_custkey") + 1).as("id"),
+        col("c_acctbal").cast(dec).as("v"))
+      .select(col("v"), explode(expr(
+        "transform(sequence(0, length(bin(id)) - 1), i -> shiftright(id, i))"))
+        .as("anc"))
+      .filter(col("anc").between(1, 15))
+      .groupBy("anc")
+      .agg(count(lit(1)).as("n_desc"), sum(col("v")).as("sv"))
+      .select(col("anc").as("id"), col("n_desc"),
+        round(col("sv").cast("double"), 2).as("subtree_sum"),
+        (expr("CAST(sv * 100 AS BIGINT) DIV n_desc") / 100.0)
+          .as("subtree_mean"))
+      .orderBy("id")
+  }
+
+  val hierRollupSql: String = """
+    WITH n AS (
+      SELECT c_custkey + 1 AS id, CAST(c_acctbal AS DECIMAL(18,2)) AS v
+      FROM customer),
+    anc AS (
+      SELECT v,
+        unnest(list_transform(generate_series(0, length(bin(id)) - 1),
+          i -> id >> i)) AS a
+      FROM n),
+    m AS (
+      SELECT a AS id, COUNT(*) AS n_desc, SUM(v) AS sv
+      FROM anc WHERE a BETWEEN 1 AND 15 GROUP BY 1)
+    SELECT id, n_desc,
+           ROUND(CAST(sv AS DOUBLE), 2) AS subtree_sum,
+           CAST(sv * 100 AS BIGINT) // n_desc / 100.0 AS subtree_mean
+    FROM m ORDER BY id"""
+
   // ---- co-purchase graph (shared by triangles + pagerank) -------------
 
   /** Undirected co-purchase edge list over parts: (a, b) with a < b iff
@@ -438,6 +486,7 @@ object Graph {
     FROM m"""
 
   def all: Seq[QueryDef] = Seq(
+    QueryDef("q_hier_rollup", hierRollup, Some(hierRollupSql)),
     QueryDef("graph_assortativity", assortativity, Some(assortativitySql)),
     QueryDef("q_transitive", transitiveDepth, Some(transitiveDepthSql)),
     QueryDef("graph_triangles", triangleCounts, Some(triangleCountsSql)),

@@ -103,6 +103,20 @@ class GraphTimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("q_hier_rollup: root absorbs everything, children partition the parent") {
+    import org.apache.spark.sql.functions._
+    val out = Graph.hierRollup(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_desc"), r.getAs[Double]("subtree_sum"))).toMap
+    val cust = graft.Tables.load(spark, sfDir, "customer")
+    assert(out(1L)._1 == cust.count(), "root subtree = every node")
+    // each node's subtree = itself + its two children's subtrees
+    for (id <- 2L to 7L; if out.contains(id)) {
+      val kids = Seq(2 * id, 2 * id + 1).flatMap(out.get)
+      assert(out(id)._1 == 1 + kids.map(_._1).sum, s"count mismatch at $id")
+    }
+  }
+
   test("graph_assortativity: a correlation, over the real edge count") {
     val row = Graph.assortativity(spark, sfDir).collect().head
     assert(row.getAs[Long]("n_edges") ==
