@@ -188,8 +188,13 @@ object Journey {
     Tables.loadEventsUs(s, dir)
       .select(col("user_id"), col("ts_us"), col("event_id"),
         col("event_type"), col("value"))
-      .withColumn("lt_ts", last(when(isTouch, col("ts_us")), ignoreNulls = true).over(w))
-      .withColumn("lt_type", last(when(isTouch, col("event_type")), ignoreNulls = true).over(w))
+      // both carried columns in ONE select: a withColumn chain would
+      // interleave a Project and keep CollapseWindow from fusing them
+      .select(col("event_type"), col("ts_us"), col("value"),
+        last(when(isTouch, col("ts_us")), ignoreNulls = true).over(w)
+          .as("lt_ts"),
+        last(when(isTouch, col("event_type")), ignoreNulls = true).over(w)
+          .as("lt_type"))
       .filter(col("event_type") === "purchase")
       .select(
         when(col("lt_ts").isNotNull &&

@@ -343,20 +343,21 @@ object TimeSeries {
     val cu = pre.join(broadcast(tot), "event_type")
       .withColumn("c", col("n") * col("p") - col("t") * col("s"))
     val peak = cu.groupBy("event_type").agg(max(abs(col("c"))).as("cmax"))
-    cu.join(broadcast(peak), "event_type")
+    // earliest peak day per type, then ONE tiny join-back recovers the
+    // full chosen row — a min_by over a struct here would regress the
+    // aggregate to SortAggregate (the dedup_keep_best trap)
+    val pick = cu.join(broadcast(peak), "event_type")
       .filter(abs(col("c")) === col("cmax"))
-      .groupBy("event_type")
-      .agg(first(col("cmax")).as("cmax"), min(col("day")).as("cp_day"),
-        min_by(struct(col("t"), col("p"), col("c"), col("s"), col("n")),
-          col("day")).as("at"))
-      .select(col("event_type"),
-        col("at.n").as("n_days"), col("cp_day"),
-        round(col("at.c").cast("double") / col("at.n"), 6).as("cusum"),
-        round(col("at.p").cast("double") / col("at.t"), 6).as("mean_before"),
-        when(col("at.n") > col("at.t"),
-          round((col("at.s") - col("at.p")).cast("double") /
-            (col("at.n") - col("at.t")), 6)).as("mean_after"),
-        when(col("at.c") >= 0, "down").otherwise("up").as("direction"))
+      .groupBy(col("event_type").as("et")).agg(min(col("day")).as("cp_day"))
+    cu.join(broadcast(pick),
+        col("event_type") === col("et") && col("day") === col("cp_day"))
+      .select(col("event_type"), col("n").as("n_days"), col("cp_day"),
+        round(col("c").cast("double") / col("n"), 6).as("cusum"),
+        round(col("p").cast("double") / col("t"), 6).as("mean_before"),
+        when(col("n") > col("t"),
+          round((col("s") - col("p")).cast("double") /
+            (col("n") - col("t")), 6)).as("mean_after"),
+        when(col("c") >= 0, "down").otherwise("up").as("direction"))
       .orderBy("event_type")
   }
 
@@ -493,7 +494,143 @@ object TimeSeries {
              AS r
     FROM m ORDER BY day"""
 
+  /** OLS linear trend per event type: slope/intercept/R² of the daily
+    * count series against the day index — the "is this metric growing"
+    * estimator under q_ewma's smoothing and q_cusum's level shifts.
+    * Counts and day indices are INTEGERS, so every power sum is exact
+    * and the closed-form OLS terms are bit-deterministic doubles (the
+    * q_stats recipe; slope reported per day). Degenerate series
+    * (single day / zero variance) yield NULLs, mirrored.
+    */
+  def trendOls(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.loadEventsUs(s, dir)
+      .withColumn("day", expr("ts_us DIV 86400000000"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("y"))
+    val m = daily
+      .withColumn("x", col("day") - min(col("day"))
+        .over(Window.partitionBy("event_type")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+    val vx = col("n") * col("sxx") - col("sx") * col("sx")
+    val vy = col("n") * col("syy") - col("sy") * col("sy")
+    val cxy = col("n") * col("sxy") - col("sx") * col("sy")
+    m.select(col("event_type"), col("n"),
+        when(vx > 0,
+          round(cxy.cast("double") / vx.cast("double"), 6)).as("slope"),
+        when(vx > 0, round(
+          (col("sy").cast("double") - cxy.cast("double") / vx.cast("double")
+            * col("sx")) / col("n"), 6)).as("intercept"),
+        when(vx > 0 && vy > 0, round(
+          cxy.cast("double") * cxy.cast("double") /
+            (vx.cast("double") * vy.cast("double")), 6)).as("r2"))
+      .orderBy("event_type")
+  }
+
+  val trendOlsSql: String = """
+    WITH daily AS (
+      SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+             COUNT(*) AS y
+      FROM events GROUP BY 1, 2),
+    xs AS (
+      SELECT event_type,
+             day - MIN(day) OVER (PARTITION BY event_type) AS x, y
+      FROM daily),
+    m AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM xs GROUP BY 1)
+    SELECT event_type, n,
+           CASE WHEN n * sxx - sx * sx > 0
+             THEN ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                        / CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS slope,
+           CASE WHEN n * sxx - sx * sx > 0
+             THEN ROUND((CAST(sy AS DOUBLE)
+                         - CAST(n * sxy - sx * sy AS DOUBLE)
+                           / CAST(n * sxx - sx * sx AS DOUBLE) * sx) / n, 6)
+             END AS intercept,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+             THEN ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                        * CAST(n * sxy - sx * sy AS DOUBLE)
+                        / (CAST(n * sxx - sx * sx AS DOUBLE)
+                           * CAST(n * syy - sy * sy AS DOUBLE)), 6) END AS r2
+    FROM m ORDER BY event_type"""
+
+  /** Seasonal-naive forecast backtest: predict each day's count with
+    * the value 7 days earlier (the baseline every real forecaster must
+    * beat) and report per-type MAE and MAPE over the backtest window —
+    * plus the same errors for the plain naive (yesterday) forecast, so
+    * the table SHOWS whether weekly seasonality helps. One lag window
+    * over the tiny daily rollup; absolute errors are integers, means
+    * are exact-integer ratios rounded at 6 dp. Days without a lag-7
+    * (or lag-1) observation drop out of that column's backtest,
+    * mirrored in the oracle.
+    */
+  def forecastNaive(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.loadEventsUs(s, dir)
+      .withColumn("day", expr("ts_us DIV 86400000000"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("y"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val lagged = daily
+      .withColumn("p7", when(lag(col("day"), 7).over(w) === col("day") - 7,
+        lag(col("y"), 7).over(w)))
+      .withColumn("p1", when(lag(col("day"), 1).over(w) === col("day") - 1,
+        lag(col("y"), 1).over(w)))
+    lagged.groupBy("event_type")
+      .agg(
+        sum(when(col("p7").isNotNull, 1L).otherwise(0L)).as("n7"),
+        sum(when(col("p7").isNotNull, abs(col("y") - col("p7")))).as("ae7"),
+        sum(when(col("p7").isNotNull,
+          abs(col("y") - col("p7")).cast("double") / col("y"))
+          .cast(org.apache.spark.sql.types.DecimalType(28, 12))).as("ape7"),
+        sum(when(col("p1").isNotNull, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("p1").isNotNull, abs(col("y") - col("p1")))).as("ae1"))
+      .select(col("event_type"), col("n7"),
+        round(col("ae7").cast("double") / col("n7"), 6).as("mae_seasonal"),
+        round(col("ape7").cast("double") / col("n7"), 6).as("mape_seasonal"),
+        round(col("ae1").cast("double") / col("n1"), 6).as("mae_naive"))
+      .orderBy("event_type")
+  }
+
+  val forecastNaiveSql: String = """
+    WITH daily AS (
+      SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+             COUNT(*) AS y
+      FROM events GROUP BY 1, 2),
+    lagged AS (
+      SELECT event_type, day, y,
+        CASE WHEN LAG(day, 7) OVER w = day - 7
+          THEN LAG(y, 7) OVER w END AS p7,
+        CASE WHEN LAG(day, 1) OVER w = day - 1
+          THEN LAG(y, 1) OVER w END AS p1
+      FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day))
+    SELECT event_type,
+           CAST(SUM(CASE WHEN p7 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n7,
+           ROUND(CAST(SUM(CASE WHEN p7 IS NOT NULL
+                          THEN abs(y - p7) END) AS DOUBLE)
+                 / SUM(CASE WHEN p7 IS NOT NULL THEN 1 ELSE 0 END), 6)
+             AS mae_seasonal,
+           ROUND(CAST(SUM(CAST(CASE WHEN p7 IS NOT NULL
+                          THEN CAST(abs(y - p7) AS DOUBLE) / y END
+                          AS DECIMAL(28,12))) AS DOUBLE)
+                 / SUM(CASE WHEN p7 IS NOT NULL THEN 1 ELSE 0 END), 6)
+             AS mape_seasonal,
+           ROUND(CAST(SUM(CASE WHEN p1 IS NOT NULL
+                          THEN abs(y - p1) END) AS DOUBLE)
+                 / SUM(CASE WHEN p1 IS NOT NULL THEN 1 ELSE 0 END), 6)
+             AS mae_naive
+    FROM lagged GROUP BY event_type ORDER BY event_type"""
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("q_trend_ols", trendOls, Some(trendOlsSql)),
+    QueryDef("q_forecast_naive", forecastNaive, Some(forecastNaiveSql)),
     QueryDef("q_seasonal", seasonal, Some(seasonalSql)),
     QueryDef("q_roll_corr", rollCorr, Some(rollCorrSql)),
     QueryDef("q_interval_sweep", intervalSweep, Some(intervalSweepSql)),

@@ -237,6 +237,49 @@ class PlanAuditSpec extends SparkSpec {
       "graph_triangles: wedge/closing joins must be equi-joins")
   }
 
+  test("round-8 operators keep their scale shapes") {
+    // unbounded-key join-backs must SHUFFLE, never broadcast: the
+    // fingerprint/group/chunk vocabularies all grow with the corpus
+    // (the text_unigram_lp rule, pinned per operator)
+    for ((q, what, smallSideJoins) <- Seq(
+        // text_winnow's per-source summary join (20 rows a side) may
+        // legitimately broadcast; the fingerprint join must not
+        ("text_winnow", "fingerprint-count join", 1),
+        ("dedup_soft", "group-size join", 0),
+        ("chunk_cdc", "chunk-count join", 0))) {
+      val nodes = collectAll(initialPlan(q))
+      assert(nodes.exists(_.nodeName.contains("ShuffledHashJoin")),
+        s"$q: $what must be a shuffled hash join")
+      assert(nodes.count(_.isInstanceOf[BroadcastHashJoinExec]) <= smallSideJoins,
+        s"$q: $what must not be broadcast")
+    }
+    // q_cms_freq: the 4x explode runs AFTER a fanout exchange — on the
+    // raw single-split scan the whole sketch build would serialize
+    val cms = collectAll(initialPlan("q_cms_freq"))
+    assert(cms.collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.toString.contains("RoundRobin") => e
+    }.nonEmpty, "q_cms_freq: items must be fanned out before the explode")
+    // q_attribution: both carried-touch columns ride ONE window node
+    // over one user-hash exchange — a second window or exchange means
+    // the last_value pair didn't compose
+    val at = collectAll(initialPlan("q_attribution"))
+    assert(at.count(_.nodeName.contains("Window")) == 1,
+      "q_attribution: both last_value columns must share one window")
+    val atHash = at.collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.toString.contains("hashpartitioning") => e
+    }
+    assert(atHash.length <= 2, // window exchange + final touch aggregate
+      s"q_attribution: unexpected extra exchanges (${atHash.length})")
+    // sketch/argmin aggregates stay hash-based (no Sort regression)
+    for (q <- Seq("q_kmv_overlap", "q_cusum", "q_trend_ols")) {
+      assert(!collectAll(initialPlan(q))
+        .exists(_.nodeName.contains("SortAggregate")),
+        s"$q: aggregates must stay hash-based")
+    }
+  }
+
   test("no registered query plans a cartesian product") {
     // build-time driver rounds (documented in each operator):
     val skip = Set("dedup_cluster", "corpus_near_dedup", "dedup_ngram",

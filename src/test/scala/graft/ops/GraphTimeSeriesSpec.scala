@@ -126,6 +126,43 @@ class GraphTimeSeriesSpec extends SparkSpec {
     assert(row.getAs[Double]("mean_deg") > 0)
   }
 
+  test("q_trend_ols equals a driver-side least-squares replay") {
+    import org.apache.spark.sql.functions._
+    val daily = graft.Tables.loadEventsUs(spark, sfDir)
+      .withColumn("day", expr("ts_us DIV 86400000000"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("y"))
+      .collect().groupBy(_.getString(0))
+    val expect = daily.map { case (t, rows) =>
+      val d0 = rows.map(_.getLong(1)).min
+      val pts = rows.map(r => ((r.getLong(1) - d0).toDouble, r.getLong(2).toDouble))
+      val n = pts.length
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      t -> (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    }
+    TimeSeries.trendOls(spark, sfDir).collect().foreach { r =>
+      if (!r.isNullAt(2))
+        assert(math.abs(r.getDouble(2) - expect(r.getString(0))) < 1e-4,
+          s"slope mismatch for ${r.getString(0)}")
+      if (!r.isNullAt(4)) {
+        val r2 = r.getDouble(4)
+        assert(r2 >= 0.0 && r2 <= 1.0 + 1e-9)
+      }
+    }
+  }
+
+  test("q_forecast_naive: error metrics nonnegative, backtests bounded") {
+    val out = TimeSeries.forecastNaive(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n7") >= 0)
+      if (!r.isNullAt(2)) assert(r.getAs[Double]("mae_seasonal") >= 0.0)
+      if (!r.isNullAt(3)) assert(r.getAs[Double]("mape_seasonal") >= 0.0)
+      if (!r.isNullAt(4)) assert(r.getAs[Double]("mae_naive") >= 0.0)
+    }
+  }
+
   test("q_autocorr: r bounded, pair counts shrink with lag") {
     val rows = TimeSeries.autocorr(spark, sfDir).collect()
     assert(rows.nonEmpty)
