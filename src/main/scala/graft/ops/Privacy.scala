@@ -118,6 +118,51 @@ object Privacy {
              AS clean_md5
     FROM enriched ORDER BY doc_id"""
 
+  /** k-anonymity audit over quasi-identifiers — the re-identification
+    * risk screen a privacy review runs BEFORE a table ships: customers
+    * grouped by (nation, market segment, account-balance band); any
+    * group smaller than k = 5 is re-identifiable by linking those
+    * three public-ish attributes. One hash aggregate builds the
+    * equivalence classes, one tiny re-aggregate folds the risk report
+    * (class count, risky classes, exposed rows, exposure rate, the
+    * smallest class). All integers except one exact-ratio division.
+    */
+  def kAnonymity(s: SparkSession, dir: String): DataFrame = {
+    val classes = Tables.load(s, dir, "customer")
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        expr("CAST(floor(c_acctbal / 1000) AS BIGINT)").as("bal_band"))
+      .agg(count(lit(1)).as("sz"))
+    classes.agg(
+        sum(col("sz")).as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        sum(when(col("sz") < 5, 1L).otherwise(0L)).as("n_risky_classes"),
+        sum(when(col("sz") < 5, col("sz")).otherwise(lit(0L))).as("n_exposed"),
+        min(col("sz")).as("min_class"))
+      .select(col("n_rows"), col("n_classes"), col("n_risky_classes"),
+        col("n_exposed"),
+        round(col("n_exposed").cast("double") / col("n_rows"), 6)
+          .as("exposure_rate"),
+        col("min_class"))
+  }
+
+  val kAnonymitySql: String = """
+    WITH classes AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             COUNT(*) AS sz
+      FROM customer GROUP BY 1, 2, 3)
+    SELECT CAST(SUM(sz) AS BIGINT) AS n_rows,
+           COUNT(*) AS n_classes,
+           CAST(SUM(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_risky_classes,
+           CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+             AS n_exposed,
+           ROUND(CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS DOUBLE)
+                 / SUM(sz), 6) AS exposure_rate,
+           CAST(MIN(sz) AS BIGINT) AS min_class
+    FROM classes"""
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("q_k_anonymity", kAnonymity, Some(kAnonymitySql)),
     QueryDef("text_pii", textPii, Some(textPiiSql)))
 }

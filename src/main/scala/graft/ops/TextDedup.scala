@@ -547,6 +547,44 @@ object TextDedup {
              AS kept_rate
     FROM j GROUP BY source ORDER BY source"""
 
+  // ---- fuzzy entity matching ------------------------------------------
+  /** Edit-distance entity matching with blocking — the fuzzy-join class
+    * (customer/product name reconciliation) next to the shingle-based
+    * dedup family: candidate pairs from an EQUI-join on a cheap
+    * blocking key (first token), verified by Levenshtein ≤ 3. The
+    * aggregate-first rule does the heavy lifting: matching runs over
+    * the DISTINCT-name dictionary with occurrence counts, never raw
+    * rows — the dictionary is what's bounded-ish in a real catalog,
+    * and the block join is a plain shuffle equi-join (a skewed block
+    * would take the SkewJoin salting, same as the LSH bands).
+    * Levenshtein is the classic unit-cost DP, identical in both
+    * engines.
+    */
+  def fuzzyMatch(s: SparkSession, dir: String): DataFrame = {
+    val names = Tables.load(s, dir, "part")
+      .groupBy(col("p_name").as("name"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("blk", split(col("name"), " ").getItem(0))
+    names.as("a").join(names.as("b"),
+        col("a.blk") === col("b.blk") && col("a.name") < col("b.name"))
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"),
+        levenshtein(col("a.name"), col("b.name")).cast("long").as("d"))
+      .filter(col("d") <= 3)
+      .orderBy("name_a", "name_b")
+  }
+
+  val fuzzyMatchSql: String = """
+    WITH names AS (
+      SELECT p_name AS name, COUNT(*) AS n,
+             split_part(p_name, ' ', 1) AS blk
+      FROM part GROUP BY 1)
+    SELECT a.name AS name_a, b.name AS name_b, a.n AS n_a, b.n AS n_b,
+           CAST(levenshtein(a.name, b.name) AS BIGINT) AS d
+    FROM names a JOIN names b ON a.blk = b.blk AND a.name < b.name
+    WHERE levenshtein(a.name, b.name) <= 3
+    ORDER BY 1, 2"""
+
   // ---- MinHash as an ESTIMATOR (calibration audit) --------------------
   /** MinHash estimation audit: for every true near-dup pair (exact
     * Jaccard ≥ 0.3), the 32-permutation signature-agreement ESTIMATE
@@ -731,6 +769,7 @@ object TextDedup {
     QueryDef("dedup_soft", dedupSoft, Some(dedupSoftSql)),
     QueryDef("text_winnow", textWinnow, Some(textWinnowSql)),
     QueryDef("dedup_minhash_est", dedupMinhashEst, Some(dedupMinhashEstSql)),
+    QueryDef("q_fuzzy_match", fuzzyMatch, Some(fuzzyMatchSql)),
     QueryDef("dedup_containment", dedupContainment, Some(dedupContainmentSql)),
     QueryDef("dedup_exact", dedupExact, Some(dedupExactSql)),
     QueryDef("dedup_keep_best", dedupKeepBest, Some(dedupKeepBestSql)),

@@ -59,6 +59,35 @@ class PipelineDepthSpec extends SparkSpec {
     }
   }
 
+  test("q_fuzzy_match: pairs share the block, distances replay exactly") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val out = TextDedup.fuzzyMatch(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (a, b) = (r.getAs[String]("name_a"), r.getAs[String]("name_b"))
+      assert(a.split(" ").head == b.split(" ").head, "blocking violated")
+      assert(r.getAs[Long]("d") == lev(a, b).toLong, s"distance($a, $b)")
+      assert(r.getAs[Long]("d") <= 3)
+    }
+  }
+
+  test("q_k_anonymity: exposure bounded and internally consistent") {
+    val r = Privacy.kAnonymity(spark, sfDir).collect().head
+    assert(r.getAs[Long]("n_exposed") <= r.getAs[Long]("n_rows"))
+    assert(r.getAs[Long]("n_risky_classes") <= r.getAs[Long]("n_classes"))
+    assert(r.getAs[Long]("min_class") >= 1)
+    val rate = r.getAs[Double]("exposure_rate")
+    assert(rate >= 0.0 && rate <= 1.0)
+  }
+
   test("dedup_minhash_est: estimates calibrated within estimator variance") {
     val out = TextDedup.dedupMinhashEst(spark, sfDir).collect()
     assert(out.nonEmpty)
