@@ -636,7 +636,56 @@ object Relational9 {
     FROM m ORDER BY d"""
   }
 
+  /** Header-vs-detail reconciliation — the double-entry audit every
+    * finance warehouse runs: each order's header total against the sum
+    * of its line items, classified into matched / header-only (no
+    * lines) / discrepant buckets with the total absolute discrepancy.
+    * Everything rides DECIMAL(18,2) so "equal" means cent-exact, not
+    * within-epsilon; one outer join of the order header to the
+    * per-order line rollup (both order-key partitioned — co-located
+    * under bucketing at scale), one summary aggregate.
+    */
+  def qReconcile(s: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val li = Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("ok"))
+      .agg(sum(col("l_extendedprice").cast(dec)).as("detail"))
+    val o = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey").as("ok"), col("o_totalprice").cast(dec).as("hdr"))
+    o.join(li, Seq("ok"), "left")
+      .select(
+        when(col("detail").isNull, "header_only")
+          .when(col("hdr") === col("detail"), "matched")
+          .otherwise("discrepant").as("status"),
+        coalesce(abs(col("hdr") - col("detail")), col("hdr")).as("gap"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("gap")).as("gd"))
+      .select(col("status"), col("n_orders"),
+        round(col("gd").cast("double"), 2).as("total_gap"))
+      .orderBy("status")
+  }
+
+  val qReconcileSql: String = """
+    WITH li AS (
+      SELECT l_orderkey AS ok,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS detail
+      FROM lineitem GROUP BY 1),
+    o AS (
+      SELECT o_orderkey AS ok, CAST(o_totalprice AS DECIMAL(18,2)) AS hdr
+      FROM orders),
+    cls AS (
+      SELECT CASE WHEN detail IS NULL THEN 'header_only'
+                  WHEN hdr = detail THEN 'matched'
+                  ELSE 'discrepant' END AS status,
+             COALESCE(abs(hdr - detail), hdr) AS gap
+      FROM o LEFT JOIN li USING (ok))
+    SELECT status, COUNT(*) AS n_orders,
+           ROUND(CAST(SUM(gap) AS DOUBLE), 2) AS total_gap
+    FROM cls GROUP BY 1 ORDER BY 1"""
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("q_reconcile", qReconcile, Some(qReconcileSql)),
     QueryDef("q_benford", qBenford, Some(qBenfordSql)),
     QueryDef("q_rfm", qRfm, Some(qRfmSql)),
     QueryDef("q_gini", qGini, Some(qGiniSql)),
