@@ -628,7 +628,134 @@ object TimeSeries {
              AS mae_naive
     FROM lagged GROUP BY event_type ORDER BY event_type"""
 
+  /** CUPED variance reduction for the A/B test — the standard
+    * experimentation-stack tightener: each user's post-period metric is
+    * adjusted by its PRE-period metric, Y′ = Y − θ(X − X̄), with
+    * θ = cov(X,Y)/var(X) estimated pooled; the report shows per-variant
+    * adjusted means and the variance reduction the covariate bought.
+    * Time is split at the stream's midpoint (integer µs arithmetic from
+    * a broadcast 1-row span); users lacking both periods drop out
+    * (documented, mirrored). Per-user X/Y are 6-dp means; every
+    * cross-user moment is a DECIMAL power sum; θ, the adjusted means
+    * and both variances derive from those same moments in CLOSED FORM
+    * (var(Y′) = var(Y) − 2θ·cov + θ²·var(X)) — no per-row adjusted
+    * values, so the whole report is bit-deterministic. Assignment is
+    * per-user (user_id mod 2), as CUPED requires.
+    */
+  def abCuped(s: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 12)
+    val ev = Tables.loadEventsUs(s, dir)
+      .select(col("user_id"), col("ts_us"), col("value"))
+    val span = ev.agg(min(col("ts_us")).as("mn"), max(col("ts_us")).as("mx"))
+      .select(expr("(mn + mx) DIV 2").as("mid"))
+    val users = ev.crossJoin(broadcast(span))
+      .groupBy("user_id")
+      .agg(
+        count(when(col("ts_us") < col("mid"), 1)).as("nx"),
+        round(QueryDef.dsum(when(col("ts_us") < col("mid"), col("value")), 6) /
+          count(when(col("ts_us") < col("mid"), 1)), 6).as("x"),
+        count(when(col("ts_us") >= col("mid"), 1)).as("ny"),
+        round(QueryDef.dsum(when(col("ts_us") >= col("mid"), col("value")), 6) /
+          count(when(col("ts_us") >= col("mid"), 1)), 6).as("y"))
+      .filter(col("nx") > 0 && col("ny") > 0)
+      .withColumn("variant", (col("user_id") % 2).cast("int"))
+    val moments = Tables.hot(users.groupBy("variant")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+        sum((col("x") * col("x")).cast(dec)).as("sxx"),
+        sum((col("y") * col("y")).cast(dec)).as("syy"),
+        sum((col("x") * col("y")).cast(dec)).as("sxy")))
+    val pooled = moments.agg(
+        sum(col("n")).as("pn"),
+        sum(col("sx")).cast("double").as("psx"),
+        sum(col("sy")).cast("double").as("psy"),
+        sum(col("sxx")).cast("double").as("psxx"),
+        sum(col("sxy")).cast("double").as("psxy"))
+      .select(col("pn"),
+        (col("psx") / col("pn")).as("mx"),
+        ((col("psxy") - col("psx") * col("psy") / col("pn")) /
+          (col("psxx") - col("psx") * col("psx") / col("pn"))).as("theta"))
+    moments.crossJoin(broadcast(pooled))
+      .select(col("variant"), col("n").as("n_users"),
+        round(col("sy").cast("double") / col("n"), 6).as("mean_post"),
+        round(col("sy").cast("double") / col("n") -
+          col("theta") * (col("sx").cast("double") / col("n") - col("mx")), 6)
+          .as("mean_adj"),
+        round((col("syy").cast("double") -
+          col("sy").cast("double") * col("sy").cast("double") / col("n")) /
+          col("n"), 6).as("var_post"),
+        round((col("syy").cast("double") -
+          col("sy").cast("double") * col("sy").cast("double") / col("n")) /
+          col("n") -
+          lit(2.0) * col("theta") *
+            ((col("sxy").cast("double") -
+              col("sx").cast("double") * col("sy").cast("double") / col("n")) /
+              col("n")) +
+          col("theta") * col("theta") *
+            ((col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double") / col("n")) /
+              col("n")), 6).as("var_adj"),
+        round(col("theta"), 6).as("theta"))
+      .orderBy("variant")
+  }
+
+  val abCupedSql: String = """
+    WITH ev AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t, value
+      FROM events),
+    span AS (SELECT (MIN(t) + MAX(t)) // 2 AS mid FROM ev),
+    users AS (
+      SELECT user_id,
+        COUNT(CASE WHEN t < mid THEN 1 END) AS nx,
+        ROUND(CAST(SUM(CASE WHEN t < mid
+            THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE)
+          / COUNT(CASE WHEN t < mid THEN 1 END), 6) AS x,
+        COUNT(CASE WHEN t >= mid THEN 1 END) AS ny,
+        ROUND(CAST(SUM(CASE WHEN t >= mid
+            THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE)
+          / COUNT(CASE WHEN t >= mid THEN 1 END), 6) AS y
+      FROM ev, span GROUP BY user_id),
+    ok AS (
+      SELECT CAST(user_id % 2 AS INTEGER) AS variant, x, y
+      FROM users WHERE nx > 0 AND ny > 0),
+    m AS (
+      SELECT variant, COUNT(*) AS n,
+        SUM(CAST(x AS DECIMAL(38,12))) AS sx,
+        SUM(CAST(y AS DECIMAL(38,12))) AS sy,
+        SUM(CAST(x * x AS DECIMAL(38,12))) AS sxx,
+        SUM(CAST(y * y AS DECIMAL(38,12))) AS syy,
+        SUM(CAST(x * y AS DECIMAL(38,12))) AS sxy
+      FROM ok GROUP BY 1),
+    pooled AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS pn,
+        CAST(SUM(sx) AS DOUBLE) AS psx, CAST(SUM(sy) AS DOUBLE) AS psy,
+        CAST(SUM(sxx) AS DOUBLE) AS psxx, CAST(SUM(sxy) AS DOUBLE) AS psxy
+      FROM m),
+    th AS (
+      SELECT pn, psx / pn AS mx,
+        (psxy - psx * psy / pn) / (psxx - psx * psx / pn) AS theta
+      FROM pooled)
+    SELECT variant, n AS n_users,
+      ROUND(CAST(sy AS DOUBLE) / n, 6) AS mean_post,
+      ROUND(CAST(sy AS DOUBLE) / n
+            - theta * (CAST(sx AS DOUBLE) / n - mx), 6) AS mean_adj,
+      ROUND((CAST(syy AS DOUBLE)
+             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n) / n, 6)
+        AS var_post,
+      ROUND((CAST(syy AS DOUBLE)
+             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n) / n
+            - 2.0 * theta
+              * ((CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) / n)
+            + theta * theta
+              * ((CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / n), 6)
+        AS var_adj,
+      ROUND(theta, 6) AS theta
+    FROM m, th ORDER BY variant"""
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("q_ab_cuped", abCuped, Some(abCupedSql)),
     QueryDef("q_trend_ols", trendOls, Some(trendOlsSql)),
     QueryDef("q_forecast_naive", forecastNaive, Some(forecastNaiveSql)),
     QueryDef("q_seasonal", seasonal, Some(seasonalSql)),

@@ -126,6 +126,22 @@ class GraphTimeSeriesSpec extends SparkSpec {
     assert(row.getAs[Double]("mean_deg") > 0)
   }
 
+  test("q_ab_cuped: adjustment does not inflate variance; means consistent") {
+    val out = TimeSeries.abCuped(spark, sfDir).collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_users") > 0)
+      val (vp, va) = (r.getAs[Double]("var_post"), r.getAs[Double]("var_adj"))
+      assert(va >= -1e-9)
+      // pooled theta minimizes the pooled variance; per-variant it can
+      // deviate only marginally on balanced assignment
+      assert(va <= vp * 1.1 + 1e-9, s"variance inflated: $vp -> $va")
+      // the adjustment shifts the mean by theta * (x-dev from pooled)
+      val shift = r.getAs[Double]("mean_post") - r.getAs[Double]("mean_adj")
+      assert(math.abs(shift) < math.abs(r.getAs[Double]("theta")) * 10 + 1e-6)
+    }
+  }
+
   test("q_trend_ols equals a driver-side least-squares replay") {
     import org.apache.spark.sql.functions._
     val daily = graft.Tables.loadEventsUs(spark, sfDir)
