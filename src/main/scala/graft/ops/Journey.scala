@@ -229,7 +229,66 @@ object Journey {
     FROM m WHERE event_type = 'purchase'
     GROUP BY 1 ORDER BY 1"""
 
+  /** The fluent event-analytics chain end-to-end (api.EventPipeline):
+    * sessionization + last-touch attribution + per-user summary as ONE
+    * fused Catalyst plan — every windowed signal rides a single
+    * user-hash exchange and the final aggregate reuses its
+    * partitioning (PlanAuditSpec pins exactly one hash exchange).
+    * The oracle replays the identical window constructions, so hash
+    * equality certifies the whole composed pipeline, not just its
+    * pieces.
+    */
+  def eventsPipeline(s: SparkSession, dir: String): DataFrame =
+    graft.api.EventPipeline(Tables.loadEventsUs(s, dir)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          col("event_type"), col("value")))
+      .withSessions().withAttribution().userSummary()
+
+  val eventsPipelineSql: String = """
+    WITH ev AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_id,
+             event_type, value
+      FROM events),
+    m AS (
+      SELECT user_id, t, event_id, event_type, value,
+        LAG(t) OVER wn AS prev,
+        LAST_VALUE(CASE WHEN event_type IN ('click', 'view') THEN t END
+                   IGNORE NULLS) OVER wr AS lt_ts,
+        LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+                   THEN event_type END IGNORE NULLS) OVER wr AS lt_type
+      FROM ev
+      WINDOW wn AS (PARTITION BY user_id ORDER BY t, event_id),
+             wr AS (PARTITION BY user_id ORDER BY t, event_id
+                    ROWS UNBOUNDED PRECEDING)),
+    st AS (
+      SELECT *, CASE WHEN prev IS NULL OR t - prev > 1800000000
+                     THEN 1 ELSE 0 END AS s0
+      FROM m),
+    s2 AS (
+      SELECT *,
+        SUM(s0) OVER (PARTITION BY user_id ORDER BY t, event_id
+                      ROWS UNBOUNDED PRECEDING) AS session_id,
+        CASE WHEN event_type = 'purchase' THEN
+          CASE WHEN lt_ts IS NOT NULL AND t - lt_ts <= 86400000000
+               THEN lt_type ELSE 'none' END END AS touch
+      FROM st)
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_purchases,
+           ROUND(COALESCE(CAST(SUM(CAST(CASE WHEN touch = 'click'
+             THEN value END AS DECIMAL(18,6))) AS DOUBLE), 0.0), 4)
+             AS rev_click,
+           ROUND(COALESCE(CAST(SUM(CAST(CASE WHEN touch = 'view'
+             THEN value END AS DECIMAL(18,6))) AS DOUBLE), 0.0), 4)
+             AS rev_view,
+           ROUND(COALESCE(CAST(SUM(CAST(CASE WHEN touch = 'none'
+             THEN value END AS DECIMAL(18,6))) AS DOUBLE), 0.0), 4)
+             AS rev_none
+    FROM s2 GROUP BY user_id ORDER BY user_id"""
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("events_pipeline", eventsPipeline, Some(eventsPipelineSql)),
     QueryDef("q_sequence_match", sequenceMatch, Some(sequenceMatchSql)),
     QueryDef("q_markov", markov, Some(markovSql)),
     QueryDef("q_path3", path3, Some(path3Sql)),

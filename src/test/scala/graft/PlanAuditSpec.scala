@@ -272,6 +272,17 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(atHash.length <= 2, // window exchange + final touch aggregate
       s"q_attribution: unexpected extra exchanges (${atHash.length})")
+    // events_pipeline: the fused fluent chain (sessions + attribution
+    // + user summary) rides ONE user-hash exchange — the windows chain
+    // over a single sort and the final aggregate reuses the
+    // partitioning; a second hash exchange means the fusion broke
+    val ep = collectAll(initialPlan("events_pipeline"))
+    val epHash = ep.collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.toString.contains("hashpartitioning") => e
+    }
+    assert(epHash.length == 1,
+      s"events_pipeline: expected one user-hash exchange, got ${epHash.length}")
     // sketch/argmin aggregates stay hash-based (no Sort regression)
     for (q <- Seq("q_kmv_overlap", "q_cusum", "q_trend_ols")) {
       assert(!collectAll(initialPlan(q))
