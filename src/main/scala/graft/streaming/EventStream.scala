@@ -399,6 +399,39 @@ object EventStream {
       .toDF()
   }
 
+  final case class LastEvent(typ: String)
+  final case class Transition(user_id: Long, from_type: String,
+                              to_type: String)
+
+  /** Streaming twin of Journey.markov: running first-order transitions
+    * with O(1) state per user — just the previous event type. Each
+    * arriving event emits its (from, to) pair immediately (Append
+    * mode); the aggregated emissions equal the batch lag-window
+    * construction exactly (EventStreamSpec), which certifies that the
+    * window semantics and the incremental carry agree.
+    */
+  def markovStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    readEvents(spark, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[LastEvent, Transition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state) =>
+          var prev = state.getOption.map(_.typ).orNull
+          val out = scala.collection.mutable.ArrayBuffer[Transition]()
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, _, _, typ) =>
+            if (prev != null) out += Transition(uid, prev, typ)
+            prev = typ
+          }
+          if (prev != null) state.update(LastEvent(prev))
+          out.iterator
+      }
+      .toDF()
+  }
+
   final case class KmvState(sk: Array[Long])
   final case class KmvSketchOut(event_type: String, sk: Array[Long])
 

@@ -241,6 +241,20 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming Markov transitions equal the batch lag construction") {
+    val q = EventStream.markovStream(spark, sfDir)
+      .writeStream.format("memory").queryName("markov_out")
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("markov_out")
+      .groupBy("from_type", "to_type").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = graft.ops.Journey.markov(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("streaming KMV sketch state equals the batch tournament sketch") {
     val q = EventStream.kmvSketches(spark, sfDir)
       .writeStream.format("memory").queryName("kmv_out")
