@@ -287,7 +287,62 @@ object Journey {
              AS rev_none
     FROM s2 GROUP BY user_id ORDER BY user_id"""
 
+  /** DAU / trailing-7-day WAU / trailing-30-day MAU + the DAU/MAU
+    * stickiness ratio — the product-analytics headline series. The
+    * COUNT(DISTINCT) OVER RANGE shape follows q_sliding_distinct's
+    * contribution EXPLODE: dedup (user, day) once, fan each activity
+    * day to the ≤7 (resp. ≤30) report days it supports — map-side,
+    * bounded 37× of the tiny (user, day) rollup — and count distinct
+    * per report day; report days beyond the observed span are clipped
+    * so every row reflects real data. Stickiness divides exact
+    * integers, rounded at 6 dp.
+    */
+  def dauStickiness(s: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.loadEventsUs(s, dir)
+      .select(col("user_id"), expr("ts_us DIV 86400000000").as("day"))
+      .distinct()
+    val span = ud.agg(max(col("day")).as("max_day"))
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    def trailing(width: Int, name: String): DataFrame =
+      ud.crossJoin(broadcast(span))
+        .select(col("user_id"),
+          explode(sequence(col("day"), least(col("day") + (width - 1),
+            col("max_day")))).as("rd"))
+        .distinct()
+        .groupBy(col("rd").as("day")).agg(count(lit(1)).as(name))
+    dau.join(trailing(7, "wau"), "day")
+      .join(trailing(30, "mau"), "day")
+      .select(col("day"), col("dau"), col("wau"), col("mau"),
+        round(col("dau").cast("double") / col("mau"), 6).as("stickiness"))
+      .orderBy("day")
+  }
+
+  val dauStickinessSql: String = """
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+      FROM events),
+    span AS (SELECT MAX(day) AS max_day FROM ud),
+    dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY 1),
+    wau AS (
+      SELECT rd AS day, COUNT(DISTINCT user_id) AS wau FROM (
+        SELECT user_id, unnest(generate_series(day,
+          least(day + 6, max_day))) AS rd
+        FROM ud, span)
+      GROUP BY 1),
+    mau AS (
+      SELECT rd AS day, COUNT(DISTINCT user_id) AS mau FROM (
+        SELECT user_id, unnest(generate_series(day,
+          least(day + 29, max_day))) AS rd
+        FROM ud, span)
+      GROUP BY 1)
+    SELECT dau.day, dau.dau, wau.wau, mau.mau,
+           ROUND(CAST(dau.dau AS DOUBLE) / mau.mau, 6) AS stickiness
+    FROM dau JOIN wau ON wau.day = dau.day JOIN mau ON mau.day = dau.day
+    ORDER BY dau.day"""
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("q_dau_stickiness", dauStickiness, Some(dauStickinessSql)),
     QueryDef("events_pipeline", eventsPipeline, Some(eventsPipelineSql)),
     QueryDef("q_sequence_match", sequenceMatch, Some(sequenceMatchSql)),
     QueryDef("q_markov", markov, Some(markovSql)),

@@ -111,6 +111,18 @@ class JourneySpec extends SparkSpec {
     }
   }
 
+  test("q_dau_stickiness: monotone windows, stickiness bounded") {
+    val out = Journey.dauStickiness(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (d, w, m) = (r.getAs[Long]("dau"), r.getAs[Long]("wau"),
+        r.getAs[Long]("mau"))
+      assert(d <= w && w <= m, s"window nesting violated: $r")
+      val st = r.getAs[Double]("stickiness")
+      assert(st > 0.0 && st <= 1.0)
+    }
+  }
+
   test("q_gini within [0, 1)") {
     val out = Relational9.qGini(spark, sfDir).collect()
     assert(out.nonEmpty)
