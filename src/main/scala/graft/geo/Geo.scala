@@ -21,6 +21,28 @@ object Geo {
   def dist(px: Column, py: Column, fx: Column, fy: Column): Column =
     sqrt(dist2(px, py, fx, fy))
 
+  /** Point-to-segment distance via the clamped projection
+    * `t = ((p−a)·(b−a))/|b−a|²` onto segment a→b, t clamped to [0,1] —
+    * the exact euclidean distance to a LINESTRING edge, i.e. the
+    * reference's `MIN(ST_Distance(point, line_geometry))` semantics for
+    * LINE features (reference duckpipe/calculator/
+    * RoadDistanceCalculator.py:46-60; same template in RiverDistance/
+    * CoastlineDistance/MainRoadDistance). Pure IEEE column arithmetic
+    * (+,−,×,÷,sqrt, greatest/least) — bit-replayable in the oracle and
+    * fully inside whole-stage codegen. Degenerate segments (a == b)
+    * take tc = 0, collapsing to the vertex distance without dividing
+    * by zero. */
+  def segDist(px: Column, py: Column,
+              ax: Column, ay: Column, bx: Column, by: Column): Column = {
+    val dx = bx - ax
+    val dy = by - ay
+    val len2 = dx * dx + dy * dy
+    val tc = when(len2 === 0.0, lit(0.0))
+      .otherwise(greatest(lit(0.0), least(lit(1.0),
+        ((px - ax) * dx + (py - ay) * dy) / len2)))
+    dist(px, py, ax + tc * dx, ay + tc * dy)
+  }
+
   /** Spread a compact input across the cluster BEFORE a fan-out stage
     * (offset explode, shingle explode, multi-plane folds). Scans of
     * small files arrive as one partition; exploding 9–64× inside that

@@ -133,6 +133,77 @@ object NearestDistance {
     (stages :+ fallback).reduce(_ unionByName _)
   }
 
+  /** Nearest-SEGMENT distance, grid-pruned — the LINE-feature leg of
+    * the nearest family (the reference's road/river/coastline/MDL
+    * calculators are `MIN(ST_Distance(point, LINESTRING))`, reference
+    * duckpipe/calculator/RoadDistanceCalculator.py:46-60 — distance to
+    * the geometry, NOT to its vertices). Distance per candidate is the
+    * clamped projection (`Geo.segDist`).
+    *
+    * Cell registration: a segment's bbox can span cells, so each
+    * segment is exploded into EVERY cell its bbox overlaps
+    * (`sequence` over the floor-div cell range per axis — bounded by
+    * ceil(len/cellSize)+1 cells per axis; size cells ≳ the typical
+    * segment length so the blow-up stays ≤4×).
+    *
+    * Ring guarantee, re-argued for segments: if a segment was NOT seen
+    * within Chebyshev ring r of the point's cell, then every cell its
+    * bbox overlaps lies beyond the ring; every point q ON the segment
+    * lies inside the bbox, hence in some cell beyond the ring, hence
+    * differs from p by > r·cellSize on at least one axis. So a
+    * candidate min ≤ r·cellSize is final. A segment overlapping both a
+    * searched and an unsearched cell IS seen (it registered in the
+    * searched cell); duplicate sightings across cells are harmless
+    * under MIN.
+    *
+    * Segments schema: (x1, y1, x2, y2) + anything.
+    */
+  def gridNearestSegments(points: DataFrame, segments: DataFrame,
+                          cellSize: Double, outCol: String = "distance",
+                          rings: Seq[Long] = Seq(1L, 8L)): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+
+    val segCells = segments
+      .select(col("x1"), col("y1"), col("x2"), col("y2"))
+      .withColumn("scx", explode(sequence(
+        Geo.cellOf(least(col("x1"), col("x2")), cellSize),
+        Geo.cellOf(greatest(col("x1"), col("x2")), cellSize))))
+      .withColumn("scy", explode(sequence(
+        Geo.cellOf(least(col("y1"), col("y2")), cellSize),
+        Geo.cellOf(greatest(col("y1"), col("y2")), cellSize))))
+      .withColumn("ck", Geo.cellKey(col("scx"), col("scy")))
+      .drop("scx", "scy")
+
+    val pts0 = Geo.fanout(points.select("id", "x", "y"))
+      .withColumn("cx", Geo.cellOf(col("x"), cellSize))
+      .withColumn("cy", Geo.cellOf(col("y"), cellSize))
+
+    val sd = Geo.segDist(col("x"), col("y"),
+      col("x1"), col("y1"), col("x2"), col("y2"))
+
+    var pending = pts0
+    val stages = rings.map { ring =>
+      val offsets = (-ring to ring)
+        .flatMap(dx => (-ring to ring).map(dy => (dx, dy)))
+        .toDF("dx", "dy")
+      val done = pending
+        .join(broadcast(offsets))
+        .withColumn("ck", Geo.cellKey(col("cx") + col("dx"), col("cy") + col("dy")))
+        .join(segCells, Seq("ck"))
+        .groupBy("id")
+        .agg(min(sd).as(outCol))
+        .filter(col(outCol) <= lit(ring.toDouble * cellSize))
+      pending = pending.join(done.select("id"), Seq("id"), "left_anti")
+      done
+    }
+    val fallback = pending.select("id", "x", "y")
+      .join(broadcast(segments.select("x1", "y1", "x2", "y2")))
+      .groupBy("id")
+      .agg(min(sd).as(outCol))
+    (stages :+ fallback).reduce(_ unionByName _)
+  }
+
   def gridNearest(points: DataFrame, features: DataFrame,
                   cellSize: Double, outCol: String = "distance",
                   rings: Seq[Long] = Seq(1L, 8L)): DataFrame = {

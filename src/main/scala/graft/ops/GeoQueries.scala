@@ -263,6 +263,38 @@ object GeoQueries {
     SELECT id, rank, fid, distance
     FROM ranked WHERE rank <= 3 ORDER BY id, rank"""
 
+  // ---- nearest LINESTRING distance (grid over segment bboxes) --------
+  /** Point-to-LINE nearest distance — the reference's heaviest
+    * calculator family (road/river/coastline/MDL distances are
+    * `MIN(ST_Distance(point, line_geometry))` against LINE features,
+    * reference duckpipe/calculator/RoadDistanceCalculator.py:46-60).
+    * Distance to the GEOMETRY via the clamped projection
+    * (`Geo.segDist`), not to its vertices — vertex distance OVERSTATES
+    * whenever the foot of the perpendicular falls inside a segment.
+    * Grid-pruned over segment bboxes (`gridNearestSegments`); oracle =
+    * exhaustive cross join of the identical IEEE formula. */
+  def nearestLine(s: SparkSession, dir: String): DataFrame =
+    NearestDistance.gridNearestSegments(
+      Derive.points(s, dir), Derive.segments(s, dir), cellSize = 500.0)
+      .orderBy("id")
+
+  val nearestLineSql: String = s"""
+    WITH $pts, seg AS (${Derive.segmentsSql}),
+    j AS (
+      SELECT p.id, p.x, p.y, s.x1, s.y1,
+             s.x2 - s.x1 AS dx, s.y2 - s.y1 AS dy
+      FROM pts p CROSS JOIN seg s),
+    k AS (
+      SELECT id, x, y, x1, y1, dx, dy,
+             CASE WHEN dx*dx + dy*dy = 0.0 THEN 0.0
+                  ELSE GREATEST(0.0, LEAST(1.0,
+                    ((x-x1)*dx + (y-y1)*dy) / (dx*dx + dy*dy))) END AS tc
+      FROM j)
+    SELECT id,
+           MIN(sqrt((x-(x1+tc*dx))*(x-(x1+tc*dx))
+                  + (y-(y1+tc*dy))*(y-(y1+tc*dy)))) AS distance
+    FROM k GROUP BY id ORDER BY id"""
+
   // ---- feature counts within buffers ---------------------------------
   /** The reference checklist's "Bus Stop Count / Hospital Count /
     * Population Count" family (reference checklist.md) — count-within-
@@ -1480,6 +1512,7 @@ object GeoQueries {
     QueryDef("geo_nearest_year", nearestYear, Some(nearestYearSql)),
     QueryDef("geo_nearest_grid", nearestGrid, Some(nearestGridSql)),
     QueryDef("geo_knn", knn, Some(knnSql)),
+    QueryDef("geo_nearest_line", nearestLine, Some(nearestLineSql)),
     QueryDef("geo_buffer_line", bufferLine, Some(bufferLineSql)),
     QueryDef("geo_buffer_count", bufferCount, Some(bufferCountSql)),
     QueryDef("geo_area_ratio", areaRatio, Some(areaRatioSql)),

@@ -225,4 +225,54 @@ class GeoOpsSpec extends SparkSpec {
       badEvent.select(graft.ops.Events.packedVer).collect()
     }
   }
+
+  test("segDist is the true segment distance, not the vertex distance") {
+    // point above the middle of a long horizontal segment: the foot of
+    // the perpendicular is interior, so the true distance (5) is FAR
+    // below both vertex distances (sqrt(125) ≈ 11.18) — the case where
+    // distance-to-vertices overstates the reference's
+    // MIN(ST_Distance(point, LINE)) semantics
+    val row = Seq((0.0, 5.0, -10.0, 0.0, 10.0, 0.0))
+      .toDF("x", "y", "x1", "y1", "x2", "y2")
+    val d = row.select(Geo.segDist(col("x"), col("y"),
+      col("x1"), col("y1"), col("x2"), col("y2")).as("d")).head.getDouble(0)
+    assert(d == 5.0)
+    // clamped ends: beyond either endpoint the distance is to the endpoint
+    val past = Seq((15.0, 0.0, -10.0, 0.0, 10.0, 0.0))
+      .toDF("x", "y", "x1", "y1", "x2", "y2")
+    assert(past.select(Geo.segDist(col("x"), col("y"), col("x1"), col("y1"),
+      col("x2"), col("y2")).as("d")).head.getDouble(0) == 5.0)
+    // degenerate segment (a == b) collapses to the vertex distance
+    val degen = Seq((3.0, 4.0, 0.0, 0.0, 0.0, 0.0))
+      .toDF("x", "y", "x1", "y1", "x2", "y2")
+    assert(degen.select(Geo.segDist(col("x"), col("y"), col("x1"), col("y1"),
+      col("x2"), col("y2")).as("d")).head.getDouble(0) == 5.0)
+  }
+
+  test("gridNearestSegments equals exhaustive segment distance") {
+    val pts = Derive.points(spark, sfDir)
+    val segs = Derive.segments(spark, sfDir)
+    val sd = Geo.segDist(col("x"), col("y"),
+      col("x1"), col("y1"), col("x2"), col("y2"))
+    val brute = pts.join(broadcast(segs.select("x1", "y1", "x2", "y2")))
+      .groupBy("id").agg(min(sd).as("d_brute"))
+    // big cells (one ring resolves all) and small odd cells (segments
+    // span multiple cells; ladder + fallback both exercised)
+    Seq(500.0, 37.3).foreach { cell =>
+      val grid = NearestDistance.gridNearestSegments(pts, segs, cellSize = cell)
+      val joined = brute.join(grid, Seq("id"))
+      assert(joined.count() == pts.count(), s"cell=$cell row count")
+      val bad = joined.filter(col("d_brute") =!= col("distance")).count()
+      assert(bad == 0, s"cell=$cell mismatches")
+    }
+    // and at least one point's true segment distance beats ALL its
+    // vertex distances (the semantic gap this operator closes)
+    val vertexMin = pts.join(broadcast(segs.select("x1", "y1", "x2", "y2")))
+      .groupBy("id")
+      .agg(min(least(Geo.dist(col("x"), col("y"), col("x1"), col("y1")),
+        Geo.dist(col("x"), col("y"), col("x2"), col("y2")))).as("d_vertex"))
+    val tighter = brute.join(vertexMin, Seq("id"))
+      .filter(col("d_brute") < col("d_vertex")).count()
+    assert(tighter > 0)
+  }
 }
