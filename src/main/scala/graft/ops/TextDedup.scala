@@ -555,21 +555,26 @@ object TextDedup {
     * aggregate-first rule does the heavy lifting: matching runs over
     * the DISTINCT-name dictionary with occurrence counts, never raw
     * rows — the dictionary is what's bounded-ish in a real catalog,
-    * and the block join is a plain shuffle equi-join (a skewed block
-    * would take the SkewJoin salting, same as the LSH bands).
-    * Levenshtein is the classic unit-cost DP, identical in both
-    * engines.
+    * and the block join runs through `SkewJoin.saltedSelfPairs` (same
+    * skew story as the LSH bands): real catalogs have hot blocks
+    * ("samsung …", "the …") whose m² pair generation would otherwise
+    * pin a single reducer — salting splits a block of m names over
+    * ceil(m/32) shuffle keys. The pair id is the (name, n) STRUCT, so
+    * counts ride along and struct ordering (names are DISTINCT, so
+    * lexicographic-on-first-field) reproduces the a.name < b.name
+    * row set exactly. Levenshtein is the classic unit-cost DP,
+    * identical in both engines.
     */
   def fuzzyMatch(s: SparkSession, dir: String): DataFrame = {
     val names = Tables.load(s, dir, "part")
       .groupBy(col("p_name").as("name"))
       .agg(count(lit(1)).as("n"))
       .withColumn("blk", split(col("name"), " ").getItem(0))
-    names.as("a").join(names.as("b"),
-        col("a.blk") === col("b.blk") && col("a.name") < col("b.name"))
-      .select(col("a.name").as("name_a"), col("b.name").as("name_b"),
-        col("a.n").as("n_a"), col("b.n").as("n_b"),
-        levenshtein(col("a.name"), col("b.name")).cast("long").as("d"))
+      .select(col("blk"), struct(col("name"), col("n")).as("rec"))
+    SkewJoin.saltedSelfPairs(names, Seq("blk"), "rec", target = 32)
+      .select(col("_ida.name").as("name_a"), col("_idb.name").as("name_b"),
+        col("_ida.n").as("n_a"), col("_idb.n").as("n_b"),
+        levenshtein(col("_ida.name"), col("_idb.name")).cast("long").as("d"))
       .filter(col("d") <= 3)
       .orderBy("name_a", "name_b")
   }

@@ -291,6 +291,20 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("round-9 operators keep their scale shapes") {
+    // q_fuzzy_match: the blocking self-join runs through
+    // SkewJoin.saltedSelfPairs — the replica side explodes
+    // sequence(0, _nsalt-1) (a Generate node, absent from the old
+    // plain equi-join plan), so one hot block ("samsung …", "the …")
+    // cannot pin its m² pair generation on a single reducer
+    val fz = collectAll(initialPlan("q_fuzzy_match"))
+    assert(fz.exists(_.nodeName.contains("Generate")),
+      "q_fuzzy_match: salt-replica explode missing — blocking join is unsalted")
+    assert(!fz.exists(_.nodeName.contains("BroadcastNestedLoop")) &&
+      !fz.exists(_.isInstanceOf[CartesianProductExec]),
+      "q_fuzzy_match: pair generation must stay an equi-join")
+  }
+
   test("no registered query plans a cartesian product") {
     // build-time driver rounds (documented in each operator):
     val skip = Set("dedup_cluster", "corpus_near_dedup", "dedup_ngram",
