@@ -106,6 +106,87 @@ object Graph {
            CAST(sv * 100 AS BIGINT) // n_desc / 100.0 AS subtree_mean
     FROM m ORDER BY id"""
 
+  /** (node, ancestor) closure pairs — self included — from an ARBITRARY
+    * parent-edge table by pointer doubling: P₀ = identity ∪ edges,
+    * P_{k+1} = P_k ⋈ P_k (a.anc = b.id), so covered path length doubles
+    * per round — O(log depth) shuffles to the fixed point (count
+    * stable), the q_transitive machinery generalized from
+    * farthest-ancestor to the full closure. The closure's size
+    * (Σ depths) is inherent to subtree-rollup semantics: every ancestor
+    * aggregates every descendant exactly once. Driver-coordinated
+    * rounds with per-round lineage truncation; loud failure at the cap
+    * (cycle or depth > 2^maxRounds).
+    *
+    * nodes: (id). edges: (id, parent), root rows omitted.
+    */
+  def ancestorClosure(nodes: DataFrame, edges: DataFrame,
+                      maxRounds: Int = 8): DataFrame = {
+    var cl = Tables.hot(nodes.select(col("id"), col("id").as("anc"))
+      .unionByName(edges.select(col("id"), col("parent").as("anc")))
+      .distinct())
+    var prev = -1L
+    var cnt = cl.count()
+    var rounds = 0
+    while (cnt != prev && rounds < maxRounds) {
+      prev = cnt
+      cl = Tables.hot(cl.as("a").join(cl.as("b"), col("a.anc") === col("b.id"))
+        .select(col("a.id"), col("b.anc").as("anc")).distinct())
+      cnt = cl.count()
+      rounds += 1
+    }
+    require(cnt == prev,
+      s"ancestor closure still growing after $rounds doubling rounds " +
+        s"($prev -> $cnt pairs) — cycle or depth > 2^$rounds")
+    cl
+  }
+
+  /** Subtree rollup over an ARBITRARY parent-edge table — the org-chart
+    * /BOM case the encoded q_hier_rollup can't cover (its ancestor
+    * chain is closed-form bit shifts; a real parent table has no such
+    * form). Parent function here: an irregular mixed-arity hierarchy
+    * parent(k) = max(1, k DIV (2 + k MOD 3)) — divisor cycles 2/3/4 by
+    * node, so sibling counts vary and no bit trick applies; the oracle
+    * replays it as a recursive CTE. Closure by `ancestorClosure`
+    * pointer doubling, then the IDENTICAL aggregate as q_hier_rollup
+    * (decimal-exact sums, floor-to-cent means), reported for the top
+    * ancestors (id ≤ 15). */
+  def hierRollupEdges(s: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val nodes = Tables.fanout(Tables.load(s, dir, "customer"))
+      .select((col("c_custkey") + 1).as("id"),
+        col("c_acctbal").cast(dec).as("v"))
+    val edges = nodes.filter(col("id") > 1)
+      .select(col("id"),
+        greatest(lit(1L), expr("id DIV (2 + id % 3)")).as("parent"))
+    ancestorClosure(nodes.select("id"), edges)
+      .join(nodes, Seq("id"))
+      .filter(col("anc").between(1, 15))
+      .groupBy("anc")
+      .agg(count(lit(1)).as("n_desc"), sum(col("v")).as("sv"))
+      .select(col("anc").as("id"), col("n_desc"),
+        round(col("sv").cast("double"), 2).as("subtree_sum"),
+        (expr("CAST(sv * 100 AS BIGINT) DIV n_desc") / 100.0)
+          .as("subtree_mean"))
+      .orderBy("id")
+  }
+
+  val hierRollupEdgesSql: String = """
+    WITH RECURSIVE nn AS (
+      SELECT c_custkey + 1 AS id, CAST(c_acctbal AS DECIMAL(18,2)) AS v
+      FROM customer),
+    walk(id, anc) AS (
+      SELECT id, id AS anc FROM nn
+      UNION ALL
+      SELECT id, GREATEST(1, anc // (2 + anc % 3)) FROM walk WHERE anc > 1),
+    m AS (
+      SELECT anc, COUNT(*) AS n_desc, SUM(v) AS sv
+      FROM walk JOIN nn ON walk.id = nn.id
+      WHERE anc BETWEEN 1 AND 15 GROUP BY anc)
+    SELECT anc AS id, n_desc,
+           ROUND(CAST(sv AS DOUBLE), 2) AS subtree_sum,
+           CAST(sv * 100 AS BIGINT) // n_desc / 100.0 AS subtree_mean
+    FROM m ORDER BY id"""
+
   // ---- co-purchase graph (shared by triangles + pagerank) -------------
 
   /** Undirected co-purchase edge list over parts: (a, b) with a < b iff
@@ -487,6 +568,7 @@ object Graph {
 
   def all: Seq[QueryDef] = Seq(
     QueryDef("q_hier_rollup", hierRollup, Some(hierRollupSql)),
+    QueryDef("q_hier_rollup_edges", hierRollupEdges, Some(hierRollupEdgesSql)),
     QueryDef("graph_assortativity", assortativity, Some(assortativitySql)),
     QueryDef("q_transitive", transitiveDepth, Some(transitiveDepthSql)),
     QueryDef("graph_triangles", triangleCounts, Some(triangleCountsSql)),

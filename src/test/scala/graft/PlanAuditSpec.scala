@@ -311,7 +311,8 @@ class PlanAuditSpec extends SparkSpec {
       "geo_pivot",
       "geo_pipeline_wide", "geo_pipeline_long", "mm_pipeline",
       "text_heavy_hitters", // build-time driver count sets its threshold
-      "q_transitive") // pointer-doubling rounds run at build time
+      "q_transitive", // pointer-doubling rounds run at build time
+      "q_hier_rollup_edges") // ancestorClosure doubling rounds at build time
     // a query whose plan won't BUILD is its own named failure — it must
     // not abort the sweep and shadow the audit of the other ~95 plans
     // (round 5: the events loader threw on the first events query and

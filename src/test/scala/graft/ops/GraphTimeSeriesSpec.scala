@@ -117,6 +117,60 @@ class GraphTimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("ancestorClosure: exact pair set on a handcrafted irregular tree") {
+    import spark.implicits._
+    // 1 ← 2 ← {4,5,6}, 1 ← 3, 4 ← 7: mixed arity, depth 3
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("id")
+    val edges = Seq((2L, 1L), (3L, 1L), (4L, 2L), (5L, 2L), (6L, 2L),
+      (7L, 4L)).toDF("id", "parent")
+    val got = Graph.ancestorClosure(nodes, edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Set((1L, 1L), (2L, 2L), (2L, 1L), (3L, 3L), (3L, 1L),
+      (4L, 4L), (4L, 2L), (4L, 1L), (5L, 5L), (5L, 2L), (5L, 1L),
+      (6L, 6L), (6L, 2L), (6L, 1L), (7L, 7L), (7L, 4L), (7L, 2L), (7L, 1L))
+    assert(got == want)
+  }
+
+  test("q_hier_rollup_edges equals a driver-side parent-chain replay") {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val out = Graph.hierRollupEdges(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_desc"), r.getAs[Double]("subtree_sum"))).toMap
+    val nodes = graft.Tables.load(spark, sfDir, "customer")
+      .select((col("c_custkey") + 1).as("id"),
+        col("c_acctbal").cast(dec).as("v")).collect()
+      .map(r => r.getAs[Long]("id") ->
+        BigDecimal(r.getAs[java.math.BigDecimal]("v")))
+    def parent(k: Long): Long = math.max(1L, k / (2 + k % 3))
+    // ground truth: walk each node's parent chain to the root
+    var n = Map.empty[Long, Long].withDefaultValue(0L)
+    var sv = Map.empty[Long, BigDecimal].withDefaultValue(BigDecimal(0))
+    for ((id, v) <- nodes) {
+      var a = id
+      while ({
+        if (a <= 15) { n = n.updated(a, n(a) + 1); sv = sv.updated(a, sv(a) + v) }
+        a > 1
+      }) a = parent(a)
+    }
+    assert(out.keySet == n.keySet.filter(_ <= 15))
+    for ((id, (cnt, s)) <- out) {
+      assert(cnt == n(id), s"count mismatch at $id")
+      assert(math.abs(s - sv(id).toDouble) < 1e-9, s"sum mismatch at $id")
+    }
+    // root absorbs every node; parent ≡ self + children over the replay
+    assert(n(1L) == nodes.length)
+    val kids = nodes.map(_._1).filter(_ > 1).groupBy(parent)
+    for (p <- n.keys if p <= 3) {
+      var cnts = Map.empty[Long, Long].withDefaultValue(0L)
+      for ((id, _) <- nodes) { // full-range subtree counts for identity
+        var a = id
+        while ({ cnts = cnts.updated(a, cnts(a) + 1); a > 1 }) a = parent(a)
+      }
+      assert(cnts(p) == 1 + kids.getOrElse(p, Array.empty[Long])
+        .map(cnts).sum, s"parent!=self+children at $p")
+    }
+  }
+
   test("graph_assortativity: a correlation, over the real edge count") {
     val row = Graph.assortativity(spark, sfDir).collect().head
     assert(row.getAs[Long]("n_edges") ==
