@@ -45,9 +45,11 @@ object Journey {
     * purchase), and an anchored prefix (purchase before any view or
     * click).
     */
-  def sequenceMatch(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.loadEventsUs(s, dir)
-      .select(col("user_id"), col("ts_us"), col("event_id"), code.as("code"))
+  def sequenceMatch(s: SparkSession, dir: String): DataFrame =
+    renderMatchesFrom(Tables.loadEventsUs(s, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"), code.as("code")))
+
+  private[graft] def renderMatchesFrom(ev: DataFrame): DataFrame = {
     val arr = array_sort(collect_list(struct(col("ts_us"), col("event_id"),
       col("code"))))
     val seqs = ev.groupBy("user_id")
@@ -96,6 +98,69 @@ object Journey {
       UNION ALL SELECT 'error_churn', n_users, m2 FROM m
       UNION ALL SELECT 'direct_buy', n_users, m3 FROM m)
     ORDER BY pattern"""
+
+  /** The scale-safe twin of [[sequenceMatch]]: each pattern COMPILED to
+    * an incremental state machine instead of a journey-string render —
+    * O(1) state per user, so there is no cap to blow past (the string
+    * form aborts loudly beyond [[Cap]] events/user; this form just
+    * keeps folding). The compilation, per pattern (the q_funnel_window
+    * running-max trick generalized):
+    *
+    *  - `v[^p]*c[^p]*p` (browse_buy): a 'c' at position j is a LIVE
+    *    BRIDGE iff last-'v'-before-j exists and is later than
+    *    last-'p'-before-j (no p inside the v..c gap); the pattern
+    *    matches iff some live bridge has a 'p' after it — i.e.
+    *    min(bridge positions) < max('p' positions). The first p after
+    *    a bridge has no p before it inside the c..p gap by
+    *    definition, so the two [^p]* gaps collapse to two running
+    *    maxima and one min/max comparison.
+    *  - `e[^p]*$` (error_churn): last 'e' after last 'p' (or no p).
+    *  - `^[^vc]*p` (direct_buy): first 'p' before first 'v'/'c'.
+    *
+    * Physical shape: ONE user-hash window (two running maxima share
+    * the node) whose partitioning the per-user aggregate reuses —
+    * a single exchange, all aggregates commutative min/max over the
+    * packed (ts, event_id) order key. Registered against the SAME
+    * oracle as the string form: hash-equality IS the twin proof. */
+  private[graft] def nfaMatchesFrom(ev: DataFrame): DataFrame = {
+    val wPrev = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lastV = max(when(col("code") === "v", col("k"))).over(wPrev)
+    val lastP = max(when(col("code") === "p", col("k"))).over(wPrev)
+    val per = ev
+      .withColumn("bridge_c", when(col("code") === "c" && lastV.isNotNull &&
+        (lastP.isNull || lastV > lastP), col("k")))
+      .groupBy("user_id")
+      .agg(min(col("bridge_c")).as("min_bridge"),
+        max(when(col("code") === "p", col("k"))).as("last_p"),
+        min(when(col("code") === "p", col("k"))).as("first_p"),
+        max(when(col("code") === "e", col("k"))).as("last_e"),
+        min(when(col("code") === "v" || col("code") === "c", col("k")))
+          .as("first_vc"))
+    per.agg(
+      count(lit(1)).as("n_users"),
+      sum(when(col("min_bridge").isNotNull && col("last_p").isNotNull &&
+        col("last_p") > col("min_bridge"), 1L).otherwise(0L)).as("m1"),
+      sum(when(col("last_e").isNotNull &&
+        (col("last_p").isNull || col("last_e") > col("last_p")), 1L)
+        .otherwise(0L)).as("m2"),
+      sum(when(col("first_p").isNotNull &&
+        (col("first_vc").isNull || col("first_p") < col("first_vc")), 1L)
+        .otherwise(0L)).as("m3"))
+      .select(expr(
+        """stack(3, 'browse_buy', m1, 'error_churn', m2, 'direct_buy', m3)
+           AS (pattern, n_matched)"""),
+        col("n_users"))
+      .select(col("pattern"), col("n_users"), col("n_matched"),
+        round(col("n_matched").cast("double") / col("n_users"), 6)
+          .as("match_rate"))
+      .orderBy("pattern")
+  }
+
+  def sequenceMatchNfa(s: SparkSession, dir: String): DataFrame =
+    nfaMatchesFrom(Tables.loadEventsUs(s, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"), code.as("code"))
+      .withColumn("k", Events.packedVer))
 
   /** First-order Markov transition matrix over event types: counts and
     * conditional probabilities P(to | from) of consecutive event pairs
@@ -345,6 +410,7 @@ object Journey {
     QueryDef("q_dau_stickiness", dauStickiness, Some(dauStickinessSql)),
     QueryDef("events_pipeline", eventsPipeline, Some(eventsPipelineSql)),
     QueryDef("q_sequence_match", sequenceMatch, Some(sequenceMatchSql)),
+    QueryDef("q_sequence_match_nfa", sequenceMatchNfa, Some(sequenceMatchSql)),
     QueryDef("q_markov", markov, Some(markovSql)),
     QueryDef("q_path3", path3, Some(path3Sql)),
     QueryDef("q_attribution", attribution, Some(attributionSql)))

@@ -303,6 +303,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!fz.exists(_.nodeName.contains("BroadcastNestedLoop")) &&
       !fz.exists(_.isInstanceOf[CartesianProductExec]),
       "q_fuzzy_match: pair generation must stay an equi-join")
+    // q_sequence_match_nfa: the compiled state-machine twin rides ONE
+    // user-hash exchange — the running-maxima window and the per-user
+    // aggregate share the partitioning, and there is no journey-string
+    // collect_list anywhere in the plan
+    val nf = collectAll(initialPlan("q_sequence_match_nfa"))
+    val nfHash = nf.collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.toString.contains("hashpartitioning") => e
+    }
+    assert(nfHash.length == 1,
+      s"q_sequence_match_nfa: expected one user-hash exchange, got ${nfHash.length}")
+    assert(nf.count(_.nodeName.contains("Window")) == 1,
+      "q_sequence_match_nfa: both running maxima must share one window")
+    assert(!nf.exists(_.toString.contains("collect_list")),
+      "q_sequence_match_nfa: no journey-string render in the scale-safe twin")
   }
 
   test("no registered query plans a cartesian product") {

@@ -39,6 +39,61 @@ class JourneySpec extends SparkSpec {
       .forall(_.getAs[Long]("n_users") == seqs.size))
   }
 
+  test("sequence_match_nfa equals the string-render form on real data") {
+    val str = Journey.sequenceMatch(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val nfa = Journey.sequenceMatchNfa(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(str.toSeq == nfa.toSeq)
+  }
+
+  test("sequence_match_nfa equals the regex on adversarial synthetic journeys") {
+    import spark.implicits._
+    // journeys stressing every state transition: p inside the v..c gap,
+    // p-terminal reuse, e-then-p vs p-then-e, p-first prefixes, empty
+    // and single-code journeys — deterministic pseudo-random fill
+    val codes = "vceps"
+    val rows = (0 until 300).flatMap { u =>
+      val len = u % 23
+      (0 until len).map { i =>
+        val c = codes(((u * 31 + i * 17 + (i * i) % 7) % 5 + 5) % 5).toString
+        (u.toLong, 1000000L + i * 1000L, (u * 100 + i).toLong, c)
+      }
+    }.filter(_ => true)
+    val ev = rows.toDF("user_id", "ts_us", "event_id", "code")
+    val got = Journey.nfaMatchesFrom(ev.withColumn("k", Events.packedVer))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val journeys = rows.groupBy(_._1).map { case (_, rs) =>
+      rs.sortBy(r => (r._2, r._3)).map(_._4).mkString
+    }.toSeq
+    assert(got("browse_buy") == journeys.count(_.matches(".*v[^p]*c[^p]*p.*")))
+    assert(got("error_churn") ==
+      journeys.count(s => "e[^p]*$".r.findFirstIn(s).isDefined))
+    assert(got("direct_buy") ==
+      journeys.count(s => "^[^vc]*p".r.findFirstIn(s).isDefined))
+  }
+
+  test("past the cap: string render aborts loudly, NFA form answers") {
+    import spark.implicits._
+    // one user with 5000 views then a click then a purchase — beyond
+    // the 4096-event journey-string cap
+    val rows = (0 until 5000).map(i =>
+      (7L, 1000000L + i * 1000L, i.toLong, "v")) ++
+      Seq((7L, 7000000L, 9001L, "c"), (7L, 8000000L, 9002L, "p"))
+    val ev = rows.toDF("user_id", "ts_us", "event_id", "code")
+    val e = intercept[Exception] {
+      Journey.renderMatchesFrom(ev).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("journey longer")))
+    val nfa = Journey.nfaMatchesFrom(ev.withColumn("k", Events.packedVer))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(nfa("browse_buy") == 1L)   // v...vcp matches v[^p]*c[^p]*p
+    assert(nfa("error_churn") == 0L)
+    assert(nfa("direct_buy") == 0L)   // 5000 views precede the purchase
+  }
+
   test("path3 matches a driver-side trigram count") {
     val seqs = Tables.loadEventsUs(spark, sfDir)
       .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
