@@ -53,9 +53,11 @@ object Sketches {
     * the KMV closure property); intersection by inclusion–exclusion on
     * the three estimates. The kth-min estimate (k−1)·2⁶⁰/h₍ₖ₎ divides
     * exactly-representable doubles, so it is bit-identical cross-engine;
-    * a sketch with fewer than k values IS its exact set. The exact
-    * intersection rides along as evidence (the q_hll_sketch rel_err
-    * pattern) — at scale you would drop that column, not the sketch.
+    * a sketch with fewer than k values IS its exact set. The headline
+    * op is SKETCH-ONLY — exactly the shape you'd run at 100 TB (no
+    * user-key self-join anywhere in its plan, pinned); the exact
+    * intersection lives in the guarded [[kmvCalibration]] twin (the
+    * dedup_minhash_est pattern).
     */
   /** Bottom-k tournament: (t, h)-distinct rows → one (t, sk, nd) row per
     * key, sk = the k smallest hashes, nd = the exact distinct count that
@@ -75,7 +77,9 @@ object Sketches {
   private[graft] def kmvMerge(a: Column, b: Column): Column =
     slice(array_sort(array_union(a, b)), 1, K)
 
-  def kmvOverlap(s: SparkSession, dir: String): DataFrame = {
+  /** Pairwise sketch estimates (the shared core): one row per type pair
+    * with distinct counts, per-set / union / intersection estimates. */
+  private[graft] def kmvPairs(s: SparkSession, dir: String): DataFrame = {
     val dp = Tables.load(s, dir, "events")
       .select(col("event_type").as("t"),
         h60(expr("CAST(user_id AS STRING)")).as("h"))
@@ -90,7 +94,7 @@ object Sketches {
 
     val x = broadcast(sk).as("x")
     val y = broadcast(sk).as("y")
-    val pairs = x.join(y, col("x.t") < col("y.t"))
+    x.join(y, col("x.t") < col("y.t"))
       .select(col("x.t").as("type_a"), col("y.t").as("type_b"),
         col("x.nd").as("nd_a"), col("y.nd").as("nd_b"),
         est(col("x.sk"), col("x.nd")).as("est_a"),
@@ -100,23 +104,45 @@ object Sketches {
       .withColumn("est_union", est(col("u"), col("usz")))
       .withColumn("est_inter",
         round(col("est_a") + col("est_b") - col("est_union"), 4))
+  }
 
+  def kmvOverlap(s: SparkSession, dir: String): DataFrame =
+    kmvPairs(s, dir)
+      .select(col("type_a"), col("type_b"), col("nd_a"), col("nd_b"),
+        col("est_a"), col("est_b"), col("est_union"), col("est_inter"))
+      .orderBy("type_a", "type_b")
+
+  /** Small-scale guard for the exact-intersection calibration audit. */
+  private[graft] val KmvCalibMaxDistinct = 10000000L
+
+  /** Calibration twin of [[kmvOverlap]]: the sketch intersection
+    * estimate next to the EXACT intersection from a distinct user-key
+    * self-join — the evidence column split out of the headline op (the
+    * dedup_minhash_est pattern). The exact join is affordable only
+    * while the distinct (type, user) table is small; past the guard it
+    * fails loudly and you trust the sketches. */
+  def kmvCalibration(s: SparkSession, dir: String,
+                     cap: Long = KmvCalibMaxDistinct): DataFrame = {
     val du = Tables.load(s, dir, "events")
       .select(col("event_type").as("t"), col("user_id").as("u")).distinct()
+    val n = du.count()
+    require(n <= cap,
+      s"q_kmv_calibration is the small-scale exact-intersection audit " +
+        s"($n distinct (type, user) rows > cap $cap); " +
+        s"at scale trust q_kmv_overlap's sketch estimates")
     val inter = du.as("p")
       .join(du.as("q"), col("p.u") === col("q.u") && col("p.t") < col("q.t"))
       .groupBy(col("p.t").as("ia"), col("q.t").as("ib"))
       .agg(count(lit(1)).as("ni"))
-    pairs.join(broadcast(inter),
+    kmvPairs(s, dir).join(broadcast(inter),
         col("type_a") === col("ia") && col("type_b") === col("ib"), "left")
-      .select(col("type_a"), col("type_b"), col("nd_a"), col("nd_b"),
-        col("est_a"), col("est_b"), col("est_union"), col("est_inter"),
+      .select(col("type_a"), col("type_b"), col("est_inter"),
         coalesce(col("ni"), lit(0L)).as("n_inter"))
       .orderBy("type_a", "type_b")
   }
 
-  val kmvOverlapSql: String = s"""
-    WITH dp AS (
+  /** Shared oracle CTE block through the per-pair estimates. */
+  private val kmvEstCtes: String = s"""dp AS (
       SELECT DISTINCT event_type AS t,
         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT
           AS BIGINT) AS h
@@ -141,11 +167,6 @@ object Sketches {
     ustats AS (
       SELECT ta, tb, COUNT(*) AS usz, MAX(CASE WHEN rn = $K THEN h END) AS uhk
       FROM ur WHERE rn <= $K GROUP BY ta, tb),
-    du AS (SELECT DISTINCT event_type AS t, user_id AS u FROM events),
-    exact_i AS (
-      SELECT p.t AS ta, q.t AS tb, COUNT(*) AS ni
-      FROM du p JOIN du q ON p.u = q.u AND p.t < q.t
-      GROUP BY 1, 2),
     est AS (
       SELECT p.ta, p.tb, sa.nd AS nd_a, sb.nd AS nd_b,
         CASE WHEN sa.nd < $K THEN CAST(sa.nd AS DOUBLE)
@@ -160,9 +181,23 @@ object Sketches {
       FROM pairs p
       JOIN stats sa ON sa.t = p.ta
       JOIN stats sb ON sb.t = p.tb
-      JOIN ustats u ON u.ta = p.ta AND u.tb = p.tb)
-    SELECT e.ta AS type_a, e.tb AS type_b, nd_a, nd_b, est_a, est_b,
-           est_union, ROUND(est_a + est_b - est_union, 4) AS est_inter,
+      JOIN ustats u ON u.ta = p.ta AND u.tb = p.tb)"""
+
+  val kmvOverlapSql: String = s"""
+    WITH $kmvEstCtes
+    SELECT ta AS type_a, tb AS type_b, nd_a, nd_b, est_a, est_b,
+           est_union, ROUND(est_a + est_b - est_union, 4) AS est_inter
+    FROM est ORDER BY 1, 2"""
+
+  val kmvCalibrationSql: String = s"""
+    WITH $kmvEstCtes,
+    du AS (SELECT DISTINCT event_type AS t, user_id AS u FROM events),
+    exact_i AS (
+      SELECT p.t AS ta, q.t AS tb, COUNT(*) AS ni
+      FROM du p JOIN du q ON p.u = q.u AND p.t < q.t
+      GROUP BY 1, 2)
+    SELECT e.ta AS type_a, e.tb AS type_b,
+           ROUND(est_a + est_b - est_union, 4) AS est_inter,
            CAST(COALESCE(x.ni, 0) AS BIGINT) AS n_inter
     FROM est e LEFT JOIN exact_i x ON x.ta = e.ta AND x.tb = e.tb
     ORDER BY 1, 2"""
@@ -234,5 +269,7 @@ object Sketches {
 
   def all: Seq[QueryDef] = Seq(
     QueryDef("q_kmv_overlap", kmvOverlap, Some(kmvOverlapSql)),
+    QueryDef("q_kmv_calibration", (s, d) => kmvCalibration(s, d),
+      Some(kmvCalibrationSql)),
     QueryDef("q_cms_freq", cmsFreq, Some(cmsFreqSql)))
 }

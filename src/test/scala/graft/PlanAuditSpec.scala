@@ -318,6 +318,14 @@ class PlanAuditSpec extends SparkSpec {
       "q_sequence_match_nfa: both running maxima must share one window")
     assert(!nf.exists(_.toString.contains("collect_list")),
       "q_sequence_match_nfa: no journey-string render in the scale-safe twin")
+    // q_kmv_overlap: the headline sketch op is now SKETCH-ONLY — the
+    // exact-intersection user-key self-join (a shuffle join over every
+    // distinct (type, user) row) moved to the guarded calibration twin,
+    // so the 2 KB-state op's plan has no shuffle join at all
+    val kv = collectAll(initialPlan("q_kmv_overlap"))
+    assert(!kv.exists(_.nodeName.contains("SortMergeJoin")) &&
+      !kv.exists(_.nodeName.contains("ShuffledHashJoin")),
+      "q_kmv_overlap: sketch-only plan must carry no shuffle join")
   }
 
   test("no registered query plans a cartesian product") {
@@ -327,7 +335,8 @@ class PlanAuditSpec extends SparkSpec {
       "geo_pipeline_wide", "geo_pipeline_long", "mm_pipeline",
       "text_heavy_hitters", // build-time driver count sets its threshold
       "q_transitive", // pointer-doubling rounds run at build time
-      "q_hier_rollup_edges") // ancestorClosure doubling rounds at build time
+      "q_hier_rollup_edges", // ancestorClosure doubling rounds at build time
+      "q_kmv_calibration") // small-scale guard count runs at build time
     // a query whose plan won't BUILD is its own named failure — it must
     // not abort the sweep and shadow the audit of the other ~95 plans
     // (round 5: the events loader threw on the first events query and

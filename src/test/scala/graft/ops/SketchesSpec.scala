@@ -63,4 +63,23 @@ class SketchesSpec extends SparkSpec {
         math.max(r.getAs[Double]("est_a"), r.getAs[Double]("est_b")) - 1e-9)
     }
   }
+
+  test("KMV calibration twin: exact intersections match a driver replay; guard loud") {
+    val out = Sketches.kmvCalibration(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val du = graft.Tables.load(spark, sfDir, "events")
+      .select(col("event_type"), col("user_id")).distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    out.foreach { r =>
+      val want = (du(r.getAs[String]("type_a"))
+        intersect du(r.getAs[String]("type_b"))).size.toLong
+      assert(r.getAs[Long]("n_inter") == want)
+    }
+    // past the guard the exact self-join must abort loudly
+    val e = intercept[IllegalArgumentException] {
+      Sketches.kmvCalibration(spark, sfDir, cap = 1L)
+    }
+    assert(e.getMessage.contains("trust q_kmv_overlap"))
+  }
 }
