@@ -224,7 +224,15 @@ object EventStream {
     * batch answer; rows are processed in (ts, event_id) order within
     * each batch, and cross-batch disorder follows the standard
     * watermark contract (a view arriving after its click was
-    * processed cannot retro-upgrade the click). */
+    * processed cannot retro-upgrade the click).
+    *
+    * NoTimeout is deliberate: the funnel is UNWINDOWED across idle gaps
+    * (a purchase years after the chain-opening view still upgrades to
+    * level 3 if within the 24 h chain window of that view — and the
+    * LEVEL itself never expires), so evicting an idle user's three
+    * numbers would silently downgrade their final level vs the batch
+    * answer. Contrast attributionStream below, where eviction is
+    * provably semantics-free. */
   def funnelLevels(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val winUs = 24L * 3600L * 1000000L
@@ -370,31 +378,58 @@ object EventStream {
     * per-user window; equality of the aggregated emissions is the
     * certification that the carried-touch semantics agree, including
     * the 24 h cutoff and same-instant (ts, event_id) tie order.
+    *
+    * State for idle users is EVICTED by event-time timeout at
+    * touch + 24 h: once the watermark passes that point, any purchase
+    * that could still arrive has ts > watermark > touch + 24 h, so it
+    * would resolve "none" with or without the state — eviction is
+    * semantics-free (unlike funnel/Markov state, see below) and the
+    * timeout branch emits nothing, so no duplicate or phantom rows
+    * (duplicate-free post-eviction emissions certified in
+    * EventStreamSpec on an eviction-forcing MemoryStream).
     */
-  def attributionStream(spark: SparkSession, dir: String): DataFrame = {
+  def attributionStream(spark: SparkSession, dir: String): DataFrame =
+    attributionStreamFrom(readEvents(spark, dir))
+
+  /** The attribution transform over any watermark-able
+    * (user_id, ts_us, event_id, event_type, event_ts) stream —
+    * factored so the eviction spec can drive it from a MemoryStream. */
+  private[graft] def attributionStreamFrom(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
     import spark.implicits._
-    readEvents(spark, dir)
+    val attrUs = 86400000000L
+    events
       .select(col("user_id"), col("ts_us"), col("event_id"),
-        col("event_type"))
-      .as[(Long, Long, Long, String)]
+        col("event_type"), col("event_ts"))
+      .withWatermark("event_ts", "1 hour")
+      .as[(Long, Long, Long, String, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[TouchState, AttrOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case (uid, rows, state) =>
-          var st = state.getOption.orNull
-          val out = scala.collection.mutable.ArrayBuffer[AttrOut]()
-          rows.toSeq.sortBy(r => (r._2, r._3)).foreach {
-            case (_, ts, eid, typ) =>
-              if (typ == "purchase") {
-                val touch =
-                  if (st != null && ts - st.ts <= 86400000000L) st.typ
-                  else "none"
-                out += AttrOut(uid, ts, eid, touch)
-              }
-              if (typ == "click" || typ == "view") st = TouchState(ts, typ)
+          if (state.hasTimedOut) {
+            // the touch can no longer influence any admissible purchase
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.orNull
+            val out = scala.collection.mutable.ArrayBuffer[AttrOut]()
+            rows.toSeq.sortBy(r => (r._2, r._3)).foreach {
+              case (_, ts, eid, typ, _) =>
+                if (typ == "purchase") {
+                  val touch =
+                    if (st != null && ts - st.ts <= attrUs) st.typ
+                    else "none"
+                  out += AttrOut(uid, ts, eid, touch)
+                }
+                if (typ == "click" || typ == "view") st = TouchState(ts, typ)
+            }
+            if (st != null) {
+              state.update(st)
+              state.setTimeoutTimestamp(st.ts / 1000 + attrUs / 1000)
+            }
+            out.iterator
           }
-          if (st != null) state.update(st)
-          out.iterator
       }
       .toDF()
   }
@@ -409,6 +444,13 @@ object EventStream {
     * mode); the aggregated emissions equal the batch lag-window
     * construction exactly (EventStreamSpec), which certifies that the
     * window semantics and the incremental carry agree.
+    *
+    * NoTimeout is deliberate: the lag construction crosses idle gaps of
+    * any length (the user's first event after a year still forms a
+    * transition from their last event before it), so evicting the
+    * one-string state would silently drop cross-gap transitions vs the
+    * batch answer. Contrast attributionStream, where eviction is
+    * provably semantics-free.
     */
   def markovStream(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -428,6 +470,86 @@ object EventStream {
           }
           if (prev != null) state.update(LastEvent(prev))
           out.iterator
+      }
+      .toDF()
+  }
+
+  final case class PipeState(lastTs: Long, nSessions: Long, nEvents: Long,
+                             nPurchases: Long, touchTs: Long, touchTyp: String,
+                             revClickE6: Long, revViewE6: Long,
+                             revNoneE6: Long)
+  final case class PipeOut(user_id: Long, n_events: Long, n_sessions: Long,
+                           n_purchases: Long, rev_click: Double,
+                           rev_view: Double, rev_none: Double)
+
+  /** Streaming twin of the fluent `api.EventPipeline` chain
+    * (events_pipeline = sessions + last-touch attribution + per-user
+    * summary): the three per-user signals COMPOSE into one O(1) state —
+    * the last event time (session-gap detector, the sessions twin's
+    * state), the latest click/view touch (the attribution twin's
+    * state), and the running summary counters with attributed revenue
+    * in exact decimal micros. Each batch emits the refreshed summary
+    * (Update mode); the final emission per user equals the batch
+    * pipeline's one-exchange answer exactly — including the DECIMAL-
+    * routed revenue sums: values scale to integer micros by the same
+    * half-up 6-dp rule as Spark's double→DECIMAL(18,6) cast, so the
+    * stream's Long accumulator replays the batch decimal sum
+    * bit-for-bit, then applies the identical shortest-repr half-up
+    * 4-dp round. NoTimeout is correct here: the state IS the answer
+    * (CDC-latest semantics) — evicting an idle user would forget their
+    * summary, not just their in-flight progress.
+    */
+  def pipelineSummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val gapUs = GapUs
+    val attrUs = 86400000000L
+    def e6(v: Double): Long =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .underlying.movePointRight(6).longValueExact
+    def round4(micros: Long): Double =
+      BigDecimal.valueOf(
+        new java.math.BigDecimal(micros).movePointLeft(6).doubleValue())
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    readEvents(spark, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        col("event_type"), col("value"))
+      .as[(Long, Long, Long, String, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[PipeState, PipeOut](GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state) =>
+          var st = state.getOption.getOrElse(
+            PipeState(Long.MinValue, 0L, 0L, 0L, Long.MinValue, null,
+              0L, 0L, 0L))
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach {
+            case (_, ts, _, typ, value) =>
+              val newSession =
+                st.lastTs == Long.MinValue || ts - st.lastTs > gapUs
+              var s = st.copy(lastTs = ts,
+                nSessions = st.nSessions + (if (newSession) 1L else 0L),
+                nEvents = st.nEvents + 1)
+              if (typ == "purchase") {
+                val touch =
+                  if (s.touchTyp != null && ts - s.touchTs <= attrUs)
+                    s.touchTyp
+                  else "none"
+                val v = e6(value)
+                s = touch match {
+                  case "click" => s.copy(nPurchases = s.nPurchases + 1,
+                    revClickE6 = s.revClickE6 + v)
+                  case "view" => s.copy(nPurchases = s.nPurchases + 1,
+                    revViewE6 = s.revViewE6 + v)
+                  case _ => s.copy(nPurchases = s.nPurchases + 1,
+                    revNoneE6 = s.revNoneE6 + v)
+                }
+              }
+              if (typ == "click" || typ == "view")
+                s = s.copy(touchTs = ts, touchTyp = typ)
+              st = s
+          }
+          state.update(st)
+          PipeOut(uid, st.nEvents, st.nSessions, st.nPurchases,
+            round4(st.revClickE6), round4(st.revViewE6),
+            round4(st.revNoneE6))
       }
       .toDF()
   }

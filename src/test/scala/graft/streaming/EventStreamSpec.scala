@@ -276,4 +276,66 @@ class EventStreamSpec extends SparkSpec {
     assert(batch.nonEmpty)
     assert(streamed == batch)
   }
+
+  test("attribution eviction: timed-out touch state emits nothing, no duplicates") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val T0 = 1000000000000000L // µs
+    val H = 3600000000L
+    val in = MemoryStream[(Long, Long, Long, String)]
+    val events = in.toDF()
+      .toDF("user_id", "ts_us", "event_id", "event_type")
+      .withColumn("event_ts", timestamp_micros(col("ts_us")))
+    val q = EventStream.attributionStreamFrom(events)
+      .writeStream.format("memory").queryName("attr_evict_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // B1: user 1 clicks; user 3 clicks then purchases in-window
+      in.addData((1L, T0, 1L, "click"), (3L, T0, 2L, "click"),
+        (3L, T0 + H, 3L, "purchase"))
+      q.processAllAvailable()
+      // B2: far-future event pushes the watermark past T0 + 24 h + 1 h
+      in.addData((2L, T0 + 30 * H, 4L, "view"))
+      q.processAllAvailable()
+      // B3: any batch lets user 1's timed-out touch state evict
+      in.addData((2L, T0 + 31 * H, 5L, "view"))
+      q.processAllAvailable()
+      // B4: user 1 purchases after eviction — must resolve "none"
+      in.addData((1L, T0 + 32 * H, 6L, "purchase"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("attr_evict_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    // exactly one emission per purchase — eviction added nothing,
+    // dropped nothing, and the evicted touch resolves to "none"
+    assert(out == Set(
+      (3L, T0 + H, 3L, "click"),
+      (1L, T0 + 32 * H, 6L, "none")))
+    assert(spark.table("attr_evict_out").count() == 2)
+  }
+
+  test("streaming fluent-pipeline summary equals the batch EventPipeline") {
+    val q = EventStream.pipelineSummary(spark, sfDir)
+      .writeStream.format("memory").queryName("pipe_out")
+      .outputMode(OutputMode.Update()).start()
+    try q.processAllAvailable() finally q.stop()
+    def tup(r: org.apache.spark.sql.Row) = r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))
+    // Update mode: n_events is monotone per user — the max row is final
+    val streamed = spark.table("pipe_out")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("n_events").desc)))
+      .filter(col("rn") === 1)
+      .select("user_id", "n_events", "n_sessions", "n_purchases",
+        "rev_click", "rev_view", "rev_none")
+      .collect().map(tup).toMap
+    val batch = graft.ops.Journey.eventsPipeline(spark, sfDir)
+      .collect().map(tup).toMap
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
+  }
 }
