@@ -170,7 +170,12 @@ class ProjSpec extends SparkSpec {
     val err = viaBelt.join(direct, Seq("id", "varname"))
       .select(max(abs(col("value") - col("dvalue")))).head().getDouble(0)
     assert(err < 1e-3, s"max 5186→5179 ingest error $err m")
-    intercept[IllegalArgumentException](Proj.epsg(9999))
+    // unknown EPSG fails loudly AND the error lists the supported
+    // registry, so a user with an exotic CRS knows what to reproject to
+    val e = intercept[IllegalArgumentException](Proj.epsg(9999))
+    assert(e.getMessage.contains("EPSG:9999"))
+    for (family <- Seq("5179", "32601-32660", "2154", "5070"))
+      assert(e.getMessage.contains(family), s"registry entry $family missing")
   }
 
   test("known EPSG:5179 fixture: Seoul City Hall vicinity") {
