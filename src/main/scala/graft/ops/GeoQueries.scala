@@ -278,12 +278,14 @@ object GeoQueries {
       Derive.points(s, dir), Derive.segments(s, dir), cellSize = 500.0)
       .orderBy("id")
 
-  val nearestLineSql: String = s"""
-    WITH $pts, seg AS (${Derive.segmentsSql}),
+  /** Exhaustive clamped-projection oracle tail over any (x1,y1,x2,y2)
+    * segment CTE — shared by the derived-segment and WKT-ingest
+    * bindings (identical IEEE order to `Geo.segDist`). */
+  private def segNearestSqlTail(segCte: String): String = s"""
     j AS (
       SELECT p.id, p.x, p.y, s.x1, s.y1,
              s.x2 - s.x1 AS dx, s.y2 - s.y1 AS dy
-      FROM pts p CROSS JOIN seg s),
+      FROM pts p CROSS JOIN ($segCte) s),
     k AS (
       SELECT id, x, y, x1, y1, dx, dy,
              CASE WHEN dx*dx + dy*dy = 0.0 THEN 0.0
@@ -294,6 +296,37 @@ object GeoQueries {
            MIN(sqrt((x-(x1+tc*dx))*(x-(x1+tc*dx))
                   + (y-(y1+tc*dy))*(y-(y1+tc*dy)))) AS distance
     FROM k GROUP BY id ORDER BY id"""
+
+  val nearestLineSql: String = s"""
+    WITH $pts, seg AS (${Derive.segmentsSql}),
+    ${segNearestSqlTail("SELECT * FROM seg")}"""
+
+  /** The same nearest-LINE distance with the line features entering as
+    * LINESTRING WKT end-to-end (the geo_pipeline_wkt precedent): the
+    * polyline table serializes to `LINESTRING (…)` text, re-ingests
+    * through `Wkt.lines` (shortest-round-trip doubles — parse∘format
+    * is bit-exact), explodes to consecutive-vertex segments
+    * (`Wkt.lineSegments`, the road-geometry ingest of
+    * RoadLLWCalculator.py:73-80), and feeds the identical grid
+    * ring-ladder — certifying the segment-distance operator INSIDE the
+    * composed WKT pipeline. */
+  def nearestLineWkt(s: SparkSession, dir: String): DataFrame = {
+    val asWkt = Tables.fanout(Derive.polylines(s, dir)).select(col("fid"),
+      Wkt.toWktLineString(col("xs"), col("ys")).as("wkt"))
+    val segs = Wkt.lineSegments(Wkt.lines(asWkt, "wkt"))
+      .select("x1", "y1", "x2", "y2")
+    NearestDistance.gridNearestSegments(
+      Derive.points(s, dir), segs, cellSize = 500.0)
+      .orderBy("id")
+  }
+
+  val nearestLineWktSql: String = s"""
+    WITH $pts, pl AS (${Derive.polylinesSql}),
+    idx AS (
+      SELECT fid, xs, ys, unnest(generate_series(1, len(xs) - 1)) AS i
+      FROM pl),
+    ${segNearestSqlTail(
+      "SELECT xs[i] AS x1, ys[i] AS y1, xs[i+1] AS x2, ys[i+1] AS y2 FROM idx")}"""
 
   // ---- feature counts within buffers ---------------------------------
   /** The reference checklist's "Bus Stop Count / Hospital Count /
@@ -1513,6 +1546,7 @@ object GeoQueries {
     QueryDef("geo_nearest_grid", nearestGrid, Some(nearestGridSql)),
     QueryDef("geo_knn", knn, Some(knnSql)),
     QueryDef("geo_nearest_line", nearestLine, Some(nearestLineSql)),
+    QueryDef("geo_nearest_line_wkt", nearestLineWkt, Some(nearestLineWktSql)),
     QueryDef("geo_buffer_line", bufferLine, Some(bufferLineSql)),
     QueryDef("geo_buffer_count", bufferCount, Some(bufferCountSql)),
     QueryDef("geo_area_ratio", areaRatio, Some(areaRatioSql)),
