@@ -309,6 +309,19 @@ object Journey {
           col("event_type"), col("value")))
       .withSessions().withAttribution().userSummary()
 
+  /** The fluent chain at full width: sessions + attribution + funnel +
+    * retention composed into the SAME single-exchange plan — the two
+    * extra steps ride the shared user sort (running funnel maxima +
+    * a whole-partition first-seen frame), and the summary still reuses
+    * the window's hash partitioning (PlanAuditSpec pins exactly one
+    * exchange for this plan too). */
+  def eventsPipelineFull(s: SparkSession, dir: String): DataFrame =
+    graft.api.EventPipeline(Tables.loadEventsUs(s, dir)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          col("event_type"), col("value")))
+      .withSessions().withAttribution().withFunnel().withRetention()
+      .userSummary()
+
   val eventsPipelineSql: String = """
     WITH ev AS (
       SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_id,
@@ -351,6 +364,70 @@ object Journey {
              THEN value END AS DECIMAL(18,6))) AS DOUBLE), 0.0), 4)
              AS rev_none
     FROM s2 GROUP BY user_id ORDER BY user_id"""
+
+  val eventsPipelineFullSql: String = """
+    WITH ev AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_id,
+             event_type, value
+      FROM events),
+    m AS (
+      SELECT user_id, t, event_id, event_type, value,
+        LAG(t) OVER wn AS prev,
+        LAST_VALUE(CASE WHEN event_type IN ('click', 'view') THEN t END
+                   IGNORE NULLS) OVER wr AS lt_ts,
+        LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+                   THEN event_type END IGNORE NULLS) OVER wr AS lt_type,
+        MAX(CASE WHEN event_type = 'view' THEN t END) OVER wr AS lv,
+        MIN(t) OVER (PARTITION BY user_id) AS first_ts
+      FROM ev
+      WINDOW wn AS (PARTITION BY user_id ORDER BY t, event_id),
+             wr AS (PARTITION BY user_id ORDER BY t, event_id
+                    ROWS UNBOUNDED PRECEDING)),
+    st AS (
+      SELECT *, CASE WHEN prev IS NULL OR t - prev > 1800000000
+                     THEN 1 ELSE 0 END AS s0
+      FROM m),
+    s2 AS (
+      SELECT *,
+        SUM(s0) OVER wr AS session_id,
+        MAX(CASE WHEN event_type = 'click' AND lv IS NOT NULL AND lv < t
+                 THEN lv END) OVER wr AS lvc,
+        CASE WHEN event_type = 'purchase' THEN
+          CASE WHEN lt_ts IS NOT NULL AND t - lt_ts <= 86400000000
+               THEN lt_type ELSE 'none' END END AS touch
+      FROM st
+      WINDOW wr AS (PARTITION BY user_id ORDER BY t, event_id
+                    ROWS UNBOUNDED PRECEDING)),
+    s3 AS (
+      SELECT *,
+        GREATEST(
+          CASE WHEN event_type = 'view' THEN 1 ELSE 0 END,
+          CASE WHEN event_type = 'click' AND lv IS NOT NULL AND lv < t
+               THEN 2 ELSE 0 END,
+          CASE WHEN event_type = 'purchase' AND lvc IS NOT NULL
+                AND t - lvc <= 86400000000 THEN 3 ELSE 0 END)
+          AS funnel_step,
+        CASE WHEN t - first_ts >= 604800000000
+              AND t - first_ts < 1209600000000 THEN 1 ELSE 0 END AS ret_p1,
+        t // 86400000000 AS day
+      FROM s2)
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_purchases,
+           ROUND(COALESCE(CAST(SUM(CAST(CASE WHEN touch = 'click'
+             THEN value END AS DECIMAL(18,6))) AS DOUBLE), 0.0), 4)
+             AS rev_click,
+           ROUND(COALESCE(CAST(SUM(CAST(CASE WHEN touch = 'view'
+             THEN value END AS DECIMAL(18,6))) AS DOUBLE), 0.0), 4)
+             AS rev_view,
+           ROUND(COALESCE(CAST(SUM(CAST(CASE WHEN touch = 'none'
+             THEN value END AS DECIMAL(18,6))) AS DOUBLE), 0.0), 4)
+             AS rev_none,
+           CAST(MAX(funnel_step) AS INTEGER) AS funnel_level,
+           CAST(COUNT(DISTINCT day) AS BIGINT) AS n_active_days,
+           CAST(MAX(ret_p1) AS BIGINT) AS retained_p1
+    FROM s3 GROUP BY user_id ORDER BY user_id"""
 
   /** DAU / trailing-7-day WAU / trailing-30-day MAU + the DAU/MAU
     * stickiness ratio — the product-analytics headline series. The
@@ -409,6 +486,8 @@ object Journey {
   def all: Seq[QueryDef] = Seq(
     QueryDef("q_dau_stickiness", dauStickiness, Some(dauStickinessSql)),
     QueryDef("events_pipeline", eventsPipeline, Some(eventsPipelineSql)),
+    QueryDef("events_pipeline_full", eventsPipelineFull,
+      Some(eventsPipelineFullSql)),
     QueryDef("q_sequence_match", sequenceMatch, Some(sequenceMatchSql)),
     QueryDef("q_sequence_match_nfa", sequenceMatchNfa, Some(sequenceMatchSql)),
     QueryDef("q_markov", markov, Some(markovSql)),

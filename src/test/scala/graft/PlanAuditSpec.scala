@@ -326,6 +326,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!kv.exists(_.nodeName.contains("SortMergeJoin")) &&
       !kv.exists(_.nodeName.contains("ShuffledHashJoin")),
       "q_kmv_overlap: sketch-only plan must carry no shuffle join")
+    // events_pipeline_full: the widened fluent chain (sessions +
+    // attribution + funnel + retention + summary) STILL rides one
+    // user-hash exchange — the funnel maxima and the first-seen frame
+    // chain onto the shared sort, and the collect_set day counter
+    // avoids the Expand-based distinct plan's second exchange
+    val epf = collectAll(initialPlan("events_pipeline_full"))
+    val epfHash = epf.collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.toString.contains("hashpartitioning") => e
+    }
+    assert(epfHash.length == 1,
+      s"events_pipeline_full: expected one user-hash exchange, got ${epfHash.length}")
+    assert(!epf.exists(_.nodeName.contains("Expand")),
+      "events_pipeline_full: distinct-day count must not take the Expand plan")
   }
 
   test("no registered query plans a cartesian product") {
