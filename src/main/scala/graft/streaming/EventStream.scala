@@ -474,6 +474,85 @@ object EventStream {
       .toDF()
   }
 
+  final case class SeqNfaState(
+      lastVTs: Long, lastVId: Long, lastPTs: Long, lastPId: Long,
+      firstPTs: Long, firstPId: Long, lastETs: Long, lastEId: Long,
+      firstVcTs: Long, firstVcId: Long,
+      minBridgeTs: Long, minBridgeId: Long, nSeen: Long)
+  final case class SeqNfaOut(user_id: Long, n_seen: Long,
+                             browse_buy: Boolean, error_churn: Boolean,
+                             direct_buy: Boolean)
+
+  /** Streaming twin of Journey.sequenceMatchNfa: the compiled pattern
+    * state machines advanced per event — the quantities the batch form
+    * reads off one window (last view/purchase before each click, the
+    * min live-bridge click, first/last purchase, last error, first
+    * view-or-click) are all running mins/maxes over the (ts, event_id)
+    * order key, so the per-user state is TWELVE longs for any journey
+    * length (the same O(1) bound that lets the batch twin drop the
+    * journey-string cap). Each batch emits the refreshed three pattern
+    * flags (Update mode); the final emission per user matches the
+    * batch NFA decomposition exactly (EventStreamSpec aggregates both
+    * to the registry's per-pattern counts). Rows are processed in
+    * (ts, event_id) order within each batch; cross-batch disorder
+    * follows the standard watermark contract.
+    */
+  def sequenceNfaStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val None_ = Long.MinValue
+    // lexicographic (ts, id) helpers over sentinel-padded pairs
+    def lt(aT: Long, aI: Long, bT: Long, bI: Long): Boolean =
+      aT < bT || (aT == bT && aI < bI)
+    readEvents(spark, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[SeqNfaState, SeqNfaOut](
+        GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state) =>
+          var st = state.getOption.getOrElse(SeqNfaState(
+            None_, None_, None_, None_, None_, None_, None_, None_,
+            None_, None_, None_, None_, 0L))
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach {
+            case (_, ts, eid, typ) =>
+              val code = typ.head
+              if (code == 'c' && st.lastVTs != None_ &&
+                  (st.lastPTs == None_ ||
+                    lt(st.lastPTs, st.lastPId, st.lastVTs, st.lastVId)) &&
+                  (st.minBridgeTs == None_ ||
+                    lt(ts, eid, st.minBridgeTs, st.minBridgeId)))
+                st = st.copy(minBridgeTs = ts, minBridgeId = eid)
+              code match {
+                case 'v' =>
+                  st = st.copy(lastVTs = ts, lastVId = eid)
+                  if (st.firstVcTs == None_)
+                    st = st.copy(firstVcTs = ts, firstVcId = eid)
+                case 'c' =>
+                  if (st.firstVcTs == None_)
+                    st = st.copy(firstVcTs = ts, firstVcId = eid)
+                case 'p' =>
+                  st = st.copy(lastPTs = ts, lastPId = eid)
+                  if (st.firstPTs == None_)
+                    st = st.copy(firstPTs = ts, firstPId = eid)
+                case 'e' =>
+                  st = st.copy(lastETs = ts, lastEId = eid)
+                case _ => ()
+              }
+              st = st.copy(nSeen = st.nSeen + 1)
+          }
+          state.update(st)
+          val m1 = st.minBridgeTs != None_ && st.lastPTs != None_ &&
+            lt(st.minBridgeTs, st.minBridgeId, st.lastPTs, st.lastPId)
+          val m2 = st.lastETs != None_ && (st.lastPTs == None_ ||
+            lt(st.lastPTs, st.lastPId, st.lastETs, st.lastEId))
+          val m3 = st.firstPTs != None_ && (st.firstVcTs == None_ ||
+            lt(st.firstPTs, st.firstPId, st.firstVcTs, st.firstVcId))
+          SeqNfaOut(uid, st.nSeen, m1, m2, m3)
+      }
+      .toDF()
+  }
+
   final case class PipeState(lastTs: Long, nSessions: Long, nEvents: Long,
                              nPurchases: Long, touchTs: Long, touchTyp: String,
                              revClickE6: Long, revViewE6: Long,

@@ -277,6 +277,30 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming sequence-NFA state equals the batch NFA decomposition") {
+    val q = EventStream.sequenceNfaStream(spark, sfDir)
+      .writeStream.format("memory").queryName("seqnfa_out")
+      .outputMode(OutputMode.Update()).start()
+    try q.processAllAvailable() finally q.stop()
+    // Update mode: n_seen is monotone per user — the max row is final
+    val fin = spark.table("seqnfa_out")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("n_seen").desc)))
+      .filter(col("rn") === 1)
+    val streamed = Map(
+      "browse_buy" -> fin.filter(col("browse_buy")).count(),
+      "error_churn" -> fin.filter(col("error_churn")).count(),
+      "direct_buy" -> fin.filter(col("direct_buy")).count(),
+      "n_users" -> fin.count())
+    val batchRows = graft.ops.Journey.sequenceMatchNfa(spark, sfDir).collect()
+    val batch = batchRows
+      .map(r => r.getString(0) -> r.getLong(2)).toMap +
+      ("n_users" -> batchRows.head.getLong(1))
+    assert(batchRows.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("attribution eviction: timed-out touch state emits nothing, no duplicates") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
