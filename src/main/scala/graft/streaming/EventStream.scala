@@ -578,7 +578,16 @@ object EventStream {
     * (CDC-latest semantics) — evicting an idle user would forget their
     * summary, not just their in-flight progress.
     */
-  def pipelineSummary(spark: SparkSession, dir: String): DataFrame = {
+  def pipelineSummary(spark: SparkSession, dir: String): DataFrame =
+    pipelineSummaryFrom(readEvents(spark, dir))
+
+  /** The composed-state transform over any (user_id, ts_us, event_id,
+    * event_type, value) stream — factored so StreamRecoverySpec can
+    * drive it from a time-tranched multi-file source and kill it
+    * mid-stream (the state here is ORDER-SENSITIVE, so the recovery
+    * source must deliver batches in per-user event-time order). */
+  private[graft] def pipelineSummaryFrom(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
     import spark.implicits._
     val gapUs = GapUs
     val attrUs = 86400000000L
@@ -589,7 +598,7 @@ object EventStream {
       BigDecimal.valueOf(
         new java.math.BigDecimal(micros).movePointLeft(6).doubleValue())
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-    readEvents(spark, dir)
+    events
       .select(col("user_id"), col("ts_us"), col("event_id"),
         col("event_type"), col("value"))
       .as[(Long, Long, Long, String, Double)]
