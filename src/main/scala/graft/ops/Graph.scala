@@ -117,13 +117,17 @@ object Graph {
     * rounds with per-round lineage truncation; loud failure at the cap
     * (cycle or depth > 2^maxRounds).
     *
-    * nodes: (id). edges: (id, parent), root rows omitted.
+    * nodes: (id). edges: (id, parent) with one DISTINCT proper edge per
+    * non-root node (parent ≠ id, root rows omitted) — a forest, the
+    * org-chart/BOM contract; duplicate or self-loop edges would skew
+    * the fixed-point counts and trip the loud cap.
     */
   def ancestorClosure(nodes: DataFrame, edges: DataFrame,
                       maxRounds: Int = 8): DataFrame = {
+    // no seed distinct: identity pairs (id = anc) and proper-parent
+    // edges (parent < id) are disjoint by construction
     var cl = Tables.hot(nodes.select(col("id"), col("id").as("anc"))
-      .unionByName(edges.select(col("id"), col("parent").as("anc")))
-      .distinct())
+      .unionByName(edges.select(col("id"), col("parent").as("anc"))))
     var prev = -1L
     var cnt = cl.count()
     var rounds = 0
