@@ -201,6 +201,87 @@ object TextDedup {
     jaccardPairs(sh, 0.5, Some(cands))
   }
 
+  /** INCREMENTAL near-dedup — new documents against an EXISTING corpus,
+    * the shape a daily crawl actually runs (dedup the increment against
+    * the index, never re-pair the whole corpus): LSH band buckets for
+    * both sides from the same 64-permutation signatures as
+    * [[dedupMinhash]], candidates from a CROSS-SIDE equi-join of
+    * incoming buckets against existing buckets (salted through
+    * `SkewJoin.saltedJoin` — a hot band bucket on either side would
+    * otherwise pin one reducer), exact-Jaccard verification
+    * candidate-driven, and one verdict row per incoming document
+    * (duplicate count, best match, keep decision). At 100 TB the
+    * existing side's buckets are a precomputed index; per day the work
+    * is |increment| signatures + one bucket join — never O(corpus²).
+    * Split here: doc_id % 4 = 0 is the increment (deterministic,
+    * oracle-replayable); the oracle is the exhaustive cross-side
+    * Jaccard, so the hash gate certifies 100% LSH recall at J ≥ 0.5
+    * cross-side (the dedup_minhash bands, restricted to inc × base).
+    */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(s)
+    val isNew = col("doc_id") % 4 === 0
+    val base = Tables.hot(
+      docs(s, dir).select(col("doc_id"), isNew.as("inc"),
+        array_distinct(transform(grams(3), g => xxhash64(g))).as("harr")))
+    val sh = base.select(col("doc_id"), explode(col("harr")).as("hs"))
+    val bands = (0 until NumPerms / BandRows).map { b =>
+      val rows = (0 until BandRows).map(r => col("sig")(b * BandRows + r))
+      struct(lit(b).as("band"), xxhash64(lit(b) +: rows: _*).as("bk"))
+    }
+    val bucketed = base
+      .select(col("doc_id"), col("inc"),
+        call_function("minhash_signature", col("harr"), lit(NumPerms))
+          .as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id"), col("inc"), explode(array(bands: _*)).as("e"))
+      .select(col("doc_id"), col("inc"),
+        xxhash64(col("e.band"), col("e.bk")).as("key"))
+    val incoming = bucketed.filter(col("inc"))
+      .select(col("key"), col("doc_id").as("da"))
+    val existing = bucketed.filter(!col("inc"))
+      .select(col("key"), col("doc_id").as("db"))
+    val cands = SkewJoin.saltedJoin(incoming, existing, "key", buckets = 8)
+      .select("da", "db").distinct()
+    val dups = jaccardPairs(sh, 0.5, Some(cands))
+      .groupBy(col("da").as("doc_id"))
+      .agg(count(lit(1)).as("nd"), max(col("j")).as("bj"))
+    base.filter(col("inc")).select(col("doc_id"))
+      .join(dups, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nd"), lit(0L)).as("n_dups"),
+        coalesce(col("bj"), lit(0.0)).as("best_j"),
+        col("nd").isNull.as("kept"))
+      .orderBy("doc_id")
+  }
+
+  val dedupIncrementalSql: String = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id, s FROM (
+      SELECT doc_id,
+        unnest(list_transform(generate_series(1, len(t) - 2),
+          i -> array_to_string(t[i:i+2], ' '))) AS s
+      FROM toks)),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s
+       AND a.doc_id % 4 = 0 AND b.doc_id % 4 <> 0
+      GROUP BY 1, 2),
+    dups AS (
+      SELECT da, COUNT(*) AS nd,
+             MAX(CAST(c AS DOUBLE) / (cnt_a.n + cnt_b.n - c)) AS bj
+      FROM common
+      JOIN cnt cnt_a ON common.da = cnt_a.doc_id
+      JOIN cnt cnt_b ON common.db = cnt_b.doc_id
+      WHERE CAST(c AS DOUBLE) / (cnt_a.n + cnt_b.n - c) >= 0.5
+      GROUP BY da)
+    SELECT d.doc_id, CAST(COALESCE(nd, 0) AS BIGINT) AS n_dups,
+           COALESCE(bj, 0.0) AS best_j, nd IS NULL AS kept
+    FROM documents d LEFT JOIN dups ON d.doc_id = dups.da
+    WHERE d.doc_id % 4 = 0
+    ORDER BY d.doc_id"""
+
   // ---- SimHash near-dup (oracle-exact: md5-derived 60-bit hash) ------
   /** 60-bit simhash: per token, a 60-bit hash from the first 15 hex
     * chars of md5 (Spark `conv` and DuckDB's '0x…'::UBIGINT parse the
@@ -780,6 +861,8 @@ object TextDedup {
     QueryDef("dedup_keep_best", dedupKeepBest, Some(dedupKeepBestSql)),
     QueryDef("dedup_ngram", dedupNgram, Some(dedupNgramSql)),
     QueryDef("dedup_minhash", dedupMinhash, Some(dedupNgramSql)),
+    QueryDef("dedup_incremental", dedupIncremental,
+      Some(dedupIncrementalSql)),
     QueryDef("dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
     QueryDef("text_tokens", textTokens, Some(textTokensSql)),
     QueryDef("text_quality", textQuality, Some(textQualitySql)),

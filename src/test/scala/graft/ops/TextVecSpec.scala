@@ -14,6 +14,26 @@ class TextVecSpec extends SparkSpec {
     assert(exact.nonEmpty, "test data should contain planted near-dups")
   }
 
+  test("incremental dedup equals the exact cross-side restriction of dedup_ngram") {
+    // ground truth: all-pairs exact Jaccard pairs restricted to
+    // (incoming, existing) sides — the increment must drop exactly the
+    // docs with a cross-side J >= 0.5 match, regardless of any
+    // duplicates WITHIN the increment (those are dedup_minhash's job)
+    val allPairs = TextDedup.dedupNgram(spark, sfDir)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val crossDup = allPairs.flatMap { case (a, b) =>
+      Seq(a, b).filter(x => x % 4 == 0 &&
+        Seq(a, b).exists(y => y % 4 != 0))
+    }.toSet
+    val out = TextDedup.dedupIncremental(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out.keys.forall(_ % 4 == 0))
+    out.foreach { case (id, kept) =>
+      assert(kept == !crossDup(id), s"doc $id keep decision") }
+    assert(crossDup.nonEmpty, "test data should contain cross-side dups")
+    assert(out.values.count(identity) > 0, "some increment docs survive")
+  }
+
   test("simhash separates planted near-dups from random pairs") {
     // The right property for simhash isn't precision against Jaccard
     // pairs (different metric, and the synthetic docs share one small
