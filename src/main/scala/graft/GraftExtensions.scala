@@ -80,10 +80,15 @@ object GraftFunctions {
     new ExpressionInfo(classOf[functions.WktParts].getName, "wkt_parts"),
     (args: Seq[Expression]) => functions.WktParts(args.head))
 
+  val dsum128Fn: Fn = (
+    FunctionIdentifier("dsum128"),
+    new ExpressionInfo(classOf[functions.Sum128].getName, "dsum128"),
+    (args: Seq[Expression]) => functions.Sum128(args(0), args(1)))
+
   val all: Seq[Fn] =
     Seq(clippedSegmentLengthFn, hilbertIndexFn, pointInPolygonFn,
       normalizeTextFn, clippedPolygonAreaFn, vecDotFn, vecL2Fn,
-      minHashSignatureFn, bigramRunStatsFn, wktPartsFn)
+      minHashSignatureFn, bigramRunStatsFn, wktPartsFn, dsum128Fn)
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (id, info, builder) =>

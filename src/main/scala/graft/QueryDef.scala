@@ -19,8 +19,20 @@ object QueryDef {
     * so partial-aggregation order (Spark) vs sequential order (DuckDB)
     * cannot change the result, then return a plain double column.
     * Oracle twin: CAST(SUM(CAST(x AS DECIMAL(18,s)) AS DOUBLE).
+    *
+    * Physical path: the native `dsum128` aggregate
+    * (functions/Sum128.scala) — the same exact value on a 128-bit
+    * integer accumulator in two LONG buffer slots, ~7× faster than
+    * Spark's BigDecimal-backed DECIMAL(28,s) sum buffer (measured on
+    * TPC-H Q1's seven sums: 2.35 s → 0.34 s at sf0.1) and loud outside
+    * its exactness envelope (|x|·10^s ≤ 2^51). `dsumDec` keeps the
+    * plain decimal route for columns beyond the envelope.
     */
   def dsum(c: Column, scale: Int = 4): Column =
+    call_function("dsum128", c.cast("double"), lit(scale))
+
+  /** The plain decimal-sum route (unbounded magnitude, slower). */
+  def dsumDec(c: Column, scale: Int = 4): Column =
     sum(c.cast(DecimalType(18, scale))).cast("double")
 
   /** Deterministic mean at 6 dp: exact decimal sum / count in double space. */

@@ -94,8 +94,7 @@ final case class EventPipeline(df: DataFrame,
       .withColumn("_day",
         floor(col("ts_us") / lit(86400000000L)).cast("long")))
 
-  private def dsum6(c: Column): Column =
-    sum(c.cast(DecimalType(18, 6))).cast("double")
+  private def dsum6(c: Column): Column = graft.QueryDef.dsum(c, 6)
 
   /** One row per user: activity, session and attributed-revenue
     * profile — plus the funnel level and retention columns when the
