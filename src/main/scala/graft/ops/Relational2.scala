@@ -64,16 +64,18 @@ object Relational2 {
     */
   def qStats(s: SparkSession, dir: String): DataFrame = {
     val l = Tables.load(s, dir, "lineitem")
-    def d(c: org.apache.spark.sql.Column, sc: Int) = c.cast(DecimalType(28, sc))
     val x = col("l_quantity"); val y = col("l_extendedprice")
+    // power sums through the native dsum128 (x, y are 2 dp, so the
+    // squares/cross terms are exactly 4 dp — inside the envelope; the
+    // oracle's DECIMAL(28,s) casts produce the identical values)
     l.groupBy("l_returnflag")
       .agg(
         count(lit(1)).as("n"),
-        sum(d(x, 2)).cast("double").as("sum_x"),
-        sum(d(x * x, 4)).cast("double").as("sum_x2"),
-        sum(d(y, 2)).cast("double").as("sum_y"),
-        sum(d(y * y, 4)).cast("double").as("sum_y2"),
-        sum(d(x * y, 4)).cast("double").as("sum_xy"))
+        QueryDef.dsum(x, 2).as("sum_x"),
+        QueryDef.dsum(x * x, 4).as("sum_x2"),
+        QueryDef.dsum(y, 2).as("sum_y"),
+        QueryDef.dsum(y * y, 4).as("sum_y2"),
+        QueryDef.dsum(x * y, 4).as("sum_xy"))
       .select(col("l_returnflag"), col("n"),
         round((col("sum_x2") * col("n") - col("sum_x") * col("sum_x")) /
           (col("n") * (col("n") - 1)), 6).as("var_qty"),
