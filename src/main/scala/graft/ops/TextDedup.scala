@@ -218,25 +218,38 @@ object TextDedup {
     * Jaccard, so the hash gate certifies 100% LSH recall at J ≥ 0.5
     * cross-side (the dedup_minhash bands, restricted to inc × base).
     */
-  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
-    graft.GraftFunctions.register(s)
-    val isNew = col("doc_id") % 4 === 0
-    val base = Tables.hot(
-      docs(s, dir).select(col("doc_id"), isNew.as("inc"),
-        array_distinct(transform(grams(3), g => xxhash64(g))).as("harr")))
-    val sh = base.select(col("doc_id"), explode(col("harr")).as("hs"))
+  /** Packed LSH bucket keys from a `harr` shingle-hash array column:
+    * one (kept columns…, key) row per band, sig-null (short) docs
+    * dropped. The SHARED construction between dedupIncremental and its
+    * streaming twin (streaming/StreamDedup.incrementalDedupStream) —
+    * one definition so the two sides cannot drift. */
+  private[graft] def packedBandKeys(df: DataFrame,
+                                    keep: Seq[String]): DataFrame = {
     val bands = (0 until NumPerms / BandRows).map { b =>
       val rows = (0 until BandRows).map(r => col("sig")(b * BandRows + r))
       struct(lit(b).as("band"), xxhash64(lit(b) +: rows: _*).as("bk"))
     }
-    val bucketed = base
-      .select(col("doc_id"), col("inc"),
+    df.select(keep.map(col) :+
         call_function("minhash_signature", col("harr"), lit(NumPerms))
-          .as("sig"))
+          .as("sig"): _*)
       .filter(col("sig").isNotNull)
-      .select(col("doc_id"), col("inc"), explode(array(bands: _*)).as("e"))
-      .select(col("doc_id"), col("inc"),
-        xxhash64(col("e.band"), col("e.bk")).as("key"))
+      .select(keep.map(col) :+ explode(array(bands: _*)).as("e"): _*)
+      .select(keep.map(col) :+
+        xxhash64(col("e.band"), col("e.bk")).as("key"): _*)
+  }
+
+  /** Shingle-hash array for the incremental-dedup family (3-gram
+    * xxhash64, distinct) — shared with the streaming twin. */
+  private[graft] def harrOf: Column =
+    array_distinct(transform(grams(3), g => xxhash64(g)))
+
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(s)
+    val isNew = col("doc_id") % 4 === 0
+    val base = Tables.hot(
+      docs(s, dir).select(col("doc_id"), isNew.as("inc"), harrOf.as("harr")))
+    val sh = base.select(col("doc_id"), explode(col("harr")).as("hs"))
+    val bucketed = packedBandKeys(base, Seq("doc_id", "inc"))
     val incoming = bucketed.filter(col("inc"))
       .select(col("key"), col("doc_id").as("da"))
     val existing = bucketed.filter(!col("inc"))

@@ -39,4 +39,64 @@ object StreamDedup {
 
   def dedupEventsWatermarked(spark: SparkSession, dir: String): DataFrame =
     dedupWatermarked(EventStream.readEvents(spark, dir))
+
+  /** Documents as a stream, schema from the file footer (the
+    * readEvents pattern — parquet-type drift cannot desync sides). */
+  def readDocs(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+  }
+
+  /** Streaming twin of ops.TextDedup.dedupIncremental — the daily
+    * crawl as it actually runs: the INCREMENT arrives on a stream and
+    * deduplicates against the STATIC existing-corpus index. The base
+    * index (packed LSH band keys + shingle arrays, both from the
+    * batch-shared constructions) is a static DataFrame; each incoming
+    * doc maps to its band keys stateless, stream-static LEFT-joins the
+    * index, pairs dedupe with `dropDuplicates` state, and the exact
+    * Jaccard verification is a PROJECTION — `array_intersect` of the
+    * two carried shingle arrays, no second aggregation — so the
+    * per-doc verdict is the single allowed streaming aggregation
+    * (Update mode). Sig-null (short) docs ride a null band key that
+    * joins nothing and verdict as kept. Final emissions equal the
+    * batch dedup_incremental rows exactly (EventStreamSpec).
+    */
+  def incrementalDedupStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.TextDedup
+    graft.GraftFunctions.register(spark)
+    val isNew = col("doc_id") % 4 === 0
+
+    val baseDocs = graft.Tables.load(spark, dir, "documents")
+      .filter(!isNew)
+      .select(col("doc_id"), TextDedup.harrOf.as("harr"))
+    val baseIdx = graft.Tables.hot(
+      TextDedup.packedBandKeys(baseDocs, Seq("doc_id", "harr"))
+        .select(col("key"), col("doc_id").as("db"),
+          col("harr").as("harr_b")))
+
+    val incoming = readDocs(spark, dir)
+      .filter(isNew)
+      .select(col("doc_id"), TextDedup.harrOf.as("harr"))
+    val keyed = TextDedup.packedBandKeys(incoming, Seq("doc_id", "harr"))
+      .select(col("doc_id"), col("harr"), col("key"))
+    val nullSig = incoming
+      .filter(call_function("minhash_signature", col("harr"),
+        lit(graft.ops.TextDedup.NumPerms)).isNull)
+      .select(col("doc_id"), col("harr"), lit(null).cast("long").as("key"))
+
+    val pairs = keyed.unionByName(nullSig)
+      .join(baseIdx, Seq("key"), "left")
+      .select(col("doc_id").as("da"), col("db"), col("harr"), col("harr_b"))
+      .dropDuplicates("da", "db")
+    val c = size(array_intersect(col("harr"), col("harr_b")))
+    val j = when(col("db").isNotNull, c.cast("double") /
+      (size(col("harr")) + size(col("harr_b")) - c))
+    pairs.withColumn("j", j)
+      .groupBy(col("da").as("doc_id"))
+      .agg(sum(when(col("j") >= 0.5, 1L).otherwise(0L)).as("n_dups"),
+        coalesce(max(when(col("j") >= 0.5, col("j"))), lit(0.0)).as("best_j"))
+      .withColumn("kept", col("n_dups") === 0)
+  }
 }

@@ -340,6 +340,27 @@ class EventStreamSpec extends SparkSpec {
     assert(spark.table("attr_evict_out").count() == 2)
   }
 
+  test("streaming incremental dedup of the increment equals the batch verdicts") {
+    val q = StreamDedup.incrementalDedupStream(spark, sfDir)
+      .writeStream.format("memory").queryName("incdedup_out")
+      .outputMode(OutputMode.Update()).start()
+    try q.processAllAvailable() finally q.stop()
+    def tup(r: org.apache.spark.sql.Row) = r.getLong(0) ->
+      (r.getLong(1), r.getDouble(2), r.getBoolean(3))
+    // Update mode: n_dups is monotone per doc — the max row is final
+    val streamed = spark.table("incdedup_out")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("n_dups").desc)))
+      .filter(col("rn") === 1)
+      .select("doc_id", "n_dups", "best_j", "kept")
+      .collect().map(tup).toMap
+    val batch = graft.ops.TextDedup.dedupIncremental(spark, sfDir)
+      .collect().map(tup).toMap
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("streaming fluent-pipeline summary equals the batch EventPipeline") {
     val q = EventStream.pipelineSummary(spark, sfDir)
       .writeStream.format("memory").queryName("pipe_out")
