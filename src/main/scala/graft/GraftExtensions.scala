@@ -85,10 +85,17 @@ object GraftFunctions {
     new ExpressionInfo(classOf[functions.Sum128].getName, "dsum128"),
     (args: Seq[Expression]) => functions.Sum128(args(0), args(1)))
 
+  val rollingHashWindowsFn: Fn = (
+    FunctionIdentifier("rolling_hash_windows"),
+    new ExpressionInfo(classOf[functions.RollingHashWindows].getName,
+      "rolling_hash_windows"),
+    (args: Seq[Expression]) => functions.RollingHashWindows(args))
+
   val all: Seq[Fn] =
     Seq(clippedSegmentLengthFn, hilbertIndexFn, pointInPolygonFn,
       normalizeTextFn, clippedPolygonAreaFn, vecDotFn, vecL2Fn,
-      minHashSignatureFn, bigramRunStatsFn, wktPartsFn, dsum128Fn)
+      minHashSignatureFn, bigramRunStatsFn, wktPartsFn, dsum128Fn,
+      rollingHashWindowsFn)
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (id, info, builder) =>

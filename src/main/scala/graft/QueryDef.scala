@@ -22,9 +22,9 @@ object QueryDef {
     *
     * Physical path: the native `dsum128` aggregate
     * (functions/Sum128.scala) — the same exact value on a 128-bit
-    * integer accumulator in two LONG buffer slots, ~7× faster than
-    * Spark's BigDecimal-backed DECIMAL(28,s) sum buffer (measured on
-    * TPC-H Q1's seven sums: 2.35 s → 0.34 s at sf0.1) and loud outside
+    * integer accumulator in two LONG buffer slots, ~3.6× faster than
+    * Spark's BigDecimal-backed DECIMAL(28,s) sum buffer on sum-heavy
+    * whole queries (TPC-H Q1 at sf0.1: 2.35 s → 0.65 s) and loud outside
     * its exactness envelope (|x|·10^s ≤ 2^51). `dsumDec` keeps the
     * plain decimal route for columns beyond the envelope.
     */

@@ -16,7 +16,8 @@ import org.apache.spark.sql.types._
   * same VALUE — Σ round_half_to_nearest(x·10^s) at scale s — in two
   * LONG buffer slots (lo/hi of a signed 128-bit integer; carry via the
   * standard unsigned-overflow bit trick), entirely inside whole-stage
-  * codegen, ~3× faster. Capacity 1.7e38 ≫ any realistic corpus total
+  * codegen, ~3.6× faster on sum-heavy whole queries (TPC-H Q1 at
+  * sf0.1: 2.35 s → 0.65 s). Capacity 1.7e38 ≫ any realistic corpus total
   * (a 64-bit long sum would overflow at ~9.2e16 currency units — real
   * at 100 TB — which is exactly why the accumulator is 128-bit).
   *
@@ -26,7 +27,13 @@ import org.apache.spark.sql.types._
   * decimal digits — the same preconditions under which the decimal
   * cast itself is exact, i.e. every dsum call site. Ties at .5 cannot
   * occur under the digit precondition (x·10^s sits within ~1e-4 of an
-  * integer), so half-even rint ≡ the cast's half-up.
+  * integer), so half-even rint ≡ the cast's half-up. BOTH halves are
+  * enforced at runtime: the magnitude via a running max |x·10^s|, the
+  * digit precondition via a running max |x·10^s − rint(x·10^s)| —
+  * if any row's product lands near a .5 rounding boundary (where
+  * half-even rint and the cast's half-up-on-shortest-repr could
+  * diverge), evaluation raises loudly instead of silently drifting
+  * from dsumDec / the oracle.
   *
   * Result: DOUBLE — the exact Σ reconstructed as a DECIMAL(38,s) from
   * the 128-bit unscaled value, then one correctly-rounded cast, the
@@ -64,12 +71,14 @@ case class Sum128(child: Expression, scaleExpr: Expression)
     nullable = false)()
   private val maxAbs = AttributeReference("maxAbs", DoubleType,
     nullable = false)()
+  private val maxFrac = AttributeReference("maxFrac", DoubleType,
+    nullable = false)()
 
   override lazy val aggBufferAttributes: Seq[AttributeReference] =
-    Seq(lo, hi, empty, maxAbs)
+    Seq(lo, hi, empty, maxAbs, maxFrac)
 
   override lazy val initialValues: Seq[Expression] =
-    Seq(Literal(0L), Literal(0L), Literal(true), Literal(0.0))
+    Seq(Literal(0L), Literal(0L), Literal(true), Literal(0.0), Literal(0.0))
 
   /** Wrapping long add regardless of ANSI mode (i128 limb arithmetic
     * relies on two's-complement wraparound of the low limb). */
@@ -98,20 +107,23 @@ case class Sum128(child: Expression, scaleExpr: Expression)
     val pow = Literal(math.pow(10, scale))
     val prod = If(IsNull(child), Literal(0.0),
       Multiply(child, pow, EvalMode.LEGACY))
-    val w = Cast(Rint(prod), LongType)
+    val rinted = Rint(prod)
+    val w = Cast(rinted, LongType)
     val nLo = addW(lo, w)
     val signExt = ShiftRight(w, Literal(63))
     Seq(
       nLo,
       addW(addW(hi, signExt), Cast(carry(lo, w, nLo), LongType)),
       And(empty, IsNull(child)),
-      Greatest(Seq(maxAbs, Abs(prod))))
+      Greatest(Seq(maxAbs, Abs(prod))),
+      Greatest(Seq(maxFrac, Abs(Subtract(prod, rinted, EvalMode.LEGACY)))))
   }
 
   override lazy val mergeExpressions: Seq[Expression] = {
     val s = add128(lo.left, hi.left, lo.right, hi.right)
     Seq(s(0), s(1), And(empty.left, empty.right),
-      Greatest(Seq(maxAbs.left, maxAbs.right)))
+      Greatest(Seq(maxAbs.left, maxAbs.right)),
+      Greatest(Seq(maxFrac.left, maxFrac.right)))
   }
 
   override lazy val evaluateExpression: Expression = {
@@ -126,12 +138,22 @@ case class Sum128(child: Expression, scaleExpr: Expression)
       Decimal(new java.math.BigDecimal(java.math.BigInteger.ONE, scale)),
       DecimalType(math.max(scale, 1), scale))
     val bound = Literal((1L << 51).toDouble)
+    // digit-precondition guard: under "≤ scale true decimal digits" every
+    // product sits within ~1e-4 of an integer; a fraction near .5 means a
+    // genuine rounding occurred and half-even rint may diverge from the
+    // decimal cast's half-up — fail loudly rather than drift from dsumDec
+    val fracBound = Literal(0.499)
     If(GreaterThan(maxAbs, bound),
       Cast(new RaiseError(Literal(
         s"dsum128: |value|*1e$scale exceeds 2^51 - outside the exact " +
           "envelope; use QueryDef.dsumDec for this column")), DoubleType),
-      If(empty, Literal(null, DoubleType),
-        Cast(Multiply(total, tenNegS), DoubleType)))
+      If(GreaterThan(maxFrac, fracBound),
+        Cast(new RaiseError(Literal(
+          s"dsum128: a value*1e$scale landed within 0.001 of a .5 rounding " +
+            "boundary - the column has more than " + scale + " true decimal " +
+            "digits; use QueryDef.dsumDec for this column")), DoubleType),
+        If(empty, Literal(null, DoubleType),
+          Cast(Multiply(total, tenNegS), DoubleType))))
   }
 
   override protected def withNewChildrenInternal(

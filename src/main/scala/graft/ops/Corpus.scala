@@ -893,6 +893,111 @@ object Corpus {
     FROM tot t LEFT JOIN reb r ON t.doc_id = r.doc_id
     ORDER BY t.doc_id"""
 
+  /** Exact shared-substring removal — the published dedup standard the
+    * block-grain ops under-match (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better": remove every
+    * ≥50-token substring shared across the corpus; C4/Pile-class
+    * pipelines run exactly this). `dedup_lines`/`dedup_paragraphs`
+    * hash FIXED 10-token blocks, so a duplicated span that straddles a
+    * block edge leaves both partial blocks unmatched; here every
+    * w-token window at STRIDE 1 is keyed, so any shared run of ≥ w
+    * tokens is caught at every alignment (spec: a straddling span this
+    * op removes and dedup_paragraphs misses). Semantics: a window is
+    * duplicate iff its content occurs at a smaller packed (doc_id,
+    * pos) — first occurrence kept, the deterministic analog of the
+    * paper's suffix-array order; a token is removed iff ANY duplicate
+    * window covers it (overlapping windows merge into spans for free
+    * via the running-max coverage); documents rebuild from surviving
+    * tokens, certified byte-exact by md5 against the oracle's
+    * string-content replay.
+    *
+    * Scale shape: the `rolling_hash_windows` native expression hashes
+    * each token once and rolls two independent 64-bit polynomial
+    * hashes per window — O(n) per document with NO w× window-string
+    * materialization (the naive slice+concat plan hashes 5 PB to scan
+    * 100 TB at w=50), and only 20-byte (pos, h1, h2) rows ever ride a
+    * shuffle. First-occurrence is ONE map-side-combined primitive-MIN
+    * hash aggregate over the packed key (the dedup_paragraphs/
+    * dedup_keep_best recipe — partial aggregation absorbs boilerplate
+    * skew, e.g. a license header duplicated 10^9 times, where a
+    * per-key window sort would concentrate the key in one task); the
+    * verdict join is an 8+8-byte-key hash join AQE can skew-split.
+    * Coverage, span merge, and rebuild are ONE per-doc sort window +
+    * one per-doc aggregate. Reference anchor: the grain the reference's
+    * duplicate-filter rows imply, generalized to the published
+    * exact-substring standard.
+    */
+  private[graft] def substringDedupCore(docsDf: DataFrame,
+                                        w: Int): DataFrame = {
+    val packed = expr("""CASE WHEN doc_id >= 0 AND doc_id < 4398046511104
+        AND pos >= 0 AND pos < 1048576
+      THEN doc_id * 1048576 + pos
+      ELSE raise_error(concat('dedup_substrings: unpackable (doc_id, pos)=(',
+        CAST(doc_id AS STRING), ',', CAST(pos AS STRING), ')')) END""")
+    val wins = Tables.hot(docsDf
+      .select(col("doc_id"),
+        explode(call_function("rolling_hash_windows", toks, lit(w)))
+          .as("wh"))
+      .select(col("doc_id"), col("wh.pos").as("pos"),
+        col("wh.h1").as("h1"), col("wh.h2").as("h2")))
+    val canon = wins.groupBy("h1", "h2").agg(min(packed).as("cp"))
+    val removed = wins.join(canon, Seq("h1", "h2"))
+      .filter(packed =!= col("cp"))
+      .select(col("doc_id"), col("pos"),
+        (col("pos") + lit(w - 1)).as("cend"))
+    val cov = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docsDf.select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
+      .join(removed, Seq("doc_id", "pos"), "left")
+      .withColumn("cov", max(col("cend")).over(cov))
+      .withColumn("dropped",
+        col("cov").isNotNull && col("cov") >= col("pos"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("dropped"), 1L).otherwise(0L)).as("n_dropped"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(when(!col("dropped"),
+            struct(col("pos"), col("tok"))))),
+            x => x.getField("tok")))).as("rebuilt_md5"))
+      .orderBy("doc_id")
+  }
+
+  def dedupSubstrings(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(s)
+    substringDedupCore(docs(s, dir), 50)
+  }
+
+  val dedupSubstringsSql: String = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    w AS (
+      SELECT doc_id, pos, array_to_string(t[pos + 1 : pos + 50], ' ') AS c
+      FROM (SELECT doc_id, t,
+              unnest(generate_series(0, len(t) - 50)) AS pos
+            FROM toks)),
+    canon AS (SELECT c, MIN(doc_id * 1048576 + pos) AS cp FROM w GROUP BY c),
+    removed AS (
+      SELECT w.doc_id, w.pos, w.pos + 49 AS cend
+      FROM w JOIN canon ON w.c = canon.c
+      WHERE w.doc_id * 1048576 + w.pos != canon.cp),
+    tok AS (
+      SELECT doc_id, pos, t[pos + 1] AS tk
+      FROM (SELECT doc_id, t,
+              unnest(generate_series(0, len(t) - 1)) AS pos
+            FROM toks)),
+    cv AS (
+      SELECT tok.doc_id, tok.pos, tok.tk,
+             MAX(r.cend) OVER (PARTITION BY tok.doc_id ORDER BY tok.pos
+                               ROWS UNBOUNDED PRECEDING) AS cov
+      FROM tok LEFT JOIN removed r
+        ON tok.doc_id = r.doc_id AND tok.pos = r.pos)
+    SELECT doc_id, COUNT(*) AS n_tok,
+           CAST(SUM(CASE WHEN cov IS NOT NULL AND cov >= pos
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           COALESCE(md5(string_agg(
+             CASE WHEN cov IS NULL OR cov < pos THEN tk END, ' '
+             ORDER BY pos)), md5('')) AS rebuilt_md5
+    FROM cv GROUP BY doc_id ORDER BY doc_id"""
+
   /** Importance sampling — keep probability PROPORTIONAL to a per-doc
     * quality weight (here the distinct-token ratio, the Gopher-style
     * diversity signal), not a flat per-stratum rate: the
@@ -1099,6 +1204,7 @@ object Corpus {
     QueryDef("sample_temperature", sampleTemperature, Some(sampleTemperatureSql)),
     QueryDef("sample_importance", sampleImportance, Some(sampleImportanceSql)),
     QueryDef("dedup_paragraphs", dedupParagraphs, Some(dedupParagraphsSql)),
+    QueryDef("dedup_substrings", dedupSubstrings, Some(dedupSubstringsSql)),
     QueryDef("corpus_datasheet", corpusDatasheet, Some(corpusDatasheetSql)),
     QueryDef("corpus_pipeline_full", pipelineFull, Some(pipelineFullSql)),
     QueryDef("corpus_pipeline_v2", pipelineV2, Some(pipelineV2Sql)),

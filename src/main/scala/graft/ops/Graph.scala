@@ -138,9 +138,12 @@ object Graph {
       cnt = cl.count()
       rounds += 1
     }
+    // NB a cyclic edge set does NOT trip this guard — a cycle's closure is
+    // a finite fixed point, so cnt converges; only depth > 2^maxRounds
+    // fails loudly here. Cyclicity is the caller's forest contract above.
     require(cnt == prev,
       s"ancestor closure still growing after $rounds doubling rounds " +
-        s"($prev -> $cnt pairs) — cycle or depth > 2^$rounds")
+        s"($prev -> $cnt pairs) — depth > 2^$rounds; raise maxRounds")
     cl
   }
 

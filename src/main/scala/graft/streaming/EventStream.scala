@@ -426,7 +426,11 @@ object EventStream {
             }
             if (st != null) {
               state.update(st)
-              state.setTimeoutTimestamp(st.ts / 1000 + attrUs / 1000)
+              // round the deadline UP to the next millisecond: timeouts are
+              // ms-grained while ts is µs, and flooring could evict up to
+              // 999 µs before touch + window, letting a purchase in that
+              // sub-ms tail resolve "none" where batch says the touch type
+              state.setTimeoutTimestamp((st.ts + attrUs + 999) / 1000)
             }
             out.iterator
           }

@@ -76,4 +76,24 @@ class Sum128Spec extends SparkSpec {
       if (t == null) Nil else String.valueOf(t.getMessage) +: msgs(t.getCause)
     assert(msgs(e).exists(_.contains("dsum128")))
   }
+
+  test("dsum128 fails loudly when a value has more digits than scale") {
+    graft.GraftFunctions.register(spark)
+    // 0.00005 has 5 true decimal digits; at scale 4 its product lands
+    // exactly on the .5 rounding boundary where half-even rint and the
+    // decimal cast's half-up diverge — the digit-precondition guard
+    // must raise rather than silently drift from dsumDec
+    val tie = Seq((1, 0.00005), (1, 1.0)).toDF("g", "v")
+    val e = intercept[Exception] {
+      tie.groupBy("g").agg(d128(col("v"), 4)).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    assert(msgs(e).exists(m =>
+      m.contains("dsum128") && m.contains("decimal")))
+    // and values WITHIN the contract still evaluate (frac stays tiny)
+    val ok = Seq((1, 0.0005), (1, 1.25)).toDF("g", "v")
+    assert(ok.groupBy("g").agg(d128(col("v"), 4)).head.getDouble(1)
+      == 1.2505)
+  }
 }

@@ -1,0 +1,69 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSubstringsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(docs: Seq[(Long, String)], w: Int) =
+    Corpus.substringDedupCore(
+      docs.toDF("doc_id", "text"), w)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+
+  private def md5Of(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  test("a duplicate span straddling a 10-token block edge is removed " +
+    "here and invisible to block-grain dedup") {
+    // doc 0: 60 unique tokens a0..a59. doc 1: 7 unique prefix tokens,
+    // then doc 0's tokens a5..a54 (a 50-token shared run), then 3 more.
+    // The run starts at offset 5 in doc 0 and offset 7 in doc 1 — it
+    // straddles every 10-token block boundary ON BOTH SIDES with
+    // different alignments, so no fixed 10-token block repeats and
+    // dedup_paragraphs finds nothing; stride-1 windows catch it.
+    val a = (0 until 60).map(i => s"a$i")
+    val shared = a.slice(5, 55)
+    val doc1 = (0 until 7).map(i => s"b$i") ++ shared ++
+      (0 until 3).map(i => s"c$i")
+    val out = run(Seq(0L -> a.mkString(" "), 1L -> doc1.mkString(" ")), 50)
+    assert(out(0L) == ((60L, 0L, md5Of(a.mkString(" ")))))
+    val kept1 = (0 until 7).map(i => s"b$i") ++ (0 until 3).map(i => s"c$i")
+    assert(out(1L) == ((60L, 50L, md5Of(kept1.mkString(" ")))))
+
+    // block-grain dedup on the same pair would find NOTHING: no
+    // aligned 10-token block repeats (dedup_paragraphs' exact grain)
+    val t0 = a.grouped(10).map(_.mkString(" ")).toSet
+    val t1 = doc1.grouped(10).map(_.mkString(" ")).toSet
+    assert(t0.intersect(t1).isEmpty,
+      "fixture must not share any aligned 10-token block")
+  }
+
+  test("overlapping duplicate windows merge into one span; first " +
+    "occurrence kept; short docs untouched") {
+    // doc 0 holds a 12-token motif twice (positions 0 and 20) with
+    // unique filler between; w=10 → three duplicate windows at the
+    // second occurrence (starts 20,21,22) merging into tokens 20..31
+    val motif = (0 until 12).map(i => s"m$i")
+    val fill = (0 until 8).map(i => s"f$i")
+    val tail = (0 until 10).map(i => s"t$i")
+    val d0 = motif ++ fill ++ motif ++ tail
+    val short = Seq("x0", "x1", "x2")
+    val out = run(Seq(0L -> d0.mkString(" "), 1L -> short.mkString(" ")), 10)
+    val kept0 = motif ++ fill ++ tail
+    assert(out(0L) == ((42L, 12L, md5Of(kept0.mkString(" ")))))
+    assert(out(1L) == ((3L, 0L, md5Of(short.mkString(" ")))))
+  }
+
+  test("cross-doc duplicate keeps the smaller (doc_id, pos) occurrence") {
+    val s = (0 until 10).map(i => s"s$i")
+    val d0 = Seq("u0", "u1") ++ s             // occurrence at (0, 2)
+    val d1 = s ++ Seq("v0", "v1")             // occurrence at (1, 0)
+    val out = run(Seq(0L -> d0.mkString(" "), 1L -> d1.mkString(" ")), 10)
+    assert(out(0L)._2 == 0L)
+    assert(out(1L) == ((12L, 10L, md5Of(Seq("v0", "v1").mkString(" ")))))
+  }
+}
