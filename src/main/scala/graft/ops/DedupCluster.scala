@@ -169,7 +169,102 @@ object DedupCluster {
     FROM grp g LEFT JOIN keepers k ON g.doc_id = k.keep_id
     GROUP BY source ORDER BY source"""
 
+  /** SemDeDup-shaped SEMANTIC dedup decision (Abbas et al. 2023):
+    * embedding-cosine candidate pairs (dedup_embed_ivf — IVF-bucketed,
+    * salted, never O(n²)) → connected components → ONE keeper per
+    * semantic cluster → per-label survival report. Until now a user
+    * had pairs (`dedup_embed_ivf`) and components (`dedup_cluster`
+    * at the minhash layer) but no embedding-layer KEEP decision.
+    *
+    * Keeper rule: max squared norm (the information-mass proxy —
+    * semantic near-dups keep the most feature-rich exemplar), ties to
+    * lowest vec_id. The norm is quantized to floor(‖v‖²·1e6) — both
+    * engines compute the identical double from the same float vector
+    * with the same accumulation order (vec_dot ≡ list_dot_product,
+    * the dedup_embed precedent), so the floor is bit-safe — and the
+    * argmax rides the corpus_near_dedup bit-packed primitive-MAX
+    * recipe (norm-rank in the high bits, complemented vec_id in the
+    * low 33, loud outside the packable range; a struct max would
+    * regress HashAggregate→SortAggregate). Singleton vectors (no
+    * near-dup pair) keep themselves via the left-join coalesce.
+    */
+  def corpusSemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(s)
+    val e = Tables.fanout(Tables.load(s, dir, "embeddings"))
+      .select(col("vec_id"), col("label"),
+        graft.functions.Vec.asDouble(col("embedding")).as("v"))
+      .withColumn("q",
+        floor(call_function("vec_dot", col("v"), col("v")) * 1e6)
+          .cast("long"))
+    val pairs = VectorOps.dedupEmbedIvf(s, dir)
+      .select(col("da").as("src"), col("db").as("dst"))
+    val lbl = connectedComponents(pairs)
+      .select(col("node").cast("long").as("vec_id"),
+        col("lbl").cast("long").as("cluster_id"))
+    val idSpace = 1L << 33
+    val packed = when(
+      col("q") >= 0 && col("q") < (1L << 30) &&
+        col("vec_id") >= 0 && col("vec_id") < idSpace,
+      shiftleft(col("q"), 33) + (lit(idSpace - 1) - col("vec_id")))
+      .otherwise(raise_error(concat(
+        lit("corpus_semantic_dedup: vec_id/normsq outside packable range: "),
+        col("vec_id").cast("string"))))
+    val grouped = e.join(lbl, Seq("vec_id"), "left")
+      .withColumn("grp", coalesce(col("cluster_id"), col("vec_id")))
+    val keepers = grouped.groupBy("grp")
+      .agg(max(packed).as("p"))
+      .select((lit(idSpace - 1) - (col("p") % idSpace)).as("keep_id"))
+    grouped
+      .join(keepers, col("vec_id") === col("keep_id"), "left")
+      .withColumn("kept", col("keep_id").isNotNull)
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"))
+      .orderBy("label")
+  }
+
+  /** Oracle: the dedup_embed_ivf pair SQL closed transitively with a
+    * recursive CTE (the dedupClusterSql recipe), the same quantized
+    * max-norm keep rule as a ROW_NUMBER, the same survival counts. */
+  val corpusSemanticDedupSql: String = s"""
+    WITH RECURSIVE pairs AS (${VectorOps.dedupEmbedIvfSql}),
+    und AS (
+      SELECT da AS src, db AS dst FROM pairs
+      UNION ALL
+      SELECT db AS src, da AS dst FROM pairs),
+    reach AS (
+      SELECT src, dst FROM und
+      UNION
+      SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src),
+    lbl AS (
+      SELECT src AS vec_id, LEAST(src, MIN(dst)) AS cluster_id
+      FROM reach GROUP BY src),
+    ev AS (
+      SELECT vec_id, label,
+             CAST(FLOOR(list_dot_product(CAST(embedding AS DOUBLE[]),
+               CAST(embedding AS DOUBLE[])) * 1e6) AS BIGINT) AS q
+      FROM embeddings),
+    g AS (
+      SELECT ev.vec_id, ev.label, ev.q,
+             COALESCE(l.cluster_id, ev.vec_id) AS grp
+      FROM ev LEFT JOIN lbl l ON ev.vec_id = l.vec_id),
+    keepers AS (
+      SELECT vec_id AS keep_id FROM (
+        SELECT vec_id, ROW_NUMBER() OVER (PARTITION BY grp
+                 ORDER BY q DESC, vec_id) AS rn
+        FROM g) WHERE rn = 1)
+    SELECT label, COUNT(*) AS n_vecs,
+           CAST(SUM(CASE WHEN k.keep_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN k.keep_id IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_dropped
+    FROM g LEFT JOIN keepers k ON g.vec_id = k.keep_id
+    GROUP BY label ORDER BY label"""
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("dedup_cluster", dedupCluster, Some(dedupClusterSql)),
-    QueryDef("corpus_near_dedup", corpusNearDedup, Some(corpusNearDedupSql)))
+    QueryDef("corpus_near_dedup", corpusNearDedup, Some(corpusNearDedupSql)),
+    QueryDef("corpus_semantic_dedup", corpusSemanticDedup,
+      Some(corpusSemanticDedupSql)))
 }

@@ -64,4 +64,25 @@ class DedupClusterSpec extends SparkSpec {
     report.foreach(r => assert(r.getLong(2) <= r.getLong(1) &&
       r.getLong(3) >= 0L))
   }
+
+  test("corpus_semantic_dedup: one keeper per semantic cluster, " +
+    "keeper has the cluster's max quantized norm") {
+    val e = graft.Tables.load(spark, sfDir, "embeddings")
+    val nVecs = e.count()
+    val pairs = VectorOps.dedupEmbedIvf(spark, sfDir)
+      .select(col("da").as("src"), col("db").as("dst"))
+    val nGroups = e.join(
+        DedupCluster.connectedComponents(pairs)
+          .select(col("node").as("vec_id"), col("lbl").as("cluster_id")),
+        Seq("vec_id"), "left")
+      .select(coalesce(col("cluster_id"), col("vec_id")).as("grp"))
+      .distinct().count()
+    val report = DedupCluster.corpusSemanticDedup(spark, sfDir).collect()
+    assert(report.map(_.getLong(1)).sum == nVecs,
+      "report must cover every vector")
+    assert(report.map(_.getLong(2)).sum == nGroups,
+      "exactly one keeper per semantic cluster")
+    report.foreach(r =>
+      assert(r.getLong(2) + r.getLong(3) == r.getLong(1)))
+  }
 }
