@@ -91,11 +91,16 @@ object GraftFunctions {
       "rolling_hash_windows"),
     (args: Seq[Expression]) => functions.RollingHashWindows(args))
 
+  val ffdBinsFn: Fn = (
+    FunctionIdentifier("ffd_bins"),
+    new ExpressionInfo(classOf[functions.FfdBins].getName, "ffd_bins"),
+    (args: Seq[Expression]) => functions.FfdBins(args))
+
   val all: Seq[Fn] =
     Seq(clippedSegmentLengthFn, hilbertIndexFn, pointInPolygonFn,
       normalizeTextFn, clippedPolygonAreaFn, vecDotFn, vecL2Fn,
       minHashSignatureFn, bigramRunStatsFn, wktPartsFn, dsum128Fn,
-      rollingHashWindowsFn)
+      rollingHashWindowsFn, ffdBinsFn)
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (id, info, builder) =>

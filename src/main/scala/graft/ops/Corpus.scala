@@ -893,6 +893,99 @@ object Corpus {
     FROM tot t LEFT JOIN reb r ON t.doc_id = r.doc_id
     ORDER BY t.doc_id"""
 
+  /** Best-fit SEQUENCE packing — the trainer-side op next to
+    * pack_shards: documents pack into fixed `cap`-token training
+    * sequences by first-fit-decreasing, and the per-source padding
+    * waste (the number every trainer actually budgets — pad tokens are
+    * burned FLOPs) is reported in exact ppm. pack_shards cuts
+    * contiguous token budgets and answers "how many shards"; this
+    * answers "how many sequences and how full are they".
+    *
+    * Determinism + scale: FFD is sequential, so it runs per HASH
+    * BUCKET (md5-derived from doc_id — rerunnable, engine- and
+    * cluster-size-independent, NOT Spark partition ids which vary
+    * with parallelism), one bounded `ffd_bins` native-expression
+    * evaluation per (source, bucket) group — the corpus never
+    * serializes through one task, and bucket count scales with corpus
+    * size. Bin count depends only on the size multiset, so the oracle
+    * replays the identical FFD with a recursive-CTE bin-state walk
+    * (first fit found via list_position over the remaining-capacity
+    * list) and matches exactly. Waste is integer arithmetic
+    * (`div` — a double ratio could land on a .5 rounding boundary,
+    * the CLAUDE.md ROUND rule). Oversized docs clamp to cap on BOTH
+    * sides (they'd be truncated by the trainer).
+    */
+  def packSequences(s: SparkSession, dir: String, cap: Int = 4096,
+                    buckets: Int = 8): DataFrame = {
+    graft.GraftFunctions.register(s)
+    val d = docs(s, dir).select(col("source"), col("doc_id"),
+      least(size(toks).cast("long"), lit(cap.toLong)).as("n_tok"),
+      expr(s"""CAST(conv(substring(md5(concat('pack:',
+        CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % $buckets""")
+        .as("bucket"))
+    d.groupBy("source", "bucket")
+      .agg(call_function("ffd_bins",
+          array_sort(collect_list(col("n_tok"))), lit(cap))
+          .cast("long").as("n_bins"),
+        count(lit(1)).as("n_docs"), sum("n_tok").as("tok_sum"))
+      .groupBy("source")
+      .agg(sum("n_docs").as("n_docs"), sum("tok_sum").as("tok_sum"),
+        sum("n_bins").as("n_bins"))
+      .select(col("source"), col("n_docs"), col("tok_sum"), col("n_bins"),
+        expr(s"(1000000 * (n_bins * $cap - tok_sum)) div (n_bins * $cap)")
+          .as("waste_ppm"))
+      .orderBy("source")
+  }
+
+  val packSequencesSql: String = """
+    WITH RECURSIVE d AS (
+      SELECT source, doc_id,
+             LEAST(CAST(len(string_split(text, ' ')) AS BIGINT), 4096)
+               AS n_tok,
+             CAST(('0x' || substring(md5('pack:' || CAST(doc_id AS VARCHAR)),
+               1, 8)) AS UBIGINT) % 8 AS bucket
+      FROM documents),
+    it AS (
+      SELECT source, bucket, n_tok,
+             ROW_NUMBER() OVER (PARTITION BY source, bucket
+                                ORDER BY n_tok DESC, doc_id) AS i,
+             COUNT(*) OVER (PARTITION BY source, bucket) AS n
+      FROM d),
+    walk AS (
+      SELECT source, bucket, 0 AS i, CAST([] AS BIGINT[]) AS rems,
+             MAX(n) AS n
+      FROM it GROUP BY source, bucket
+      UNION ALL
+      SELECT w.source, w.bucket, w.i + 1,
+        -- list_position returns 0 (not NULL) when no bin fits
+        CASE WHEN COALESCE(list_position(
+               list_transform(w.rems, r -> r >= it.n_tok), true), 0) = 0
+          THEN list_append(w.rems, 4096 - it.n_tok)
+          ELSE list_transform(generate_series(1, len(w.rems)), x ->
+            CASE WHEN x = list_position(
+                   list_transform(w.rems, r -> r >= it.n_tok), true)
+              THEN w.rems[x] - it.n_tok ELSE w.rems[x] END)
+        END,
+        w.n
+      FROM walk w JOIN it
+        ON it.source = w.source AND it.bucket = w.bucket
+          AND it.i = w.i + 1),
+    fin AS (
+      SELECT source, bucket, len(rems) AS n_bins
+      FROM walk WHERE i = n),
+    agg AS (
+      SELECT d.source, COUNT(*) AS n_docs,
+             CAST(SUM(d.n_tok) AS BIGINT) AS tok_sum
+      FROM d GROUP BY d.source),
+    bins AS (
+      SELECT source, CAST(SUM(n_bins) AS BIGINT) AS n_bins
+      FROM fin GROUP BY source)
+    SELECT a.source, a.n_docs, a.tok_sum, b.n_bins,
+           (1000000 * (b.n_bins * 4096 - a.tok_sum)) // (b.n_bins * 4096)
+             AS waste_ppm
+    FROM agg a JOIN bins b ON a.source = b.source
+    ORDER BY a.source"""
+
   /** Exact shared-substring removal — the published dedup standard the
     * block-grain ops under-match (Lee et al. 2021, "Deduplicating
     * Training Data Makes Language Models Better": remove every
@@ -1209,6 +1302,8 @@ object Corpus {
     QueryDef("corpus_pipeline_full", pipelineFull, Some(pipelineFullSql)),
     QueryDef("corpus_pipeline_v2", pipelineV2, Some(pipelineV2Sql)),
     QueryDef("pack_shards", (s, d) => packShards(s, d), Some(packShardsSql)),
+    QueryDef("pack_sequences", (s, d) => packSequences(s, d),
+      Some(packSequencesSql)),
     QueryDef("sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
     QueryDef("sample_reservoir", (s, d) => sampleReservoir(s, d),
       Some(sampleReservoirSql)),
