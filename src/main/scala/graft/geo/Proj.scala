@@ -123,6 +123,42 @@ object Proj {
     val b6: Double = 761 * math.pow(e2, 3) / 45360
   }
 
+  /** Polar stereographic, variant B (EPSG method 9829; Snyder PP 1395
+    * p. 160-163, worked example p. 315): polar aspect with a standard
+    * parallel — the polar-science CRS family (EPSG 3031 Antarctic,
+    * 3413 NSIDC Arctic). The south aspect reuses the north-form
+    * conformal machinery via the sign symmetry t_south(φ) =
+    * t_north(−φ); inverse latitude via the same conformal-latitude
+    * series as Lcc (Snyder 3-5) — closed form, no iteration, so both
+    * directions stay single column trees the oracle replays. */
+  final case class Ps(
+      a: Double = 6378137.0,
+      f: Double = 1.0 / 298.257223563,  // WGS84 (3031/3413 datum)
+      latFDeg: Double, lon0Deg: Double,
+      north: Boolean,
+      fe: Double, fn: Double) extends Crs {
+    val e2: Double = 2 * f - f * f
+    val e: Double = math.sqrt(e2)
+    private val phiF = math.toRadians(math.abs(latFDeg))
+    val mF: Double =
+      math.cos(phiF) / math.sqrt(1 - e2 * math.sin(phiF) * math.sin(phiF))
+    val tF: Double = {
+      val s = math.sin(phiF)
+      math.tan(math.Pi / 4 - phiF / 2) /
+        math.pow((1 - e * s) / (1 + e * s), e / 2)
+    }
+    /** ρ = kRho·t — the whole forward radial scale in one constant. */
+    val kRho: Double = a * mF / tF
+    // inverse conformal-latitude series coefficients (Snyder 3-5)
+    val i2: Double = e2 / 2 + 5 * math.pow(e2, 2) / 24 +
+      math.pow(e2, 3) / 12 + 13 * math.pow(e2, 4) / 360
+    val i4: Double = 7 * math.pow(e2, 2) / 48 +
+      29 * math.pow(e2, 3) / 240 + 811 * math.pow(e2, 4) / 11520
+    val i6: Double = 7 * math.pow(e2, 3) / 120 +
+      81 * math.pow(e2, 4) / 1120
+    val i8: Double = 4279 * math.pow(e2, 4) / 161280
+  }
+
   /** EPSG registry for the TM/UTM family — the engine-native analogue
     * of the reference's arbitrary-EPSG ingest (duckpipe/core.py:118-152
     * accepts any input EPSG and ST_Transforms to 5179). Codes covered:
@@ -153,12 +189,17 @@ object Proj {
     case 3034 => Lcc(lat1Deg = 35.0, lat2Deg = 65.0, lat0Deg = 52.0,
       lon0Deg = 10.0, fe = 4000000.0, fn = 2800000.0) // ETRS89-LCC Europe
     // Albers equal-area conic family
+    case 3031 => Ps(latFDeg = -71.0, lon0Deg = 0.0, north = false,
+      fe = 0.0, fn = 0.0)       // WGS84 Antarctic Polar Stereographic
+    case 3413 => Ps(latFDeg = 70.0, lon0Deg = -45.0, north = true,
+      fe = 0.0, fn = 0.0)       // NSIDC Sea Ice Polar Stereographic North
     case 5070 => Aea(lat1Deg = 29.5, lat2Deg = 45.5, lat0Deg = 23.0,
       lon0Deg = -96.0, fe = 0.0, fn = 0.0) // NAD83 / Conus Albers
     case other => throw new IllegalArgumentException(
       s"unsupported EPSG:$other — TM/UTM (5179, 5185-5187, " +
-        "32601-32660, 32701-32760), LCC (2154, 3034) and " +
-        "Albers (5070) families only")
+        "32601-32660, 32701-32760), LCC (2154, 3034), " +
+        "Albers (5070) and polar stereographic (3031, 3413) " +
+        "families only")
   }
 
   /** Geographic → projected for any supported CRS family. */
@@ -166,6 +207,7 @@ object Proj {
     case t: Tm  => forward(lonDeg, latDeg, t)
     case l: Lcc => forwardLcc(lonDeg, latDeg, l)
     case a: Aea => forwardAea(lonDeg, latDeg, a)
+    case p: Ps  => forwardPs(lonDeg, latDeg, p)
   }
 
   /** Projected → geographic for any supported CRS family. */
@@ -173,6 +215,7 @@ object Proj {
     case t: Tm  => inverse(x, y, t)
     case l: Lcc => inverseLcc(x, y, l)
     case a: Aea => inverseAea(x, y, a)
+    case p: Ps  => inversePs(x, y, p)
   }
 
   /** Projected (x, y) in `from` → projected struct(x, y) in `to`, via
@@ -241,6 +284,37 @@ object Proj {
     val phi = beta + lit(p.b2) * sin(beta * 2) + lit(p.b4) * sin(beta * 4) +
       lit(p.b6) * sin(beta * 6)
     val lam = lit(math.toRadians(p.lon0Deg)) + atan2(dx, dy) / lit(p.n)
+    struct(degrees(lam).as("lon"), degrees(phi).as("lat"))
+  }
+
+  // ---- polar stereographic variant B (column expressions) --------------
+  /** (lonDeg, latDeg) → struct(x, y) meters under polar stereographic.
+    * South aspect via t_south(φ) = t_north(−φ) and N = FN + ρ·cosΔλ
+    * (EPSG GN 7-2 south-pole case); north: N = FN − ρ·cosΔλ. */
+  def forwardPs(lonDeg: Column, latDeg: Column, p: Ps): Column = {
+    val phi = if (p.north) radians(latDeg) else -radians(latDeg)
+    val lam = radians(lonDeg)
+    val esin = lit(p.e) * sin(phi)
+    val t = tan(lit(math.Pi / 4) - phi / 2) /
+      pow((lit(1.0) - esin) / (lit(1.0) + esin), lit(p.e / 2))
+    val rho = lit(p.kRho) * t
+    val dl = lam - lit(math.toRadians(p.lon0Deg))
+    val y = if (p.north) lit(p.fn) - rho * cos(dl)
+            else lit(p.fn) + rho * cos(dl)
+    struct((lit(p.fe) + rho * sin(dl)).as("x"), y.as("y"))
+  }
+
+  /** (x, y) meters under polar stereographic → struct(lon, lat) degrees
+    * via the conformal-latitude series (no iteration). */
+  def inversePs(x: Column, y: Column, p: Ps): Column = {
+    val dx = x - lit(p.fe)
+    val dyn = if (p.north) lit(p.fn) - y else y - lit(p.fn)
+    val rho = sqrt(dx * dx + dyn * dyn)
+    val chi = lit(math.Pi / 2) - atan(rho / lit(p.kRho)) * 2
+    val phiN = chi + lit(p.i2) * sin(chi * 2) + lit(p.i4) * sin(chi * 4) +
+      lit(p.i6) * sin(chi * 6) + lit(p.i8) * sin(chi * 8)
+    val phi = if (p.north) phiN else -phiN
+    val lam = lit(math.toRadians(p.lon0Deg)) + atan2(dx, dyn)
     struct(degrees(lam).as("lon"), degrees(phi).as("lat"))
   }
 
@@ -367,6 +441,38 @@ object Proj {
                       / (1.0 + ${d17(p.e)} * sin(phi)), ${d17(p.e / 2)}) AS t
               FROM (SELECT *, radians(lat) AS phi, radians(lon) AS lam
                     FROM $src))))))"""
+
+  /** SQL round-trip replay for polar stereographic (see
+    * lccRoundtripSql): forward to cx/cy then back to ilon/ilat. */
+  def psRoundtripSql(p: Ps, src: String): String = {
+    val sgn = if (p.north) "" else "-"
+    val yTerm = if (p.north) "-" else "+"
+    s"""
+    SELECT id, cx, cy,
+      degrees(${d17(math.toRadians(p.lon0Deg))} + atan2(dx, dyn)) AS ilon,
+      degrees($sgn(chi + ${d17(p.i2)} * sin(chi * 2)
+        + ${d17(p.i4)} * sin(chi * 4) + ${d17(p.i6)} * sin(chi * 6)
+        + ${d17(p.i8)} * sin(chi * 8))) AS ilat
+    FROM (
+      SELECT *, ${d17(math.Pi / 2)}
+          - 2 * atan(sqrt(dx*dx + dyn*dyn) / ${d17(p.kRho)}) AS chi
+      FROM (
+        SELECT *, cx - ${d17(p.fe)} AS dx,
+               ${if (p.north) s"${d17(p.fn)} - cy" else s"cy - ${d17(p.fn)}"}
+                 AS dyn
+        FROM (
+          SELECT id, ${d17(p.fe)} + rho * sin(dl) AS cx,
+                 ${d17(p.fn)} $yTerm rho * cos(dl) AS cy
+          FROM (
+            SELECT *, ${d17(p.kRho)} * t AS rho,
+                   lam - ${d17(math.toRadians(p.lon0Deg))} AS dl
+            FROM (
+              SELECT *, tan(${d17(math.Pi / 4)} - phi / 2)
+                / pow((1.0 - ${d17(p.e)} * sin(phi))
+                      / (1.0 + ${d17(p.e)} * sin(phi)), ${d17(p.e / 2)}) AS t
+              FROM (SELECT *, ${sgn}radians(lat) AS phi, radians(lon) AS lam
+                    FROM $src))))))"""
+  }
 
   /** SQL round-trip replay for Albers EAC (see lccRoundtripSql). */
   def aeaRoundtripSql(p: Aea, src: String): String = s"""

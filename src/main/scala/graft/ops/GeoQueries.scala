@@ -876,6 +876,56 @@ object GeoQueries {
     ORDER BY crs, id"""
   }
 
+  // ---- polar stereographic (EPSG 3031/3413 oracle replay) ------------
+  /** Forward + round-trip for the polar stereographic family (3031
+    * Antarctic, 3413 NSIDC Arctic) — the widest remaining CRS gap vs
+    * the reference's accept-any-EPSG ingest (core.py:138-152), closed
+    * the geo_coordinate_conic way: the oracle replays the identical
+    * Snyder closed forms in SQL, both sides round at 0.1 mm / 1e-9°.
+    * Test windows sit on each CRS's working side of the pole. */
+  def coordinatePolar(s: SparkSession, dir: String): DataFrame = {
+    val specs = Seq(
+      ("ps_3031", 3031, 120.0, -75.0),
+      ("ps_3413", 3413, -30.0, 75.0))
+    val c = graft.Tables.load(s, dir, "customer")
+    specs.map { case (tag, code, lonC, latC) =>
+      val w = c.select(col("c_custkey").as("id"),
+        (lit(lonC) + ((col("c_custkey") % 1000) - 500).cast("double") / 250.0)
+          .as("lon"),
+        (lit(latC) +
+          ((col("c_custkey") * 7) % 1000 - 500).cast("double") / 500.0)
+          .as("lat"))
+      val crs = Proj.epsg(code)
+      w.withColumn("_p", Proj.fwd(crs, col("lon"), col("lat")))
+        .withColumn("_g", Proj.inv(crs, col("_p.x"), col("_p.y")))
+        .select(lit(tag).as("crs"), col("id"),
+          round(col("_p.x"), 4).as("cx"), round(col("_p.y"), 4).as("cy"),
+          round(col("_g.lon"), 9).as("ilon"),
+          round(col("_g.lat"), 9).as("ilat"))
+    }.reduce(_ unionByName _).orderBy("crs", "id")
+  }
+
+  val coordinatePolarSql: String = {
+    def src(lonC: Double, latC: Double) = s"""
+      SELECT c_custkey AS id,
+             $lonC + CAST((c_custkey % 1000) - 500 AS DOUBLE) / 250.0 AS lon,
+             $latC + CAST((c_custkey * 7) % 1000 - 500 AS DOUBLE) / 500.0 AS lat
+      FROM customer"""
+    val ps3031 = Proj.epsg(3031).asInstanceOf[Proj.Ps]
+    val ps3413 = Proj.epsg(3413).asInstanceOf[Proj.Ps]
+    s"""
+    WITH s1 AS (${src(120.0, -75.0)}),
+    s2 AS (${src(-30.0, 75.0)}),
+    r1 AS (${Proj.psRoundtripSql(ps3031, "s1")}),
+    r2 AS (${Proj.psRoundtripSql(ps3413, "s2")})
+    SELECT crs, id, ROUND(cx, 4) AS cx, ROUND(cy, 4) AS cy,
+           ROUND(ilon, 9) AS ilon, ROUND(ilat, 9) AS ilat
+    FROM (
+      SELECT 'ps_3031' AS crs, * FROM r1
+      UNION ALL SELECT 'ps_3413', * FROM r2)
+    ORDER BY crs, id"""
+  }
+
   // ---- mixed-geometry WKT ingest (core.py:117-166 full surface) ------
   /** ONE WKT column mixing POINT / LINESTRING / holed POLYGON rows
     * routed through `Wkt.geometries` (prefix dispatch, per-kind
@@ -1581,5 +1631,7 @@ object GeoQueries {
     QueryDef("geo_wkt_mixed", wktMixed, Some(wktMixedSql)),
     QueryDef("geo_pipeline_wkt", pipelineWkt, Some(pipelineWideSql)),
     QueryDef("geo_coordinate_conic", coordinateConic,
-      Some(coordinateConicSql)))
+      Some(coordinateConicSql)),
+    QueryDef("geo_coordinate_polar", coordinatePolar,
+      Some(coordinatePolarSql)))
 }

@@ -174,8 +174,66 @@ class ProjSpec extends SparkSpec {
     // registry, so a user with an exotic CRS knows what to reproject to
     val e = intercept[IllegalArgumentException](Proj.epsg(9999))
     assert(e.getMessage.contains("EPSG:9999"))
-    for (family <- Seq("5179", "32601-32660", "2154", "5070"))
+    for (family <- Seq("5179", "32601-32660", "2154", "5070", "3031",
+        "3413"))
       assert(e.getMessage.contains(family), s"registry entry $family missing")
+  }
+
+  test("Snyder PP-1395 worked polar stereographic example " +
+    "(International 1924, published coordinates)") {
+    // Snyder p. 315 (ellipsoidal stereographic, south polar aspect):
+    // International ellipsoid, φc = 71°S, λ0 = 100°W, point φ = 75°S,
+    // λ = 150°E → x = -1,540,033.6 m, y = -560,526.4 m
+    val ps = Proj.Ps(a = 6378388.0, f = 1 / 297.0,
+      latFDeg = -71.0, lon0Deg = -100.0, north = false, fe = 0.0, fn = 0.0)
+    val row = Seq((150.0, -75.0)).toDF("lon", "lat")
+      .select(Proj.forwardPs(col("lon"), col("lat"), ps).as("p"))
+      .select("p.x", "p.y").head()
+    assert(math.abs(row.getDouble(0) - -1540033.6) < 0.5,
+      s"x=${row.getDouble(0)}")
+    assert(math.abs(row.getDouble(1) - -560526.4) < 0.5,
+      s"y=${row.getDouble(1)}")
+  }
+
+  test("polar stereographic 3031/3413: pole at origin, scale = 1 on " +
+    "the standard parallel, round-trip < 1e-9 deg") {
+    for ((code, poleLat, latF, window) <- Seq(
+        (3031, -90.0, -71.0, (100.0, 140.0, -85.0, -65.0)),
+        (3413, 90.0, 70.0, (-90.0, 0.0, 60.0, 88.0)))) {
+      val crs = Proj.epsg(code).asInstanceOf[Proj.Ps]
+      // the pole projects exactly onto (FE, FN)
+      val pole = Seq((0.0, poleLat)).toDF("lon", "lat")
+        .select(Proj.fwd(crs, col("lon"), col("lat")).as("p"))
+        .select("p.x", "p.y").head()
+      assert(math.abs(pole.getDouble(0)) < 1e-6)
+      assert(math.abs(pole.getDouble(1)) < 1e-6)
+      // local scale on the standard parallel = 1 (measure along the
+      // parallel: project two nearby longitudes, compare chord to arc)
+      val dLon = 1e-4
+      val two = Seq((10.0, latF), (10.0 + dLon, latF)).toDF("lon", "lat")
+        .select(Proj.fwd(crs, col("lon"), col("lat")).as("p"))
+        .select("p.x", "p.y").collect()
+      val chord = math.hypot(two(1).getDouble(0) - two(0).getDouble(0),
+        two(1).getDouble(1) - two(0).getDouble(1))
+      val phiF = math.toRadians(latF)
+      val arc = math.toRadians(dLon) * crs.a * math.cos(phiF) /
+        math.sqrt(1 - crs.e2 * math.sin(phiF) * math.sin(phiF))
+      assert(math.abs(chord / arc - 1.0) < 1e-6,
+        s"EPSG:$code standard-parallel scale ${chord / arc}")
+      // round-trip across the working window
+      val (lo, hi, la, lb) = window
+      val pts = (0 until 400).map { i =>
+        (lo + (hi - lo) * (i % 20) / 19.0, la + (lb - la) * (i / 20) / 19.0)
+      }.toDF("lon", "lat")
+      val rt = pts
+        .withColumn("p", Proj.fwd(crs, col("lon"), col("lat")))
+        .withColumn("g", Proj.inv(crs, col("p.x"), col("p.y")))
+        .select(max(abs(col("g.lon") - col("lon"))).as("dlon"),
+          max(abs(col("g.lat") - col("lat"))).as("dlat"))
+        .head()
+      assert(rt.getDouble(0) < 1e-9, s"EPSG:$code lon err ${rt.getDouble(0)}")
+      assert(rt.getDouble(1) < 1e-9, s"EPSG:$code lat err ${rt.getDouble(1)}")
+    }
   }
 
   test("known EPSG:5179 fixture: Seoul City Hall vicinity") {
