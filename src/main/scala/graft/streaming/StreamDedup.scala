@@ -99,4 +99,24 @@ object StreamDedup {
         coalesce(max(when(col("j") >= 0.5, col("j"))), lit(0.0)).as("best_j"))
       .withColumn("kept", col("n_dups") === 0)
   }
+
+  /** Streaming twin of the corpus ASSEMBLY chain head —
+    * api.CorpusPipeline.qualityFilter().dedupExact as documents arrive:
+    * the quality gate is a stateless filter (identical predicate), and
+    * the exact-dedup keeper is running state — min doc_id per content
+    * hash (a streaming groupBy, Update mode), which converges to the
+    * batch window-argmin keeper REGARDLESS of arrival order, unlike a
+    * first-arrival dropDuplicates whose keeper is order-dependent.
+    * Emits (h, keep_id, n_seen); the final min per hash equals the
+    * batch chain's kept set exactly (EventStreamSpec cert #17 — the
+    * first streaming cert over the documents table). */
+  def corpusAssemblyStream(spark: SparkSession, dir: String): DataFrame = {
+    val t = split(col("text"), " ")
+    readDocs(spark, dir)
+      .filter(size(t) >= 20 && size(t) <= 100000 &&
+        size(array_distinct(t)).cast("double") / size(t) >= 0.1)
+      .withColumn("h", md5(col("text")))
+      .groupBy("h")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_seen"))
+  }
 }

@@ -361,6 +361,26 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming corpus assembly (quality gate + exact dedup) equals " +
+    "the batch CorpusPipeline kept set") {
+    val q = StreamDedup.corpusAssemblyStream(spark, sfDir)
+      .writeStream.format("memory").queryName("corpus_asm_out")
+      .outputMode(OutputMode.Update()).start()
+    try q.processAllAvailable() finally q.stop()
+    // Update mode: keep_id is monotone non-increasing per hash — the
+    // min across emissions is the final state
+    val streamed = spark.table("corpus_asm_out")
+      .groupBy("h").agg(min("keep_id").as("keep_id"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = graft.api.CorpusPipeline(
+        graft.Tables.load(spark, sfDir, "documents"))
+      .qualityFilter().dedupExact.df
+      .select(md5(col("text")).as("h"), col("doc_id"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("streaming fluent-pipeline summary equals the batch EventPipeline") {
     val q = EventStream.pipelineSummary(spark, sfDir)
       .writeStream.format("memory").queryName("pipe_out")
