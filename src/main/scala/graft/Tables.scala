@@ -73,6 +73,26 @@ object Tables {
   def hot(df: DataFrame): DataFrame =
     df.localCheckpoint(true)
 
+  /** `hot` + row count in ONE job: mark for local checkpoint lazily,
+    * then let the count() materialize it — the fixed-point loops
+    * (pointer doubling, label propagation) need a count every round
+    * anyway, and the eager-checkpoint-then-count form paid a second
+    * driver round-trip per round for the same scan. Safe against the
+    * concurrent-AQE-recompute storm `hot` guards (the count IS the
+    * immediate materialization — no window for a second consumer). */
+  def hotCount(df: DataFrame): (DataFrame, Long) = {
+    val h = df.localCheckpoint(false)
+    (h, h.count())
+  }
+
+  /** Lazy local checkpoint for loops whose convergence check is itself
+    * a full-scan aggregate over the new state: the check's job
+    * materializes the blocks and truncates lineage in one pass. The
+    * FIRST action must scan every partition (count over the state or
+    * a derived join — not isEmpty/take, which short-circuit). */
+  def hotLazy(df: DataFrame): DataFrame =
+    df.localCheckpoint(false)
+
   /** Register every table as a temp view so spark.sql(...) works too. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))

@@ -44,14 +44,18 @@ object DedupCluster {
       // neighbor min per node, one shuffle (map-side combine on dst)
       val msgs = und.join(labels, col("src") === col("node"))
         .groupBy(col("dst").as("mnode")).agg(min("lbl").as("nlbl"))
-      val next = Tables.hot(
+      // hotLazy: the changed-label count below is a full scan of the
+      // new state, so it materializes the checkpoint in the SAME job
+      // as the convergence check (count, not isEmpty — take-style
+      // short-circuiting would leave partitions unmaterialized)
+      val next = Tables.hotLazy(
         labels.join(msgs, col("node") === col("mnode"), "left")
           .select(col("node"),
             least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl")))
       converged = next
         .join(labels.withColumnRenamed("lbl", "prev"), Seq("node"))
         .filter(col("lbl") =!= col("prev"))
-        .isEmpty
+        .count() == 0
       labels = next
       it += 1
     }

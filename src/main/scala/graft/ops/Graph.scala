@@ -24,7 +24,9 @@ object Graph {
       .select(col("c_custkey").as("id"))
     // state (id, anc, d): anc is the farthest ancestor followed so
     // far, d the edge count to it; fixed point = anc is the root
-    var st = Tables.hot(base.select(col("id"),
+    // hotLazy + filtered count: the open-count full-scan materializes
+    // each round's checkpoint — one driver round-trip per round, not two
+    var st = Tables.hotLazy(base.select(col("id"),
       when(col("id") > 1, expr("id DIV 2")).otherwise(lit(1L)).as("anc"),
       when(col("id") === 1, lit(0L)).otherwise(lit(1L)).as("d")))
     var rounds = 0
@@ -36,7 +38,7 @@ object Graph {
         .join(st.as("b"), col("a.anc") === col("b.id"))
         .select(col("a.id"), col("b.anc").as("anc"),
           (col("a.d") + col("b.d")).as("d"))
-      st = Tables.hot(jumped)
+      st = Tables.hotLazy(jumped)
       rounds += 1
       open = st.filter(col("anc") =!= 1).count()
     }
@@ -126,16 +128,19 @@ object Graph {
                       maxRounds: Int = 8): DataFrame = {
     // no seed distinct: identity pairs (id = anc) and proper-parent
     // edges (parent < id) are disjoint by construction
-    var cl = Tables.hot(nodes.select(col("id"), col("id").as("anc"))
-      .unionByName(edges.select(col("id"), col("parent").as("anc"))))
+    // hotCount: checkpoint + fixed-point count ride ONE job per round
+    var (cl, cnt) = Tables.hotCount(
+      nodes.select(col("id"), col("id").as("anc"))
+        .unionByName(edges.select(col("id"), col("parent").as("anc"))))
     var prev = -1L
-    var cnt = cl.count()
     var rounds = 0
     while (cnt != prev && rounds < maxRounds) {
       prev = cnt
-      cl = Tables.hot(cl.as("a").join(cl.as("b"), col("a.anc") === col("b.id"))
-        .select(col("a.id"), col("b.anc").as("anc")).distinct())
-      cnt = cl.count()
+      val (h, c) = Tables.hotCount(
+        cl.as("a").join(cl.as("b"), col("a.anc") === col("b.id"))
+          .select(col("a.id"), col("b.anc").as("anc")).distinct())
+      cl = h
+      cnt = c
       rounds += 1
     }
     // NB a cyclic edge set does NOT trip this guard — a cycle's closure is
