@@ -1157,5 +1157,70 @@ object VectorOps {
     QueryDef("ann_ivf", annIvf, Some(annIvfSql)),
     QueryDef("dedup_embed", dedupEmbed, Some(dedupEmbedSql)),
     QueryDef("dedup_embed_ivf", dedupEmbedIvf, Some(dedupEmbedIvfSql)),
-    QueryDef("embed_quantize", embedQuantize, Some(embedQuantizeSql)))
+    QueryDef("embed_quantize", embedQuantize, Some(embedQuantizeSql)),
+    QueryDef("ann_recall", annRecall, Some(annRecallSql)))
+
+  /** Recall@k AUDIT for the whole approximate family — the evidence
+    * table an ANN rollout decision is made on, promoted from the
+    * recall SPECS to a registered, oracle-gated query: each method's
+    * top-k (lsh / ivf / pq / ivf_pq) against the GUARDED exact
+    * brute-force top-k on the same queries, per-query hit counts and
+    * recall. The exact side inherits ann_cosine's loud all-pairs cap —
+    * at 100 TB a recall audit runs on a query SAMPLE by construction
+    * (the production pattern), never the full corpus. Hits are a
+    * left-semi join on (qid, cid); recall = n_hit / n_exact rounded at
+    * 6 dp (both engines divide the same two integers — identical
+    * doubles, identical rounding). */
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = Tables.hot(annCosine(s, dir).select(col("qid"), col("cid")))
+    val exCnt = exact.groupBy("qid").agg(count(lit(1)).as("n_exact"))
+    def one(m: String, df: DataFrame): DataFrame = {
+      val a = df.select(col("qid"), col("cid"))
+      val hits = a.join(exact, Seq("qid", "cid"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+      val ret = a.groupBy("qid").agg(count(lit(1)).as("n_returned"))
+      exCnt
+        .join(ret, Seq("qid"), "left").join(hits, Seq("qid"), "left")
+        .select(lit(m).as("method"), col("qid"), col("n_exact"),
+          coalesce(col("n_returned"), lit(0L)).as("n_returned"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          round(coalesce(col("n_hit"), lit(0L)).cast("double")
+            / col("n_exact"), 6).as("recall"))
+    }
+    Seq(one("ivf", annIvf(s, dir)), one("ivf_pq", annIvfPq(s, dir)),
+      one("lsh", annLsh(s, dir)), one("pq", annPq(s, dir)))
+      .reduce(_ unionByName _)
+      .orderBy("method", "qid")
+  }
+
+  /** Oracle: the four method SQLs + the exact SQL as subqueries, the
+    * same semi-join hit counts. */
+  val annRecallSql: String = s"""
+    WITH ex AS (SELECT qid, cid FROM ($annCosineSql)),
+    exc AS (SELECT qid, COUNT(*) AS n_exact FROM ex GROUP BY qid),
+    m_ivf AS (SELECT qid, cid FROM ($annIvfSql)),
+    m_ivf_pq AS (SELECT qid, cid FROM ($annIvfPqSql)),
+    m_lsh AS (SELECT qid, cid FROM ($annLshSql)),
+    m_pq AS (SELECT qid, cid FROM ($annPqSql)),
+    allm AS (
+      SELECT 'ivf' AS method, * FROM m_ivf
+      UNION ALL SELECT 'ivf_pq', * FROM m_ivf_pq
+      UNION ALL SELECT 'lsh', * FROM m_lsh
+      UNION ALL SELECT 'pq', * FROM m_pq),
+    per AS (
+      SELECT a.method, a.qid,
+             COUNT(*) AS n_returned,
+             CAST(SUM(CASE WHEN EXISTS (SELECT 1 FROM ex
+                 WHERE ex.qid = a.qid AND ex.cid = a.cid)
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+      FROM allm a GROUP BY a.method, a.qid),
+    meth AS (SELECT DISTINCT method FROM allm)
+    SELECT m.method, e.qid, e.n_exact,
+           COALESCE(p.n_returned, 0) AS n_returned,
+           COALESCE(p.n_hit, 0) AS n_hit,
+           ROUND(CAST(COALESCE(p.n_hit, 0) AS DOUBLE) / e.n_exact, 6)
+             AS recall
+    FROM meth m CROSS JOIN exc e
+    LEFT JOIN per p ON p.method = m.method AND p.qid = e.qid
+    ORDER BY m.method, e.qid"""
 }
