@@ -96,6 +96,125 @@ object Bpe {
       .orderBy("source")
   }
 
+  // ---- byte-level variant --------------------------------------------
+  /** Byte-level BPE — the form real tokenizers train (GPT-2/tiktoken
+    * class: UTF-8 bytes as the base alphabet, so ANY string tokenizes
+    * with no unknown symbols and multi-byte scripts merge across
+    * character fragments). Base symbols are the word's UTF-8 bytes as
+    * decimal strings (both engines derive them from the same hex dump);
+    * merged symbols join with '.' so nested merges stay unambiguous
+    * ("104.101" can never collide with a base byte). Same greedy
+    * highest-count merge loop and leftmost-greedy fold as the
+    * char-level trainer; reports tokens-per-BYTE next to
+    * tokens-per-word — the number a byte-level tokenizer is actually
+    * judged on (bytes, unlike "words", exist in every script). */
+  private def mergeFoldByte(bx: String, by: String): String = s"""
+    aggregate(split(sq, ' '), CAST('' AS STRING), (acc, s) ->
+      CASE WHEN acc = '' THEN s
+           WHEN element_at(split(acc, ' '), -1) = $bx AND s = $by
+             THEN concat(left(acc, length(acc) - length($bx)),
+                         $bx, '.', $by)
+           ELSE concat(acc, ' ', s) END)"""
+
+  private def trainBytes(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    var st = Tables.hot(vocab(s, dir)
+      .withColumn("hx", hex(encode(col("w"), "UTF-8")))
+      .select(col("w"), col("freq"), expr("""array_join(
+          transform(sequence(1, length(hx) DIV 2),
+            i -> conv(substring(hx, i * 2 - 1, 2), 16, 10)), ' ')""")
+        .as("sq")))
+    var bests = Seq.empty[DataFrame]
+    for (k <- 1 to Rounds) {
+      val best = Tables.hot(
+        st.select(col("freq"), explode(expr(pairsExpr)).as("p"))
+          .groupBy(col("p.x").as("bx"), col("p.y").as("by"))
+          .agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("bx"), col("by"))
+          .limit(1))
+      bests :+= best.select(lit(k).as("step"), col("bx").as("x"),
+        col("by").as("y"), col("cnt"))
+      st = Tables.hot(st.crossJoin(broadcast(best))
+        .select(col("w"), col("freq"),
+          expr(mergeFoldByte("bx", "by")).as("sq")))
+    }
+    (bests.reduce(_ unionAll _).orderBy("step"), st)
+  }
+
+  /** Corpus encoded with byte-level merges: whitespace-word count,
+    * UTF-8 byte count, BPE token count, tokens per word AND per byte. */
+  def bpeBytes(s: SparkSession, dir: String): DataFrame = {
+    val seqs = trainBytes(s, dir)._2
+      .select(col("w"), size(split(col("sq"), " ")).as("n_sym"),
+        octet_length(col("w")).cast("long").as("n_b"))
+    Tables.fanout(Tables.load(s, dir, "documents"))
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .join(seqs.hint("shuffle_hash"), "w")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_b")).as("n_bytes"),
+        sum(col("n_sym")).as("n_bpe"),
+        round(sum(col("n_sym")).cast("double") / count(lit(1)), 6)
+          .as("bpe_per_word"),
+        round(sum(col("n_sym")).cast("double") / sum(col("n_b")), 6)
+          .as("bpe_per_byte"))
+      .orderBy("source")
+  }
+
+  private val vocabBytesSql = """
+    vocab AS (
+      SELECT w, COUNT(*) AS freq FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> '' GROUP BY w),
+    seq0 AS (
+      SELECT w, freq, array_to_string(list_transform(
+          generate_series(1, len(hx) // 2),
+          i -> CAST(CAST(('0x' || substr(hx, i * 2 - 1, 2)) AS UBIGINT)
+                 AS VARCHAR)), ' ') AS sq
+      FROM (SELECT w, freq, hex(encode(w)) AS hx FROM vocab))"""
+
+  private def roundBytesSql(k: Int): String = s"""
+    pairs$k AS (
+      SELECT p.x AS x, p.y AS y, SUM(freq) AS cnt FROM (
+        SELECT freq,
+               unnest(list_transform(
+                 generate_series(1, len(string_split(sq, ' ')) - 1),
+                 i -> struct_pack(x := string_split(sq, ' ')[i],
+                                  y := string_split(sq, ' ')[i + 1]))) AS p
+        FROM seq${k - 1})
+      GROUP BY 1, 2),
+    best$k AS (
+      SELECT x, y, CAST(cnt AS BIGINT) AS cnt
+      FROM pairs$k ORDER BY cnt DESC, x, y LIMIT 1),
+    seq$k AS (
+      SELECT w, freq,
+             list_reduce(string_split(sq, ' '), (acc, s) ->
+               CASE WHEN (string_split(acc, ' '))[-1] = b.x AND s = b.y
+                    THEN left(acc, len(acc) - len(b.x)) || b.x || '.' || b.y
+                    ELSE acc || ' ' || s END) AS sq
+      FROM seq${k - 1}, best$k b)"""
+
+  val bpeBytesSql: String = s"""
+    WITH $vocabBytesSql,
+    ${(1 to Rounds).map(roundBytesSql).mkString(",")},
+    enc AS (
+      SELECT w, len(string_split(sq, ' ')) AS n_sym,
+             octet_length(encode(w)) AS n_b
+      FROM seq$Rounds)
+    SELECT d.source, COUNT(*) AS n_words,
+           CAST(SUM(e.n_b) AS BIGINT) AS n_bytes,
+           CAST(SUM(e.n_sym) AS BIGINT) AS n_bpe,
+           ROUND(CAST(SUM(e.n_sym) AS DOUBLE) / COUNT(*), 6)
+             AS bpe_per_word,
+           ROUND(CAST(SUM(e.n_sym) AS DOUBLE) / SUM(e.n_b), 6)
+             AS bpe_per_byte
+    FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+          FROM documents) d
+    JOIN enc e ON d.w = e.w
+    WHERE d.w <> ''
+    GROUP BY d.source ORDER BY d.source"""
+
   // ---- oracle: the merge loop unrolled in SQL ------------------------
 
   private val vocabSql = """
@@ -155,5 +274,6 @@ object Bpe {
 
   def all: Seq[QueryDef] = Seq(
     QueryDef("text_bpe_train", bpeTrain, Some(bpeTrainSql)),
-    QueryDef("text_bpe_encode", bpeEncode, Some(bpeEncodeSql)))
+    QueryDef("text_bpe_encode", bpeEncode, Some(bpeEncodeSql)),
+    QueryDef("text_bpe_bytes", bpeBytes, Some(bpeBytesSql)))
 }

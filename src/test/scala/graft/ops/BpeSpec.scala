@@ -54,4 +54,29 @@ class BpeSpec extends SparkSpec {
       assert(r.getDouble(3) >= 1.0)
     }
   }
+
+  test("byte-level base alphabet is the UTF-8 byte sequence") {
+    import spark.implicits._
+    // 'héllo' = 68 C3 A9 6C 6C 6F — the accented char contributes TWO
+    // base symbols (the byte-level property: no unknown alphabet, and
+    // merges may later cross character-fragment boundaries)
+    val sq = Seq("héllo").toDF("w")
+      .withColumn("hx", hex(encode(col("w"), "UTF-8")))
+      .select(expr("""array_join(transform(sequence(1, length(hx) DIV 2),
+        i -> conv(substring(hx, i * 2 - 1, 2), 16, 10)), ' ')"""))
+      .head.getString(0)
+    assert(sq == "104 195 169 108 108 111")
+  }
+
+  test("byte-level encode: merges only shrink, never below one token " +
+    "per word, tokens-per-byte <= 1") {
+    val rows = Bpe.bpeBytes(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, b, t) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(t <= b, s"merges can only shrink: $r")
+      assert(t >= w, s"a word is at least one token: $r")
+      assert(r.getDouble(5) <= 1.0)
+    }
+  }
 }
