@@ -79,6 +79,8 @@ case class FfdBins(children: Seq[Expression])
       }""")
   }
 
+  override def prettyName: String = "ffd_bins"
+
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
     copy(children = newChildren)

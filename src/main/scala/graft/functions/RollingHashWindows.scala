@@ -101,6 +101,8 @@ case class RollingHashWindows(children: Seq[Expression])
       }""")
   }
 
+  override def prettyName: String = "rolling_hash_windows"
+
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
     copy(children = newChildren)

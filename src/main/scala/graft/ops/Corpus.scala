@@ -1020,6 +1020,19 @@ object Corpus {
     * duplicate-filter rows imply, generalized to the published
     * exact-substring standard.
     */
+  /** The window-keying stage of dedup_substrings, pre-checkpoint:
+    * (doc_id, pos, h1, h2) for every w-token window. Exposed so
+    * PlanAuditSpec can pin the native rolling-hash shape (the
+    * checkpointed final plan no longer contains this subtree). */
+  private[graft] def substringWindows(docsDf: DataFrame,
+                                      w: Int): DataFrame =
+    docsDf
+      .select(col("doc_id"),
+        explode(call_function("rolling_hash_windows", toks, lit(w)))
+          .as("wh"))
+      .select(col("doc_id"), col("wh.pos").as("pos"),
+        col("wh.h1").as("h1"), col("wh.h2").as("h2"))
+
   private[graft] def substringDedupCore(docsDf: DataFrame,
                                         w: Int): DataFrame = {
     val packed = expr("""CASE WHEN doc_id >= 0 AND doc_id < 4398046511104
@@ -1027,12 +1040,7 @@ object Corpus {
       THEN doc_id * 1048576 + pos
       ELSE raise_error(concat('dedup_substrings: unpackable (doc_id, pos)=(',
         CAST(doc_id AS STRING), ',', CAST(pos AS STRING), ')')) END""")
-    val wins = Tables.hot(docsDf
-      .select(col("doc_id"),
-        explode(call_function("rolling_hash_windows", toks, lit(w)))
-          .as("wh"))
-      .select(col("doc_id"), col("wh.pos").as("pos"),
-        col("wh.h1").as("h1"), col("wh.h2").as("h2")))
+    val wins = Tables.hot(substringWindows(docsDf, w))
     val canon = wins.groupBy("h1", "h2").agg(min(packed).as("cp"))
     val removed = wins.join(canon, Seq("h1", "h2"))
       .filter(packed =!= col("cp"))

@@ -342,9 +342,47 @@ class PlanAuditSpec extends SparkSpec {
       "events_pipeline_full: distinct-day count must not take the Expand plan")
   }
 
+  test("round-10 operators keep their scale shapes") {
+    // dedup_substrings: windows are keyed by the native rolling hash —
+    // the w-token window STRING is never materialized (no slice+concat
+    // tree; the naive form hashes 50× the corpus text), and exactly
+    // one per-doc window computes coverage + span merge
+    def hasExpr(ns: Seq[SparkPlan], p: org.apache.spark.sql.catalyst
+        .expressions.Expression => Boolean) =
+      ns.exists(_.expressions.exists(_.find(p).isDefined))
+    // the window-keying stage (pre-checkpoint — the final plan reads
+    // the checkpointed blocks): native rolling hash, no slice+concat
+    // window-string materialization anywhere
+    graft.GraftFunctions.register(spark)
+    val dw = collectAll(ops.Corpus.substringWindows(
+      graft.Tables.load(spark, sfDir, "documents"), 50)
+      .queryExecution.executedPlan)
+    assert(hasExpr(dw, _.isInstanceOf[graft.functions.RollingHashWindows]),
+      "dedup_substrings: native rolling-hash keying missing")
+    assert(!hasExpr(dw, e => e.prettyName == "slice"),
+      "dedup_substrings: window strings are being materialized")
+    val dsAll = collectAll(initialPlan("dedup_substrings"))
+    assert(dsAll.count(_.nodeName.contains("Window")) == 1,
+      "dedup_substrings: one coverage window expected")
+    // pack_sequences: the sequential FFD runs INSIDE one expression
+    // per (source, bucket) group — no per-item plan loop, no window
+    val psAll = collectAll(initialPlan("pack_sequences"))
+    assert(psAll.exists(_.expressions.exists(
+        _.find(_.isInstanceOf[graft.functions.FfdBins]).isDefined)),
+      "pack_sequences: ffd_bins aggregate-side evaluation missing")
+    assert(!psAll.exists(_.nodeName.contains("Window")),
+      "pack_sequences: packing must not plan a window")
+    // text_bpe_bytes: the corpus-sized encode join stays OFF broadcast
+    // (vocabulary is unbounded at web scale — text_unigram_lp rule)
+    val bb = collectAll(initialPlan("text_bpe_bytes"))
+    assert(bb.exists(_.nodeName.contains("ShuffledHashJoin")),
+      "text_bpe_bytes: encode join must be a shuffled hash join")
+  }
+
   test("no registered query plans a cartesian product") {
     // build-time driver rounds (documented in each operator):
     val skip = Set("dedup_cluster", "corpus_near_dedup", "dedup_ngram",
+      "corpus_semantic_dedup", // connected-components rounds at build time
       "geo_pivot",
       "geo_pipeline_wide", "geo_pipeline_long", "mm_pipeline",
       "text_heavy_hitters", // build-time driver count sets its threshold
