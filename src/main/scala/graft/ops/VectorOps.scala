@@ -173,6 +173,14 @@ object VectorOps {
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val (assigned, cents) = ivfAssign(s, dir)
+    annIvfFrom(e, assigned, cents)
+  }
+
+  /** IVF probe search from a PRECOMPUTED assignment — ann_recall audits
+    * several index variants over the same coarse structure and must
+    * not train it once per method. */
+  private[ops] def annIvfFrom(e: DataFrame, assigned: DataFrame,
+                              cents: DataFrame): DataFrame = {
     val qProbes = e.filter(expr(QueryFilter)).join(cents)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("cent_id"),
         l2(col("v"), col("cv")).as("cd"))
@@ -703,6 +711,13 @@ object VectorOps {
   def annIvfPq(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val (assigned, cents) = ivfAssign(s, dir)
+    annIvfPqFrom(e, assigned, cents)
+  }
+
+  /** IVF-PQ search from a PRECOMPUTED coarse assignment (see
+    * annIvfFrom). */
+  private[ops] def annIvfPqFrom(e: DataFrame, assigned: DataFrame,
+                                cents: DataFrame): DataFrame = {
     val resid = Tables.hot(assigned.join(cents, Seq("cent_id"))
       .select(col("vec_id"), col("cent_id").as("cell"),
         zip_with(col("v"), col("cv"), (a, b) => a - b).as("v")))
@@ -1172,6 +1187,10 @@ object VectorOps {
     * 6 dp (both engines divide the same two integers — identical
     * doubles, identical rounding). */
   def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    // the coarse index trains ONCE for both IVF-family methods — an
+    // audit reuses the structure it audits, it doesn't retrain per row
+    val (assigned, cents) = ivfAssign(s, dir)
     val exact = Tables.hot(annCosine(s, dir).select(col("qid"), col("cid")))
     val exCnt = exact.groupBy("qid").agg(count(lit(1)).as("n_exact"))
     def one(m: String, df: DataFrame): DataFrame = {
@@ -1187,7 +1206,8 @@ object VectorOps {
           round(coalesce(col("n_hit"), lit(0L)).cast("double")
             / col("n_exact"), 6).as("recall"))
     }
-    Seq(one("ivf", annIvf(s, dir)), one("ivf_pq", annIvfPq(s, dir)),
+    Seq(one("ivf", annIvfFrom(e, assigned, cents)),
+      one("ivf_pq", annIvfPqFrom(e, assigned, cents)),
       one("lsh", annLsh(s, dir)), one("pq", annPq(s, dir)))
       .reduce(_ unionByName _)
       .orderBy("method", "qid")
