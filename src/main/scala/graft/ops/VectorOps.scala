@@ -1173,7 +1173,82 @@ object VectorOps {
     QueryDef("dedup_embed", dedupEmbed, Some(dedupEmbedSql)),
     QueryDef("dedup_embed_ivf", dedupEmbedIvf, Some(dedupEmbedIvfSql)),
     QueryDef("embed_quantize", embedQuantize, Some(embedQuantizeSql)),
-    QueryDef("ann_recall", annRecall, Some(annRecallSql)))
+    QueryDef("ann_recall", annRecall, Some(annRecallSql)),
+    QueryDef("sample_kcenter", (s, d) => sampleKcenter(s, d),
+      Some(sampleKcenterSql)))
+
+  /** Greedy k-center coreset selection — farthest-first traversal
+    * (Gonzalez 1985; the Sener & Savarese active-learning/coreset
+    * baseline): seed at the lowest vec_id, then k−1 times pick the
+    * point FARTHEST from everything selected so far. The selected set
+    * is the k-point cover minimizing (within 2×OPT) the max distance
+    * of any corpus point to its nearest selected exemplar — the
+    * diversity-first data-selection rule, complementing
+    * corpus_semantic_dedup's redundancy-removal.
+    *
+    * Scale shape: the running state is ONE column — md = squared L2 to
+    * the nearest selected center — updated by a broadcast of the single
+    * new center per round (a LEAST projection, no join), and each pick
+    * is a TakeOrderedAndProject over (quantized md DESC, vec_id): a
+    * bounded map-side heap, never a full sort and never a packed-long
+    * argmax. k driver rounds of linear passes is the algorithm's
+    * inherent shape. Determinism: the argmax orders by
+    * floor(md·1e9) — both engines build the identical double (vec_l2 ≡
+    * the oracle's list_sum fold), so the floor is bit-safe; ties break
+    * on vec_id. radius2 is each pick's md at selection time (the
+    * coverage radius the selection guarantees), 0 for the seed. */
+  def sampleKcenter(s: SparkSession, dir: String, k: Int = 8): DataFrame =
+    kcenterFrom(emb(s, dir), k)
+
+  private[ops] def kcenterFrom(e: DataFrame, k: Int): DataFrame = {
+    val seed = Tables.hot(e.orderBy("vec_id").limit(1))
+    var st = Tables.hot(
+      e.crossJoin(broadcast(seed.select(col("v").as("cv"))))
+        .select(col("vec_id"), col("v"), l2(col("v"), col("cv")).as("md")))
+    var picks: Seq[DataFrame] = Seq(
+      seed.select(lit(1).as("step"), col("vec_id"), lit(0.0).as("radius2")))
+    for (i <- 2 to k) {
+      val pick = Tables.hot(
+        st.withColumn("q", floor(col("md") * 1e9).cast("long"))
+          .orderBy(col("q").desc, col("vec_id")).limit(1))
+      picks :+= pick.select(lit(i).as("step"), col("vec_id"),
+        round(col("md"), 6).as("radius2"))
+      if (i < k)
+        st = Tables.hot(
+          st.crossJoin(broadcast(pick.select(col("v").as("cv"))))
+            .select(col("vec_id"), col("v"),
+              least(col("md"), l2(col("v"), col("cv"))).as("md")))
+    }
+    picks.reduce(_ unionByName _).orderBy("step")
+  }
+
+  private def d2Sql(a: String, b: String) =
+    s"list_sum(list_transform(generate_series(1, len($a)), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+
+  /** Oracle: the k-step greedy unrolled as CTE pairs (pick, re-min). */
+  val sampleKcenterSql: String = {
+    val k = 8
+    val steps = (2 to k).map { i =>
+      val base = s"m${i - 1}"
+      s"""c$i AS (
+      SELECT vec_id, v, md FROM $base
+      ORDER BY CAST(FLOOR(md * 1e9) AS BIGINT) DESC, vec_id LIMIT 1),
+    m$i AS (
+      SELECT m.vec_id, m.v, LEAST(m.md, ${d2Sql("m.v", "c.v")}) AS md
+      FROM $base m, c$i c)"""
+    }.mkString(",\n    ")
+    s"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c1 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+    m1 AS (SELECT e.vec_id, e.v, ${d2Sql("e.v", "c.v")} AS md FROM e, c1 c),
+    $steps,
+    sel AS (
+      SELECT 1 AS step, vec_id, 0.0 AS radius2 FROM c1
+      ${(2 to k).map(i =>
+        s"UNION ALL SELECT $i, vec_id, ROUND(md, 6) FROM c$i")
+        .mkString(" ")})
+    SELECT step, vec_id, radius2 FROM sel ORDER BY step"""
+  }
 
   /** Recall@k AUDIT for the whole approximate family — the evidence
     * table an ANN rollout decision is made on, promoted from the
