@@ -76,6 +76,49 @@ final case class CorpusPipeline(df: DataFrame) {
       .withColumn("text", col("_rebuilt")).drop("_rebuilt"))
   }
 
+  /** Exact shared-SUBSTRING removal as a chain step (Lee et al. 2021
+    * ExactSubstr — see the registered `dedup_substrings` report op,
+    * which certifies this exact rebuild byte-for-byte against the
+    * DuckDB oracle): every w-token window whose content occurs at a
+    * smaller (doc_id, pos) marks its tokens for removal, overlapping
+    * windows merge into spans via the running-max coverage, and text
+    * rebuilds from the survivors. Keyed by the native rolling hash
+    * (O(n)/doc, no w× window-string blowup). Only AFFECTED documents
+    * re-aggregate (left-semi on the removed set); untouched documents
+    * keep their text without riding the rebuild shuffle. A document
+    * whose every token is removed keeps an empty-text row (drop it
+    * with qualityFilter downstream if that's the policy). */
+  def dedupSubstrings(w: Int = 50): CorpusPipeline = {
+    val wins = graft.Tables.hot(graft.ops.Corpus.substringWindows(df, w))
+    val packed = expr("""CASE WHEN doc_id >= 0 AND doc_id < 4398046511104
+        AND pos >= 0 AND pos < 1048576
+      THEN doc_id * 1048576 + pos
+      ELSE raise_error('dedupSubstrings: unpackable (doc_id, pos)') END""")
+    val canon = wins.groupBy("h1", "h2").agg(min(packed).as("cp"))
+    val removed = wins.join(canon, Seq("h1", "h2"))
+      .filter(packed =!= col("cp"))
+      .select(col("doc_id"), col("pos"),
+        (col("pos") + lit(w - 1)).as("cend"))
+    val cov = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rebuilt = df
+      .join(removed.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .join(removed, Seq("doc_id", "pos"), "left")
+      .withColumn("cov", max(col("cend")).over(cov))
+      .withColumn("dropped",
+        col("cov").isNotNull && col("cov") >= col("pos"))
+      .groupBy("doc_id")
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(when(!col("dropped"),
+          struct(col("pos"), col("tok"))))),
+          x => x.getField("tok"))).as("_rebuilt"))
+    CorpusPipeline(df.join(rebuilt, Seq("doc_id"), "left")
+      .withColumn("text", coalesce(col("_rebuilt"), col("text")))
+      .drop("_rebuilt"))
+  }
+
   /** Exact dedup keeping the smallest doc_id per identical text —
     * one hash shuffle; rows keep their full schema (window argmin,
     * not a groupBy that would drop columns). */

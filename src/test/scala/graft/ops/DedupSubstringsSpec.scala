@@ -58,6 +58,28 @@ class DedupSubstringsSpec extends SparkSpec {
     assert(out(1L) == ((3L, 0L, md5Of(short.mkString(" ")))))
   }
 
+  test("CorpusPipeline.dedupSubstrings rebuilds exactly what the " +
+    "certified report op certifies") {
+    // crafted corpus with a cross-doc 12-token shared span at w=10
+    // plus an untouched short doc; the fluent step's rebuilt text must
+    // hash to the report op's oracle-certified rebuilt_md5 per doc
+    val motif = (0 until 12).map(i => s"m$i")
+    val docs = Seq(
+      (0L, (motif ++ (0 until 8).map(i => s"a$i")).mkString(" ")),
+      (1L, ((0 until 5).map(i => s"b$i") ++ motif).mkString(" ")),
+      (2L, "tiny doc untouched"))
+      .toDF("doc_id", "text")
+    val stepped = graft.api.CorpusPipeline(docs).dedupSubstrings(10).df
+      .select(col("doc_id"), md5(col("text")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val certified = Corpus.substringDedupCore(docs, 10)
+      .select(col("doc_id"), col("rebuilt_md5"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(stepped == certified)
+    // and the dup really was removed from doc 1, not doc 0
+    assert(stepped(1L) == md5Of((0 until 5).map(i => s"b$i").mkString(" ")))
+  }
+
   test("cross-doc duplicate keeps the smaller (doc_id, pos) occurrence") {
     val s = (0 until 10).map(i => s"s$i")
     val d0 = Seq("u0", "u1") ++ s             // occurrence at (0, 2)
