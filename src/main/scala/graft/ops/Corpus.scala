@@ -893,6 +893,95 @@ object Corpus {
     FROM tot t LEFT JOIN reb r ON t.doc_id = r.doc_id
     ORDER BY t.doc_id"""
 
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by how target-domain-like its hashed bag-of-words is —
+    * per-token log-ratio of the target vs raw bucket distributions
+    * (Laplace-smoothed), averaged per token — and report per-source
+    * survival at the above-corpus-average gate: keep iff
+    * lw · n_docs_total > Σ lw, evaluated in EXACT decimal arithmetic
+    * (multiply, never divide — a decimal quotient's scale rules differ
+    * across engines; the cross-multiplied comparison is exact in
+    * both). The published selection method between hard quality gates
+    * (corpus_quality_filter) and diversity selection (sample_kcenter).
+    *
+    * Determinism: feature buckets are md5-derived (oracle-replayable,
+    * engine-independent); the log-ratio sums ln of INTEGER-derived
+    * counts and rounds at 6 dp BEFORE the keep comparison (the
+    * text_langid_stat recipe — both engines compare the same rounded
+    * value); the per-source mean routes through an exact decimal sum.
+    * Scale shape: ONE pass builds per-bucket counts (tiny: `buckets`
+    * rows, broadcast back; totals re-aggregate from it), per-doc
+    * scores are a broadcast join + one hash aggregate on the
+    * checkpointed token stream. */
+  def sampleDsir(s: SparkSession, dir: String, target: String = "src0",
+                 buckets: Int = 256): DataFrame = {
+    graft.GraftFunctions.register(s)
+    val b = Tables.hot(docs(s, dir)
+      .select(col("doc_id"), col("source"), explode(toks).as("w"))
+      .withColumn("b", expr(s"""CAST(conv(substring(md5(concat('dsir:',
+        w)), 1, 8), 16, 10) AS BIGINT) % $buckets""")))
+    val cnt = b.groupBy("b").agg(count(lit(1)).as("call"),
+      sum(when(col("source") === target, 1L).otherwise(0L)).as("ctgt"))
+    val tot = cnt.agg(sum("call").as("na"), sum("ctgt").as("nt"))
+    val perdoc = b.join(broadcast(cnt), Seq("b"))
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id", "source")
+      .agg(sum(log((col("ctgt") + lit(1L)).cast("double")) -
+          log((col("call") + lit(1L)).cast("double"))).as("sl"),
+        count(lit(1)).as("n"),
+        first(col("na")).as("na"), first(col("nt")).as("nt"))
+      .select(col("source"),
+        round((col("sl") + col("n") *
+          (log((col("na") + lit(buckets.toLong)).cast("double")) -
+           log((col("nt") + lit(buckets.toLong)).cast("double"))))
+          / col("n"), 6).as("lw"))
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val glob = perdoc.agg(count(lit(1)).as("n_all"),
+      sum(col("lw").cast(dec6)).as("s_all"))
+    perdoc.crossJoin(broadcast(glob))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("lw").cast(dec6) * col("n_all") > col("s_all"), 1L)
+          .otherwise(0L)).as("n_kept"),
+        round(graft.QueryDef.dsum(col("lw"), 6) / count(lit(1)), 6)
+          .as("mean_logw"))
+      .orderBy("source")
+  }
+
+  val sampleDsirSql: String = """
+    WITH tok AS (
+      SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+      FROM documents),
+    bk AS (
+      SELECT doc_id, source,
+             CAST(('0x' || substring(md5('dsir:' || w), 1, 8)) AS UBIGINT)
+               % 256 AS b
+      FROM tok),
+    cnt AS (
+      SELECT b, COUNT(*) AS call,
+             SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ctgt
+      FROM bk GROUP BY b),
+    tot AS (SELECT SUM(call) AS na, SUM(ctgt) AS nt FROM cnt),
+    perdoc AS (
+      SELECT bk.doc_id, bk.source,
+        ROUND((SUM(ln(CAST(c.ctgt + 1 AS DOUBLE))
+                   - ln(CAST(c.call + 1 AS DOUBLE)))
+               + COUNT(*) * (ln(CAST((SELECT na FROM tot) + 256 AS DOUBLE))
+                   - ln(CAST((SELECT nt FROM tot) + 256 AS DOUBLE))))
+              / COUNT(*), 6) AS lw
+      FROM bk JOIN cnt c USING (b)
+      GROUP BY 1, 2),
+    gall AS (
+      SELECT COUNT(*) AS n_all, SUM(CAST(lw AS DECIMAL(18,6))) AS s_all
+      FROM perdoc)
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN CAST(lw AS DECIMAL(18,6)) * g.n_all > g.s_all
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           ROUND(CAST(SUM(CAST(lw AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_logw
+    FROM perdoc, gall g GROUP BY source ORDER BY source"""
+
   /** Best-fit SEQUENCE packing — the trainer-side op next to
     * pack_shards: documents pack into fixed `cap`-token training
     * sequences by first-fit-decreasing, and the per-source padding
@@ -1304,6 +1393,7 @@ object Corpus {
     QueryDef("chunk_cdc", chunkCdc, Some(chunkCdcSql)),
     QueryDef("sample_temperature", sampleTemperature, Some(sampleTemperatureSql)),
     QueryDef("sample_importance", sampleImportance, Some(sampleImportanceSql)),
+    QueryDef("sample_dsir", (s, d) => sampleDsir(s, d), Some(sampleDsirSql)),
     QueryDef("dedup_paragraphs", dedupParagraphs, Some(dedupParagraphsSql)),
     QueryDef("dedup_substrings", dedupSubstrings, Some(dedupSubstringsSql)),
     QueryDef("corpus_datasheet", corpusDatasheet, Some(corpusDatasheetSql)),

@@ -65,6 +65,23 @@ class SamplingSplitSpec extends SparkSpec {
     }
   }
 
+  test("sample_dsir: the target domain survives its own gate best") {
+    val rows = Corpus.sampleDsir(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, k, _) => assert(k <= n) }
+    val byKeepRate =
+      rows.map { case (s, n, k, _) => s -> k.toDouble / n }.toMap
+    val byMean = rows.map { case (s, _, _, m) => s -> m }.toMap
+    // the target source defines the target distribution — it must score
+    // the highest mean log-ratio and survive the gate at the top rate
+    assert(byMean("src0") == byMean.values.max,
+      s"target mean not max: $byMean")
+    assert(byKeepRate("src0") == byKeepRate.values.max,
+      s"target keep rate not max: $byKeepRate")
+  }
+
   test("dedup_keep_best: the kept doc is a longest member of its group") {
     val docs = graft.Tables.load(spark, sfDir, "documents")
       .select(md5(col("text")).as("h"), col("doc_id"), col("n_chars"))
