@@ -320,9 +320,12 @@ object Graph {
     * doubles in both engines, quantized at 1e-15 and summed as plain
     * LONGS (the q_hll_sketch scaled-integer trick — order-proof AND
     * codegen-fast; the decimal-sum variant measured 3× the CPU), with
-    * a loud in-degree guard on the overflow bound. State is
-    * localCheckpointed per round (the dedup_cluster contract) so the
-    * plan stays O(1) deep. Broadcasting the state is right while
+    * a loud in-degree guard on the overflow bound. Rank state chains
+    * LAZILY across the fixed 5 rounds — each round's 1-row-per-vertex
+    * state is consumed exactly once by the next round, so the whole
+    * iteration is ONE query (sequential stages remain; the per-round
+    * localCheckpoint write/read it replaced measured 31% of the CPU);
+    * the EDGE side and its degree join stay checkpointed once. Broadcasting the state is right while
     * |V| ≪ executor memory (rank state is 16 B/vertex); a billion-node
     * graph swaps the broadcast for a co-partitioned shuffle join of
     * state and bucketed edges — same round structure, one narrow
@@ -360,7 +363,7 @@ object Graph {
         .agg((sum(col("c")).cast("double") / lit(1e15)).as("sc"))
         .crossJoin(n)
         .select(col("v"), (lit(0.15) / col("nv") + lit(0.85) * col("sc")).as("pr"))
-      st = Tables.hot(merged)
+      st = merged
     }
     st.crossJoin(n)
       .select(col("v").as("part"), round(col("pr") * col("nv"), 6).as("r_rel"))
