@@ -532,7 +532,9 @@ object Graph {
     val deg = e.select(col("a").as("v"))
       .unionAll(e.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
-    val dk = broadcast(Tables.hot(deg))
+    // no checkpoint: the two degree joins reuse ONE BroadcastExchange
+    // (identical child plan), so materializing first only added a job
+    val dk = broadcast(deg)
     val stubs = e
       .join(dk.withColumnRenamed("v", "a").withColumnRenamed("deg", "da"), "a")
       .join(dk.withColumnRenamed("v", "b").withColumnRenamed("deg", "db"), "b")
