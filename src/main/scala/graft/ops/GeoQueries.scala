@@ -930,10 +930,16 @@ object GeoQueries {
   /** ONE WKT column mixing POINT / LINESTRING / holed POLYGON rows
     * routed through `Wkt.geometries` (prefix dispatch, per-kind
     * parsers, parts as rows) — certified by per-kind part/ring/vertex
-    * counts plus decimal-exact coordinate sums over every parsed
-    * vertex; the oracle computes the same from the raw derivations. */
+    * counts plus order-exact coordinate sums over every parsed
+    * vertex; the oracle computes the same from the raw derivations.
+    * Coordinate sums quantize each vertex by floor(v·1e6 + 0.5) —
+    * pure IEEE mult/add/floor on the BINARY value, identical in both
+    * engines — and sum LONGS. (The previous DECIMAL(28,12) cast was
+    * latently engine-dependent: for |v| ≥ ~2250 an ulp exceeds the
+    * 12-dp half-step, so Spark's shortest-repr half-up and DuckDB's
+    * binary rounding can quantize the same double differently —
+    * caught by the first FULL-registry verify at sf0.1.) */
   def wktMixed(s: SparkSession, dir: String): DataFrame = {
-    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
     val W = graft.geo.Wkt
     val p = graft.Tables.fanout(Derive.points(s, dir))
       .select(W.toWktPoint(col("x"), col("y")).as("wkt"))
@@ -959,8 +965,10 @@ object GeoQueries {
         count(when(col("ri") === 0 && col("vi") === 0, 1)).as("n_parts"),
         count(when(col("vi") === 0, 1)).as("n_rings"),
         count(lit(1)).as("n_verts"),
-        sum(col("v.vx").cast(dec)).cast("double").as("sum_x"),
-        sum(col("v.vy").cast(dec)).cast("double").as("sum_y"))
+        (sum(floor(col("v.vx") * 1e6 + 0.5).cast("long")) / 1e6)
+          .as("sum_x"),
+        (sum(floor(col("v.vy") * 1e6 + 0.5).cast("long")) / 1e6)
+          .as("sum_y"))
       .orderBy("geom_type")
   }
 
@@ -974,23 +982,23 @@ object GeoQueries {
       (SELECT COUNT(*) FROM pl) AS n_parts,
       (SELECT COUNT(*) FROM pl) AS n_rings,
       (SELECT COUNT(*) FROM ln_v) AS n_verts,
-      (SELECT CAST(SUM(CAST(vx AS DECIMAL(28,12))) AS DOUBLE) FROM ln_v)
+      (SELECT CAST(SUM(CAST(FLOOR(vx * 1e6 + 0.5) AS BIGINT)) AS BIGINT) / 1e6 FROM ln_v)
         AS sum_x,
-      (SELECT CAST(SUM(CAST(vy AS DECIMAL(28,12))) AS DOUBLE) FROM ln_v)
+      (SELECT CAST(SUM(CAST(FLOOR(vy * 1e6 + 0.5) AS BIGINT)) AS BIGINT) / 1e6 FROM ln_v)
         AS sum_y
     UNION ALL
     SELECT 'point',
       (SELECT COUNT(*) FROM pts), (SELECT COUNT(*) FROM pts),
       (SELECT COUNT(*) FROM pts),
-      (SELECT CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) FROM pts),
-      (SELECT CAST(SUM(CAST(y AS DECIMAL(28,12))) AS DOUBLE) FROM pts)
+      (SELECT CAST(SUM(CAST(FLOOR(x * 1e6 + 0.5) AS BIGINT)) AS BIGINT) / 1e6 FROM pts),
+      (SELECT CAST(SUM(CAST(FLOOR(y * 1e6 + 0.5) AS BIGINT)) AS BIGINT) / 1e6 FROM pts)
     UNION ALL
     SELECT 'polygon',
       (SELECT COUNT(*) FROM ht),
       (SELECT CAST(SUM(len(rxs)) AS BIGINT) FROM ht),
       (SELECT COUNT(*) FROM pg_v),
-      (SELECT CAST(SUM(CAST(vx AS DECIMAL(28,12))) AS DOUBLE) FROM pg_v),
-      (SELECT CAST(SUM(CAST(vy AS DECIMAL(28,12))) AS DOUBLE) FROM pg_v)
+      (SELECT CAST(SUM(CAST(FLOOR(vx * 1e6 + 0.5) AS BIGINT)) AS BIGINT) / 1e6 FROM pg_v),
+      (SELECT CAST(SUM(CAST(FLOOR(vy * 1e6 + 0.5) AS BIGINT)) AS BIGINT) / 1e6 FROM pg_v)
     ORDER BY geom_type"""
 
   /** The FULL fluent pipeline fed from WKT end-to-end — every input
