@@ -91,6 +91,12 @@ object GraftFunctions {
       "rolling_hash_windows"),
     (args: Seq[Expression]) => functions.RollingHashWindows(args))
 
+  val md5MinHashFn: Fn = (
+    FunctionIdentifier("md5_minhash"),
+    new ExpressionInfo(classOf[functions.Md5MinHash].getName,
+      "md5_minhash"),
+    (args: Seq[Expression]) => functions.Md5MinHash(args))
+
   val ffdBinsFn: Fn = (
     FunctionIdentifier("ffd_bins"),
     new ExpressionInfo(classOf[functions.FfdBins].getName, "ffd_bins"),
@@ -100,7 +106,7 @@ object GraftFunctions {
     Seq(clippedSegmentLengthFn, hilbertIndexFn, pointInPolygonFn,
       normalizeTextFn, clippedPolygonAreaFn, vecDotFn, vecL2Fn,
       minHashSignatureFn, bigramRunStatsFn, wktPartsFn, dsum128Fn,
-      rollingHashWindowsFn, ffdBinsFn)
+      rollingHashWindowsFn, ffdBinsFn, md5MinHashFn)
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (id, info, builder) =>

@@ -716,19 +716,19 @@ object TextDedup {
       .withColumn("jacc",
         col("c").cast("double") / (col("na") + col("nb") - col("c")))
       .filter(col("jacc") >= 0.3)
-    val sig = Tables.fanout(sh)
-      .select(col("doc_id"), explode(sequence(lit(0), lit(31))).as("i"),
-        col("h"))
-      .withColumn("ph", conv(substring(md5(concat(lit("p"),
-        col("i").cast("string"), lit(":"), col("h").cast("string"))),
-        1, 15), 16, 10).cast("long"))
-      .groupBy("doc_id", "i").agg(min(col("ph")).as("m"))
-    val sa = sig.select(col("doc_id").as("da"), col("i"), col("m").as("ma"))
-    val sb = sig.select(col("doc_id").as("db"), col("i"), col("m").as("mb"))
+    // one md5_minhash native-expression pass per document (the SAME
+    // "p{i}:{h}" md5 values the oracle recomputes — see Md5MinHash)
+    // instead of a 32× row explode through a (doc, perm) aggregate;
+    // agreement is then an array zip per pair, no per-perm join
+    val sig = Tables.hot(Tables.fanout(sh).groupBy("doc_id")
+      .agg(call_function("md5_minhash", collect_list(col("h")), lit(32))
+        .as("sig")))
     broadcast(pairs.select("da", "db", "jacc"))
-      .join(sa, Seq("da")).join(sb, Seq("db", "i"))
-      .groupBy("da", "db", "jacc")
-      .agg(sum(when(col("ma") === col("mb"), 1L).otherwise(0L)).as("agree"))
+      .join(sig.select(col("doc_id").as("da"), col("sig").as("siga")), "da")
+      .join(sig.select(col("doc_id").as("db"), col("sig").as("sigb")), "db")
+      .withColumn("agree", expr(
+        "size(filter(zip_with(siga, sigb, (x, y) -> x = y), v -> v))")
+        .cast("long"))
       .select(col("da"), col("db"), round(col("jacc"), 6).as("jacc"),
         round(col("agree").cast("double") / 32.0, 6).as("est_jacc"),
         round(col("agree").cast("double") / 32.0 - col("jacc"), 6).as("err"))
