@@ -80,6 +80,40 @@ class DedupSubstringsSpec extends SparkSpec {
     assert(stepped(1L) == md5Of((0 until 5).map(i => s"b$i").mkString(" ")))
   }
 
+  test("cross-op invariant: every token dedup_paragraphs drops in a " +
+    "FULL block is also dropped by dedup_substrings at w=10") {
+    // a non-canonical duplicated aligned block implies the identical
+    // 10-token window exists at a smaller (doc_id, pos), so the window
+    // at the block is non-canonical too and covers all 10 tokens.
+    // (Tail partial blocks < 10 tokens have no window — use documents
+    // whose lengths are multiples of 10 so every block is full.)
+    val blk = (c: Char, k: Int) => (0 until 10).map(i => s"$c$k$i")
+    val docs = Seq(
+      0L -> (blk('a', 0) ++ blk('a', 1) ++ blk('a', 2)),
+      1L -> (blk('b', 0) ++ blk('a', 1) ++ blk('b', 2)), // middle block dup
+      2L -> (blk('a', 0) ++ blk('a', 0) ++ blk('c', 0))) // self-repeat
+      .map { case (id, t) => (id, t.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val sub = Corpus.substringDedupCore(docs, 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // block-grain drops, replicated at the spec level (aligned blocks,
+    // canonical = smallest (doc_id, block_pos))
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val blocks = rows.flatMap { case (id, t) =>
+      t.split(" ").grouped(10).zipWithIndex.map { case (b, p) =>
+        (b.mkString(" "), id, p) }
+    }
+    val canon = blocks.groupBy(_._1).map { case (c, occ) =>
+      c -> occ.map(o => (o._2, o._3)).min }
+    val paraDropped = blocks.groupBy(_._2).map { case (id, bs) =>
+      id -> bs.count(b => canon(b._1) != ((b._2, b._3))) * 10L }
+    paraDropped.foreach { case (id, pd) =>
+      assert(sub(id) >= pd,
+        s"doc $id: substrings dropped ${sub(id)} < block-grain $pd")
+    }
+    assert(paraDropped.values.sum > 0, "fixture must drop something")
+  }
+
   test("cross-doc duplicate keeps the smaller (doc_id, pos) occurrence") {
     val s = (0 until 10).map(i => s"s$i")
     val d0 = Seq("u0", "u1") ++ s             // occurrence at (0, 2)
