@@ -25,8 +25,10 @@ object QueryDef {
     * integer accumulator in two LONG buffer slots, ~3.6× faster than
     * Spark's BigDecimal-backed DECIMAL(28,s) sum buffer on sum-heavy
     * whole queries (TPC-H Q1 at sf0.1: 2.35 s → 0.65 s) and loud outside
-    * its exactness envelope (|x|·10^s ≤ 2^51). `dsumDec` keeps the
-    * plain decimal route for columns beyond the envelope.
+    * BOTH halves of its exactness envelope: |x|·10^s ≤ 2^51 (running
+    * max magnitude) and ≤ s true decimal digits (running max
+    * |x·10^s − rint(x·10^s)|, raised near a .5 boundary). `dsumDec`
+    * keeps the plain decimal route for columns beyond the envelope.
     */
   def dsum(c: Column, scale: Int = 4): Column =
     call_function("dsum128", c.cast("double"), lit(scale))
