@@ -154,10 +154,17 @@ object LangModel {
     val langTot = prof.groupBy("plang").agg(sum("c").as("nl"))
     val vdf = prof.agg(countDistinct("g").cast("double").as("v"))
     val docG = dg.groupBy("doc_id", "lang").agg(count(lit(1)).as("n_g"))
-    val perLang = dg.select("doc_id", "g")
-      .join(prof.hint("shuffle_hash"), Seq("g"))
+    // gram MULTIPLICITY folds before the profile join: the probe side
+    // shrinks to distinct (doc, gram) pairs and ln(c+1) is computed
+    // once per (gram, lang) profile row instead of once per occurrence
+    // (the score term is k·ln(c+1) in BOTH engines — same doubles)
+    val docGram = dg.groupBy("doc_id", "g")
+      .agg(count(lit(1)).cast("double").as("k"))
+    val profL = prof.withColumn("lc", log(col("c").cast("double") + 1.0))
+    val perLang = docGram
+      .join(profL.hint("shuffle_hash"), Seq("g"))
       .groupBy("doc_id", "plang")
-      .agg(sum(log(col("c").cast("double") + 1.0)).as("s0"))
+      .agg(sum(col("k") * col("lc")).as("s0"))
     docG.join(broadcast(langTot))
       .join(perLang, Seq("doc_id", "plang"), "left")
       .crossJoin(broadcast(vdf))
@@ -184,10 +191,13 @@ object LangModel {
       SELECT CAST(COUNT(DISTINCT g) AS DOUBLE) AS v FROM prof),
     docg AS (
       SELECT doc_id, lang, COUNT(*) AS n_g FROM dg GROUP BY 1, 2),
+    docgram AS (
+      SELECT doc_id, g, CAST(COUNT(*) AS DOUBLE) AS k
+      FROM dg GROUP BY 1, 2),
     perlang AS (
-      SELECT dg.doc_id, prof.plang,
-             SUM(ln(CAST(prof.c AS DOUBLE) + 1.0)) AS s0
-      FROM dg JOIN prof ON dg.g = prof.g
+      SELECT d.doc_id, prof.plang,
+             SUM(d.k * ln(CAST(prof.c AS DOUBLE) + 1.0)) AS s0
+      FROM docgram d JOIN prof ON d.g = prof.g
       GROUP BY 1, 2),
     scored AS (
       SELECT d.doc_id, d.lang, t.plang,
