@@ -909,7 +909,11 @@ object Corpus {
     * engine-independent); the log-ratio sums ln of INTEGER-derived
     * counts and rounds at 6 dp BEFORE the keep comparison (the
     * text_langid_stat recipe — both engines compare the same rounded
-    * value); the per-source mean routes through an exact decimal sum.
+    * value); the per-source score reports as sum_logw + n_docs (NOT a
+    * rounded mean: the quotient of a 6dp-quantized sum by a small
+    * count can land exactly on a .5e-6 boundary where Spark's
+    * shortest-repr half-up and DuckDB's binary rounding diverge — the
+    * q_rfm ROUND rule; consumers divide sum_logw / n_docs themselves).
     * Scale shape: ONE pass builds per-bucket counts (tiny: `buckets`
     * rows, broadcast back; totals re-aggregate from it), per-doc
     * scores are a broadcast join + one hash aggregate on the
@@ -944,8 +948,7 @@ object Corpus {
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("lw").cast(dec6) * col("n_all") > col("s_all"), 1L)
           .otherwise(0L)).as("n_kept"),
-        round(graft.QueryDef.dsum(col("lw"), 6) / count(lit(1)), 6)
-          .as("mean_logw"))
+        graft.QueryDef.dsum(col("lw"), 6).as("sum_logw"))
       .orderBy("source")
   }
 
@@ -978,8 +981,7 @@ object Corpus {
     SELECT source, COUNT(*) AS n_docs,
            CAST(SUM(CASE WHEN CAST(lw AS DECIMAL(18,6)) * g.n_all > g.s_all
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-           ROUND(CAST(SUM(CAST(lw AS DECIMAL(18,6))) AS DOUBLE)
-                 / COUNT(*), 6) AS mean_logw
+           CAST(SUM(CAST(lw AS DECIMAL(18,6))) AS DOUBLE) AS sum_logw
     FROM perdoc, gall g GROUP BY source ORDER BY source"""
 
   /** Best-fit SEQUENCE packing — the trainer-side op next to
@@ -1005,13 +1007,26 @@ object Corpus {
     * sides (they'd be truncated by the trainer).
     */
   def packSequences(s: SparkSession, dir: String, cap: Int = 4096,
-                    buckets: Int = 8): DataFrame = {
+                    buckets: Int = 0): DataFrame = {
     graft.GraftFunctions.register(s)
-    val d = docs(s, dir).select(col("source"), col("doc_id"),
-      least(size(toks).cast("long"), lit(cap.toLong)).as("n_tok"),
-      expr(s"""CAST(conv(substring(md5(concat('pack:',
-        CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % $buckets""")
-        .as("bucket"))
+    val base = docs(s, dir).select(col("source"), col("doc_id"),
+      least(size(toks).cast("long"), lit(cap.toLong)).as("n_tok"))
+    // Per-bucket FFD is O(items × open_bins): a FIXED bucket count lets
+    // a large single-source corpus concentrate n/k docs in one bucket
+    // and go quadratic. buckets ≤ 0 (the default) derives the count
+    // from corpus size — ≥8, ≤4096 expected docs per bucket — as a
+    // deterministic function of COUNT(*) the oracle replays in SQL, so
+    // results stay cluster-size-independent AND per-bucket work stays
+    // bounded. (At the gate scales n ≤ 32768 ⇒ auto = 8, the historic
+    // constant.)
+    val nb = if (buckets > 0) lit(buckets.toLong)
+      else greatest(lit(8L), expr("(n_corpus + 4095) div 4096"))
+    val d = base
+      .crossJoin(broadcast(base.agg(count(lit(1)).as("n_corpus"))))
+      .withColumn("bucket",
+        expr("""CAST(conv(substring(md5(concat('pack:',
+          CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)""") % nb)
+      .drop("n_corpus")
     d.groupBy("source", "bucket")
       .agg(call_function("ffd_bins",
           array_sort(collect_list(col("n_tok"))), lit(cap))
@@ -1021,8 +1036,13 @@ object Corpus {
       .agg(sum("n_docs").as("n_docs"), sum("tok_sum").as("tok_sum"),
         sum("n_bins").as("n_bins"))
       .select(col("source"), col("n_docs"), col("tok_sum"), col("n_bins"),
-        expr(s"(1000000 * (n_bins * $cap - tok_sum)) div (n_bins * $cap)")
-          .as("waste_ppm"))
+        // pad·1e6 in a 38-digit decimal: past ~9.2e12 pad tokens a LONG
+        // multiply wraps silently under non-ANSI arithmetic (DuckDB's
+        // BIGINT would error loudly — a silent-vs-loud divergence);
+        // 100 TB corpora sit inside that range. div of positives
+        // truncates identically in both engines.
+        expr(s"""CAST(CAST(n_bins * $cap - tok_sum AS DECIMAL(38,0))
+          * 1000000 div (n_bins * $cap) AS BIGINT)""").as("waste_ppm"))
       .orderBy("source")
   }
 
@@ -1031,8 +1051,10 @@ object Corpus {
       SELECT source, doc_id,
              LEAST(CAST(len(string_split(text, ' ')) AS BIGINT), 4096)
                AS n_tok,
-             CAST(('0x' || substring(md5('pack:' || CAST(doc_id AS VARCHAR)),
-               1, 8)) AS UBIGINT) % 8 AS bucket
+             CAST(CAST(('0x' || substring(md5('pack:' ||
+                 CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT)
+               % GREATEST(8, (SELECT (COUNT(*) + 4095) // 4096
+                              FROM documents)) AS bucket
       FROM documents),
     it AS (
       SELECT source, bucket, n_tok,
@@ -1070,8 +1092,8 @@ object Corpus {
       SELECT source, CAST(SUM(n_bins) AS BIGINT) AS n_bins
       FROM fin GROUP BY source)
     SELECT a.source, a.n_docs, a.tok_sum, b.n_bins,
-           (1000000 * (b.n_bins * 4096 - a.tok_sum)) // (b.n_bins * 4096)
-             AS waste_ppm
+           CAST((CAST(b.n_bins * 4096 - a.tok_sum AS HUGEINT) * 1000000)
+             // (b.n_bins * 4096) AS BIGINT) AS waste_ppm
     FROM agg a JOIN bins b ON a.source = b.source
     ORDER BY a.source"""
 

@@ -73,7 +73,9 @@ class SamplingSplitSpec extends SparkSpec {
     rows.foreach { case (_, n, k, _) => assert(k <= n) }
     val byKeepRate =
       rows.map { case (s, n, k, _) => s -> k.toDouble / n }.toMap
-    val byMean = rows.map { case (s, _, _, m) => s -> m }.toMap
+    // the op reports sum_logw + n_docs (no rounded mean — the ROUND
+    // boundary rule); derive the mean here as a consumer would
+    val byMean = rows.map { case (s, n, _, m) => s -> m / n }.toMap
     // the target source defines the target distribution — it must score
     // the highest mean log-ratio and survive the gate at the top rate
     assert(byMean("src0") == byMean.values.max,
