@@ -85,6 +85,11 @@ object GraftFunctions {
     new ExpressionInfo(classOf[functions.Sum128].getName, "dsum128"),
     (args: Seq[Expression]) => functions.Sum128(args(0), args(1)))
 
+  val qsum128Fn: Fn = (
+    FunctionIdentifier("qsum128"),
+    new ExpressionInfo(classOf[functions.QSum128].getName, "qsum128"),
+    (args: Seq[Expression]) => functions.QSum128(args(0), args(1)))
+
   val rollingHashWindowsFn: Fn = (
     FunctionIdentifier("rolling_hash_windows"),
     new ExpressionInfo(classOf[functions.RollingHashWindows].getName,
@@ -106,7 +111,7 @@ object GraftFunctions {
     Seq(clippedSegmentLengthFn, hilbertIndexFn, pointInPolygonFn,
       normalizeTextFn, clippedPolygonAreaFn, vecDotFn, vecL2Fn,
       minHashSignatureFn, bigramRunStatsFn, wktPartsFn, dsum128Fn,
-      rollingHashWindowsFn, ffdBinsFn, md5MinHashFn)
+      qsum128Fn, rollingHashWindowsFn, ffdBinsFn, md5MinHashFn)
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (id, info, builder) =>

@@ -37,6 +37,15 @@ object QueryDef {
   def dsumDec(c: Column, scale: Int = 4): Column =
     sum(c.cast(DecimalType(18, scale))).cast("double")
 
+  /** QUANTIZING 128-bit sum for CONTINUOUS doubles:
+    * Σ floor(x·10^s + 0.5) / 10^s — pure IEEE quantization, identical
+    * in both engines at any magnitude (a DECIMAL(38,s) cast is not:
+    * the geo_wkt_mixed rule), overflow-proof accumulator. Oracle
+    * mirror: CAST(SUM(CAST(floor(x*1e{s}+0.5) AS HUGEINT)) AS DOUBLE)
+    * / 1e{s}. */
+  def qsum(c: Column, scale: Int): Column =
+    call_function("qsum128", c.cast("double"), lit(scale))
+
   /** Deterministic mean at 6 dp: exact decimal sum / count in double space. */
   def davg(c: Column, scale: Int = 4): Column =
     round(dsum(c, scale) / count(lit(1)), 6)

@@ -162,3 +162,123 @@ case class Sum128(child: Expression, scaleExpr: Expression)
 
   override def prettyName: String = "dsum128"
 }
+
+/** QUANTIZING exact sum on the same 128-bit integer accumulator:
+  * Σ floor(x·10^s + 0.5), reported as double(Σ)/10^s.
+  *
+  * Where [[Sum128]] certifies it sums values that ARE s-dp decimals
+  * (and raises on anything else), this aggregate is for CONTINUOUS
+  * doubles that must be quantized before summing. floor(x·10^s + 0.5)
+  * is pure IEEE multiply/add/floor — bit-identical in Spark and DuckDB
+  * at any magnitude — unlike a DECIMAL(38,s) cast, whose half-up on
+  * the shortest decimal repr can disagree with the oracle's
+  * binary-value rounding once ulp(x·10^s) approaches the half-step
+  * (the geo_wkt_mixed lesson). The 128-bit accumulator makes the sum
+  * overflow-proof at any corpus size (a plain LONG sum of 10^12-scaled
+  * values wraps silently past ~9.2e6 unit-magnitudes·rows).
+  *
+  * Oracle replay:
+  *   CAST(SUM(CAST(floor(x*1e{s} + 0.5) AS HUGEINT)) AS DOUBLE) / 1e{s}
+  * — both engines convert the same exact integer to double
+  * (correctly rounded) and divide by the same power, so the two
+  * roundings match bit-for-bit. Loud guard: |x·10^s| ≤ 2^51, past
+  * which the double grid is coarser than the half-step and
+  * quantization at scale s is meaningless.
+  */
+case class QSum128(child: Expression, scaleExpr: Expression)
+  extends DeclarativeAggregate {
+
+  private lazy val scale: Int = scaleExpr.eval() match {
+    case i: Int => i
+    case other => throw new IllegalArgumentException(
+      s"qsum128 scale must be a foldable int literal, got $other")
+  }
+
+  override def children: Seq[Expression] = Seq(child, scaleExpr)
+  override def nullable: Boolean = true
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(
+        s"qsum128 expects a DOUBLE input, got ${child.dataType.sql}")
+    else if (!scaleExpr.foldable || scaleExpr.dataType != IntegerType)
+      TypeCheckResult.TypeCheckFailure(
+        "qsum128 scale must be a foldable int literal")
+    else if (scale < 0 || scale > 15)
+      TypeCheckResult.TypeCheckFailure(
+        s"qsum128 scale must be in [0, 15], got $scale")
+    else TypeCheckResult.TypeCheckSuccess
+
+  private val lo = AttributeReference("lo", LongType, nullable = false)()
+  private val hi = AttributeReference("hi", LongType, nullable = false)()
+  private val empty = AttributeReference("empty", BooleanType,
+    nullable = false)()
+  private val maxAbs = AttributeReference("maxAbs", DoubleType,
+    nullable = false)()
+
+  override lazy val aggBufferAttributes: Seq[AttributeReference] =
+    Seq(lo, hi, empty, maxAbs)
+
+  override lazy val initialValues: Seq[Expression] =
+    Seq(Literal(0L), Literal(0L), Literal(true), Literal(0.0))
+
+  private def addW(a: Expression, b: Expression): Expression =
+    Add(a, b, EvalMode.LEGACY)
+
+  private def carry(a: Expression, b: Expression, s: Expression): Expression =
+    ShiftRightUnsigned(
+      BitwiseOr(BitwiseAnd(a, b), BitwiseAnd(BitwiseOr(a, b), BitwiseNot(s))),
+      Literal(63))
+
+  override lazy val updateExpressions: Seq[Expression] = {
+    val pow = Literal(math.pow(10, scale))
+    val prod = If(IsNull(child), Literal(0.0),
+      Multiply(child, pow, EvalMode.LEGACY))
+    val w = Cast(Floor(Add(prod, Literal(0.5), EvalMode.LEGACY)), LongType)
+    val nLo = addW(lo, w)
+    val signExt = ShiftRight(w, Literal(63))
+    Seq(
+      nLo,
+      addW(addW(hi, signExt), Cast(carry(lo, w, nLo), LongType)),
+      And(empty, IsNull(child)),
+      Greatest(Seq(maxAbs, Abs(prod))))
+  }
+
+  override lazy val mergeExpressions: Seq[Expression] = {
+    val nLo = addW(lo.left, lo.right)
+    Seq(nLo,
+      addW(addW(hi.left, hi.right),
+        Cast(carry(lo.left, lo.right, nLo), LongType)),
+      And(empty.left, empty.right),
+      Greatest(Seq(maxAbs.left, maxAbs.right)))
+  }
+
+  override lazy val evaluateExpression: Expression = {
+    val dec38 = DecimalType(38, 0)
+    val two64 = Literal(Decimal(BigDecimal(2).pow(64)), DecimalType(20, 0))
+    val loDec = Cast(lo, DecimalType(20, 0))
+    val dec22 = DecimalType(22, 0)
+    val unsLo = If(GreaterThanOrEqual(lo, Literal(0L)),
+      Cast(loDec, dec22), Cast(Add(loDec, two64), dec22))
+    val total = Add(Multiply(Cast(hi, dec38), two64), unsLo)
+    val bound = Literal((1L << 51).toDouble)
+    // double(total) is one correctly-rounded conversion of the exact
+    // integer, then one IEEE divide — the identical two steps the
+    // oracle's CAST(SUM(HUGEINT) AS DOUBLE) / 1e{s} performs
+    If(GreaterThan(maxAbs, bound),
+      Cast(new RaiseError(Literal(
+        s"qsum128: |value|*1e$scale exceeds 2^51 - quantization at " +
+          s"scale $scale is meaningless at this magnitude; lower the scale")),
+        DoubleType),
+      If(empty, Literal(null, DoubleType),
+        Divide(Cast(total, DoubleType), Literal(math.pow(10, scale)),
+          EvalMode.LEGACY)))
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): QSum128 =
+    copy(child = newChildren(0), scaleExpr = newChildren(1))
+
+  override def prettyName: String = "qsum128"
+}

@@ -953,45 +953,55 @@ object VectorOps {
     * per-dimension decimal sum (the covariance matrix is never
     * materialized; at 100 TB that is the only viable shape, and it is
     * also how production randomized-SVD warm starts run). μ is the
-    * 6-dp decimal-routed mean (q_stats policy), every cross-row sum is
-    * decimal-routed, every per-row op is the same double arithmetic in
-    * both engines — the oracle unrolls all 4 iterations in SQL and
-    * matches hash-exactly (the ann_ivf_pq precedent). Sign is fixed by
+    * 6-dp mean from a qsum128 quantized sum, every n-row cross-row sum
+    * rides qsum128 (floor(x·1e12+0.5) on a 128-bit accumulator — pure
+    * IEEE quantization, identical in both engines, no per-row
+    * BigDecimal), every per-row op is the same double arithmetic in
+    * both engines — the oracle unrolls all 4 iterations in SQL with
+    * the same HUGEINT-quantized sums and matches hash-exactly. Sign is fixed by
     * the largest-|loading| dimension (ties → smallest dim); output is
     * the unit loading vector plus λ/n, the top explained variance.
     */
-  /** The shared power-iteration core: embeddings (hot), the broadcast
-    * mean array, and the CONVERGED unit loading vector after
-    * [[PcaIters]] rounds — reused by embed_pca (adds the λ half-step)
-    * and embed_abtt (projects the component out). */
+  /** The shared power-iteration core: embeddings (hot), the hot
+    * CENTERED table d = v − μ (computed once — it is round-invariant,
+    * and the rounds, the λ half-step, and the residual pass all read
+    * it), and the CONVERGED unit loading vector after [[PcaIters]]
+    * rounds — reused by embed_pca and embed_abtt. */
   private def pcaConverged(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = {
+    graft.GraftFunctions.register(s)
     val e = Tables.hot(emb(s, dir))
     val n = broadcast(e.agg(count(lit(1)).as("n")))
     val dec = org.apache.spark.sql.types.DecimalType(38, 12)
-    // per-dimension 6-dp mean, assembled into ONE array row
+    // per-dimension 6-dp mean, assembled into ONE array row. Cross-row
+    // sums of CONTINUOUS doubles ride qsum128 (floor-quantized 128-bit
+    // sum — engine-unambiguous at any magnitude, no BigDecimal per row)
     val mu = e.select(posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy("dim")
-      .agg(sum(col("x").cast(dec)).as("sx"))
+      .agg(graft.QueryDef.qsum(col("x"), 12).as("sx"))
       .crossJoin(n)
-      .select(col("dim"), round(col("sx").cast("double") / col("n"), 6).as("m"))
+      .select(col("dim"), round(col("sx") / col("n"), 6).as("m"))
     val muArr = broadcast(mu.agg(
       transform(array_sort(collect_list(struct(col("dim"), col("m")))),
         x => x.getField("m")).as("mu")))
     var vArr = broadcast(s.range(1)
       .select(array((0 until Dim).map(_ => lit(0.125)): _*).as("vk")))
+    // center ONCE: d = v − μ is round-invariant, and CollapseProject
+    // would otherwise duplicate the zip_with subtree into every
+    // consumer expression each round (the CLAUDE.md aliasing tax)
+    val dTab = Tables.hot(e.crossJoin(muArr)
+      .select(col("vec_id"),
+        zip_with(col("v"), col("mu"), (a, b) => a - b).as("d")))
     for (_ <- 1 to PcaIters) {
-      val scored = e.crossJoin(muArr).crossJoin(vArr)
-        .select(
-          zip_with(col("v"), col("mu"), (a, b) => a - b).as("d"),
-          col("vk"))
+      val scored = dTab.crossJoin(vArr)
         .select(col("d"),
           call_function("vec_dot", col("d"), col("vk")).as("sc"))
       val w = scored
         .select(posexplode(col("d")).as(Seq("dim", "dx")), col("sc"))
         .groupBy("dim")
-        .agg(sum((col("dx") * col("sc")).cast(dec)).as("sw"))
-        .select(col("dim"), col("sw").cast("double").as("w"))
+        .agg(graft.QueryDef.qsum(col("dx") * col("sc"), 12).as("w"))
+      // 64 rows: the decimal route costs nothing here, and w² grows
+      // with n² so the qsum magnitude envelope would not hold at scale
       val nrm = w.agg(
         sqrt(sum((col("w") * col("w")).cast(dec)).cast("double")).as("nrm"))
       vArr = broadcast(Tables.hot(w.crossJoin(broadcast(nrm)).agg(
@@ -999,23 +1009,20 @@ object VectorOps {
           (col("w") / col("nrm")).as("u")))), x => x.getField("u"))
           .as("vk"))))
     }
-    (e, muArr, vArr)
+    (e, dTab, vArr)
   }
 
   def embedPca(s: SparkSession, dir: String): DataFrame = {
-    val (e, muArr, vArr) = pcaConverged(s, dir)
+    val (e, dTab, vArr) = pcaConverged(s, dir)
     val n = broadcast(e.agg(count(lit(1)).as("n")))
     val dec = org.apache.spark.sql.types.DecimalType(38, 12)
     // one extra half-step recovers λ·n = ||Σ d (d·v)|| for the CONVERGED v
-    val scored = e.crossJoin(muArr).crossJoin(vArr)
-      .select(zip_with(col("v"), col("mu"), (a, b) => a - b).as("d"),
-        col("vk"))
+    val scored = dTab.crossJoin(vArr)
       .select(col("d"), call_function("vec_dot", col("d"), col("vk")).as("sc"))
     val w = scored
       .select(posexplode(col("d")).as(Seq("dim", "dx")), col("sc"))
       .groupBy("dim")
-      .agg(sum((col("dx") * col("sc")).cast(dec)).as("sw"))
-      .select(col("dim"), col("sw").cast("double").as("w"))
+      .agg(graft.QueryDef.qsum(col("dx") * col("sc"), 12).as("w"))
     val nrm = broadcast(w.agg(
       sqrt(sum((col("w") * col("w")).cast(dec)).cast("double")).as("nrm")))
     val sgn = broadcast(w
@@ -1036,30 +1043,25 @@ object VectorOps {
     * Reuses the converged [[pcaConverged]] state: ONE extra corpus
     * pass (broadcast 64-double state, two native vec_dot per row, one
     * map-side-combined aggregate). sc² is sign-invariant so no sign
-    * fix is needed; all cross-row sums are decimal-routed, so the
+    * fix is needed; all n-row cross-row sums ride qsum128, so the
     * oracle — which unrolls the full 4-round iteration AND the
     * residual pass in SQL — matches hash-exactly.
     */
   def embedAbtt(s: SparkSession, dir: String): DataFrame = {
-    val (e, muArr, vArr) = pcaConverged(s, dir)
-    val dec = org.apache.spark.sql.types.DecimalType(38, 12)
+    val (_, dTab, vArr) = pcaConverged(s, dir)
     val lab = Tables.load(s, dir, "embeddings").select(col("vec_id"), col("label"))
-    val scored = e.join(lab, "vec_id").crossJoin(muArr).crossJoin(vArr)
-      .select(col("label"),
-        zip_with(col("v"), col("mu"), (a, b) => a - b).as("d"), col("vk"))
+    val scored = dTab.join(lab, "vec_id").crossJoin(vArr)
       .select(col("label"),
         call_function("vec_dot", col("d"), col("d")).as("d2"),
         call_function("vec_dot", col("d"), col("vk")).as("sc"))
     scored.groupBy("label")
       .agg(count(lit(1)).as("n_vecs"),
-        sum(col("d2").cast(dec)).as("sd2"),
-        sum((col("sc") * col("sc")).cast(dec)).as("ss2"))
+        graft.QueryDef.qsum(col("d2"), 12).as("sd2"),
+        graft.QueryDef.qsum(col("sc") * col("sc"), 12).as("ss2"))
       .select(col("label"), col("n_vecs"),
-        round(col("sd2").cast("double") / col("n_vecs"), 6).as("var_total"),
-        round((col("sd2") - col("ss2")).cast("double") / col("n_vecs"), 6)
-          .as("var_resid"),
-        round(col("ss2").cast("double") / col("sd2").cast("double"), 6)
-          .as("removed_frac"))
+        round(col("sd2") / col("n_vecs"), 6).as("var_total"),
+        round((col("sd2") - col("ss2")) / col("n_vecs"), 6).as("var_resid"),
+        round(col("ss2") / col("sd2"), 6).as("removed_frac"))
       .orderBy("label")
   }
 
@@ -1074,7 +1076,8 @@ object VectorOps {
       SELECT d, list_dot_product(d, v$k.vk) AS sc FROM sc$k, v$k
     ),
     w$k AS (
-      SELECT dim, CAST(SUM(CAST(d[dim] * sc AS DECIMAL(38,12))) AS DOUBLE) AS w
+      SELECT dim, CAST(SUM(CAST(floor(d[dim] * sc * 1e12 + 0.5)
+                              AS HUGEINT)) AS DOUBLE) / 1e12 AS w
       FROM scd$k, generate_series(1, $Dim) AS g(dim)
       GROUP BY dim
     ),
@@ -1090,8 +1093,8 @@ object VectorOps {
                FROM embeddings),
     n AS (SELECT COUNT(*) AS n FROM e),
     mu0 AS (
-      SELECT dim, ROUND(CAST(SUM(CAST(v[dim] AS DECIMAL(38,12))) AS DOUBLE)
-                        / n.n, 6) AS m
+      SELECT dim, ROUND(CAST(SUM(CAST(floor(v[dim] * 1e12 + 0.5)
+                        AS HUGEINT)) AS DOUBLE) / 1e12 / n.n, 6) AS m
       FROM e, n, generate_series(1, $Dim) AS g(dim)
       GROUP BY dim, n.n),
     mu AS (SELECT list(m ORDER BY dim) AS m FROM mu0),
@@ -1103,17 +1106,19 @@ object VectorOps {
              list_dot_product(d, v${PcaIters + 1}.vk) AS sc
       FROM (SELECT label, list_transform(generate_series(1, $Dim),
                      i -> e.v[i] - mu.m[i]) AS d
-            FROM e, mu), v${PcaIters + 1})
-    SELECT label, COUNT(*) AS n_vecs,
-      ROUND(CAST(SUM(CAST(d2 AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6)
-        AS var_total,
-      ROUND(CAST(SUM(CAST(d2 AS DECIMAL(38,12)))
-                 - SUM(CAST(sc * sc AS DECIMAL(38,12))) AS DOUBLE)
-            / COUNT(*), 6) AS var_resid,
-      ROUND(CAST(SUM(CAST(sc * sc AS DECIMAL(38,12))) AS DOUBLE)
-            / CAST(SUM(CAST(d2 AS DECIMAL(38,12))) AS DOUBLE), 6)
-        AS removed_frac
-    FROM res GROUP BY label ORDER BY label"""
+            FROM e, mu), v${PcaIters + 1}),
+    fin AS (
+      SELECT label, COUNT(*) AS n_vecs,
+        CAST(SUM(CAST(floor(d2 * 1e12 + 0.5) AS HUGEINT)) AS DOUBLE)
+          / 1e12 AS sd2,
+        CAST(SUM(CAST(floor(sc * sc * 1e12 + 0.5) AS HUGEINT)) AS DOUBLE)
+          / 1e12 AS ss2
+      FROM res GROUP BY label)
+    SELECT label, n_vecs,
+      ROUND(sd2 / n_vecs, 6) AS var_total,
+      ROUND((sd2 - ss2) / n_vecs, 6) AS var_resid,
+      ROUND(ss2 / sd2, 6) AS removed_frac
+    FROM fin ORDER BY label"""
   }
 
   val embedPcaSql: String = {
@@ -1127,7 +1132,8 @@ object VectorOps {
       SELECT d, list_dot_product(d, v$k.vk) AS sc FROM sc$k, v$k
     ),
     w$k AS (
-      SELECT dim, CAST(SUM(CAST(d[dim] * sc AS DECIMAL(38,12))) AS DOUBLE) AS w
+      SELECT dim, CAST(SUM(CAST(floor(d[dim] * sc * 1e12 + 0.5)
+                              AS HUGEINT)) AS DOUBLE) / 1e12 AS w
       FROM scd$k, generate_series(1, $Dim) AS g(dim)
       GROUP BY dim
     ),
@@ -1142,8 +1148,8 @@ object VectorOps {
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     n AS (SELECT COUNT(*) AS n FROM e),
     mu0 AS (
-      SELECT dim, ROUND(CAST(SUM(CAST(v[dim] AS DECIMAL(38,12))) AS DOUBLE)
-                        / n.n, 6) AS m
+      SELECT dim, ROUND(CAST(SUM(CAST(floor(v[dim] * 1e12 + 0.5)
+                        AS HUGEINT)) AS DOUBLE) / 1e12 / n.n, 6) AS m
       FROM e, n, generate_series(1, $Dim) AS g(dim)
       GROUP BY dim, n.n),
     mu AS (SELECT list(m ORDER BY dim) AS m FROM mu0),
