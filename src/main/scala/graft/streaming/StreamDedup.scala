@@ -119,4 +119,48 @@ object StreamDedup {
       .groupBy("h")
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_seen"))
   }
+
+  /** Streaming twin of the ops.Retrieval.mmAlign GATE — multimodal
+    * pairs scored as they arrive: the documents stream STREAM-STATIC
+    * inner-joins the static embeddings table on id (stateless — the
+    * production shape: the encoder index is a published artifact, the
+    * crawl is the stream) and every alignment quantity is a per-row
+    * projection, so emissions ride pure Append mode with ZERO state:
+    * the hashed-BoW bucket counts fold into a 64-long array by HOFs
+    * (md5 once per token), the text·embedding dot product replays
+    * qsum128's exact arithmetic — Σ floor(cnt·e·1e6 + 0.5) as LONGS
+    * inside one aggregate() HOF, then double(Σ)/1e6 — so the per-doc
+    * cos6 is BIT-EQUAL to the batch operator's, and the cert
+    * re-aggregates emissions per source against the oracle-certified
+    * mm_align report (EventStreamSpec cert #18). */
+  def alignGateStream(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(spark)
+    val toks = split(col("text"), " ")
+    def bucketOf(w: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat(lit("clip:"), w)), 1, 8), 16, 10)
+        .cast("long") % 64
+    val e = graft.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        graft.functions.Vec.asDouble(col("embedding")).as("v"))
+    readDocs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        transform(toks, bucketOf(_)).as("barr"))
+      .join(e, col("doc_id") === col("vec_id"))
+      .withColumn("cnt", transform(sequence(lit(0L), lit(63L)),
+        b => size(filter(col("barr"), x => x === b)).cast("long")))
+      // qsum128's exact arithmetic, replayed stateless: quantized LONG
+      // terms, order-free exact sum, one double division at the end.
+      // cnt=0 buckets contribute floor(±0.0 + 0.5) = 0 — same sum as
+      // the batch op's cnt>0-only aggregation.
+      .withColumn("sq",
+        aggregate(sequence(lit(1), lit(64)), lit(0L), (acc, i) =>
+          acc + floor(element_at(col("cnt"), i) *
+            element_at(col("v"), i) * lit(1e6) + lit(0.5)).cast("long"))
+          .cast("double") / lit(1e6))
+      .withColumn("c2", aggregate(col("cnt"), lit(0L), (a, c) => a + c * c))
+      .withColumn("e2", call_function("vec_dot", col("v"), col("v")))
+      .select(col("doc_id"), col("source"),
+        round(col("sq") / (sqrt(col("c2").cast("double")) *
+          sqrt(col("e2"))), 6).as("cos6"))
+  }
 }

@@ -381,6 +381,28 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming mm_align gate (stream-static join, zero state) equals " +
+    "the batch per-source report") {
+    val q = StreamDedup.alignGateStream(spark, sfDir)
+      .writeStream.format("memory").queryName("align_out")
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    // Append mode, stateless: one emission per pair; re-aggregate the
+    // per-doc cos6 emissions per source exactly as the batch op does
+    val streamed = spark.table("align_out")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("cos6") > 0.0, 1L).otherwise(0L)).as("n_keep"),
+        graft.QueryDef.dsum(col("cos6"), 6).as("sum_cos"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val batch = graft.ops.Retrieval.mmAlign(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("streaming fluent-pipeline summary equals the batch EventPipeline") {
     val q = EventStream.pipelineSummary(spark, sfDir)
       .writeStream.format("memory").queryName("pipe_out")
