@@ -863,7 +863,86 @@ object TextDedup {
     FROM base b LEFT JOIN shared s ON s.source = b.source
     ORDER BY b.source"""
 
+  /** Bloom-filter pre-screen for exact dedup of an increment against
+    * the existing corpus, with measured false-positive accounting —
+    * the O(m)-memory membership shape that makes exact dedup cheap at
+    * 100 TB: the existing corpus compresses to an m-bit filter (here
+    * the DISTINCT set bit positions — ≤ m rows however large the
+    * corpus, a broadcast), each incoming doc probes k=3 md5-derived
+    * positions map-side, and only the FLAGGED minority ever needs the
+    * authoritative hash join. The audit columns (n_dup via the exact
+    * h-set, n_fp = flagged − dup) exist to MEASURE the filter at this
+    * m — in production the exact join runs only over flagged docs.
+    * False negatives are structurally impossible (a true duplicate
+    * probes exactly the bits its base twin set): n_flagged ≥ n_dup,
+    * spec-pinned. Bit positions are md5-derived (oracle-replayable,
+    * engine-independent) — the q_bloom_join recipe at the corpus
+    * membership grain. */
+  def dedupBloom(s: SparkSession, dir: String, m: Int = 8192): DataFrame = {
+    // md5-derived increment split (NOT doc_id % 4: ids correlate with
+    // source in the synthetic tables, which would silently drop 3/4 of
+    // the sources from the report)
+    val isNew = expr("""CAST(conv(substring(md5(concat('bsplit:',
+      CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 4""") === 0
+    val d = docs(s, dir).select(col("doc_id"), col("source"),
+      md5(col("text")).as("h"))
+    def posOf(j: Int) = expr(s"""CAST(conv(substring(md5(concat('bloom$j:',
+      h)), 1, 8), 16, 10) AS BIGINT) % $m""")
+    val posArr = array((1 to 3).map(posOf): _*)
+    val baseBits = d.filter(!isNew).select(explode(posArr).as("bit"))
+      .distinct().withColumn("hit", lit(1L))
+    val baseH = d.filter(!isNew).select(col("h")).distinct()
+      .withColumn("isdup", lit(1L))
+    val probed = d.filter(isNew)
+      .select(col("doc_id"), col("source"), col("h"),
+        explode(posArr).as("bit"))
+      .join(broadcast(baseBits), Seq("bit"), "left")
+      .groupBy("doc_id", "source", "h")
+      .agg(min(coalesce(col("hit"), lit(0L))).as("allhit"))
+    probed.join(baseH, Seq("h"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_inc"),
+        sum(col("allhit")).as("n_flagged"),
+        sum(coalesce(col("isdup"), lit(0L))).as("n_dup"),
+        sum(when(col("allhit") === 1L && col("isdup").isNull, 1L)
+          .otherwise(0L)).as("n_fp"))
+      .orderBy("source")
+  }
+
+  val dedupBloomSql: String = """
+    WITH d AS (
+      SELECT doc_id, source, md5(text) AS h,
+        CAST(('0x' || substring(md5('bsplit:' || CAST(doc_id AS VARCHAR)),
+          1, 8)) AS UBIGINT) % 4 AS sp
+      FROM documents),
+    base AS (SELECT * FROM d WHERE sp != 0),
+    inc AS (SELECT * FROM d WHERE sp = 0),
+    bbits AS (
+      SELECT DISTINCT
+        CAST(('0x' || substring(md5('bloom' || j || ':' || h), 1, 8))
+          AS UBIGINT) % 8192 AS bit
+      FROM base, generate_series(1, 3) AS g(j)),
+    probe AS (
+      SELECT doc_id, source, h,
+        CAST(('0x' || substring(md5('bloom' || j || ':' || h), 1, 8))
+          AS UBIGINT) % 8192 AS bit
+      FROM inc, generate_series(1, 3) AS g(j)),
+    flags AS (
+      SELECT doc_id, source, h,
+        MIN(CASE WHEN bit IN (SELECT bit FROM bbits) THEN 1 ELSE 0 END)
+          AS allhit
+      FROM probe GROUP BY doc_id, source, h)
+    SELECT source, COUNT(*) AS n_inc,
+      CAST(SUM(allhit) AS BIGINT) AS n_flagged,
+      CAST(SUM(CASE WHEN h IN (SELECT h FROM base) THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_dup,
+      CAST(SUM(CASE WHEN allhit = 1
+               AND h NOT IN (SELECT h FROM base) THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_fp
+    FROM flags GROUP BY source ORDER BY source"""
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("dedup_bloom", (s, d) => dedupBloom(s, d), Some(dedupBloomSql)),
     QueryDef("text_normalize", textNormalize, Some(textNormalizeSql)),
     QueryDef("dedup_soft", dedupSoft, Some(dedupSoftSql)),
     QueryDef("text_winnow", textWinnow, Some(textWinnowSql)),

@@ -1166,7 +1166,66 @@ object VectorOps {
     ORDER BY dim"""
   }
 
+  /** NDCG@k audit of the ANN family — the GRADED companion to
+    * ann_recall's set-overlap: a method that returns the right
+    * neighbors in the wrong order scores full recall but pays here.
+    * Relevance of candidate c for query q = 11 − exact_rank (the
+    * guarded brute-force top-10 is the ideal), 0 if outside the exact
+    * list; DCG@10 = Σ rel / log2(rank+1) over the method's ranked
+    * list, each term rounded at 6 dp so the per-query sum is
+    * order-free (dsum); NDCG divides by the ideal DCG computed by the
+    * SAME sequential fold in both engines (Spark aggregate() HOF ≡
+    * DuckDB list_reduce — identical operation order). Audit shape:
+    * like ann_recall, runs against the guarded exact baseline — at
+    * 100 TB you audit on a query SAMPLE, the method lists themselves
+    * stay bucketed. */
+  def annNdcg(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val (assigned, cents) = ivfAssign(s, dir)
+    val exact = Tables.hot(annCosine(s, dir)
+      .select(col("qid"), col("cid"), col("rn").as("erank")))
+    val idcg = expr("""aggregate(sequence(1, 10), CAST(0 AS DOUBLE),
+      (a, i) -> a + round((11 - i) / log2(i + 1), 6))""")
+    def one(m: String, df: DataFrame): DataFrame =
+      df.select(col("qid"), col("cid"), col("rn"))
+        .join(exact, Seq("qid", "cid"), "left")
+        .select(col("qid"),
+          round((lit(11) - coalesce(col("erank"), lit(11))).cast("double")
+            / log2(col("rn") + lit(1)), 6).as("t6"))
+        .groupBy("qid").agg(QueryDef.dsum(col("t6"), 6).as("dcg"))
+        .select(lit(m).as("method"), col("qid"), col("dcg"),
+          round(col("dcg") / idcg, 6).as("ndcg"))
+    Seq(one("ivf", annIvfFrom(e, assigned, cents)),
+      one("lsh", annLsh(s, dir)), one("pq", annPq(s, dir)))
+      .reduce(_ unionByName _)
+      .orderBy("method", "qid")
+  }
+
+  val annNdcgSql: String = s"""
+    WITH ex AS (SELECT qid, cid, rn AS erank FROM ($annCosineSql)),
+    m_ivf AS (SELECT qid, cid, rn FROM ($annIvfSql)),
+    m_lsh AS (SELECT qid, cid, rn FROM ($annLshSql)),
+    m_pq AS (SELECT qid, cid, rn FROM ($annPqSql)),
+    allm AS (
+      SELECT 'ivf' AS method, * FROM m_ivf
+      UNION ALL SELECT 'lsh', * FROM m_lsh
+      UNION ALL SELECT 'pq', * FROM m_pq),
+    t AS (
+      SELECT method, a.qid,
+        ROUND((11 - COALESCE(ex.erank, 11)) / log2(a.rn + 1), 6) AS t6
+      FROM allm a LEFT JOIN ex ON ex.qid = a.qid AND ex.cid = a.cid),
+    per AS (
+      SELECT method, qid,
+        CAST(SUM(CAST(t6 AS DECIMAL(18,6))) AS DOUBLE) AS dcg
+      FROM t GROUP BY method, qid),
+    idcg AS (
+      SELECT list_reduce(list_transform(generate_series(1, 10),
+        i -> round((11 - i) / log2(i + 1), 6)), (a, x) -> a + x) AS v)
+    SELECT method, qid, dcg, ROUND(dcg / idcg.v, 6) AS ndcg
+    FROM per, idcg ORDER BY method, qid"""
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("ann_ndcg", annNdcg, Some(annNdcgSql)),
     QueryDef("embed_pca", embedPca, Some(embedPcaSql)),
     QueryDef("embed_abtt", embedAbtt, Some(embedAbttSql)),
     QueryDef("ann_cosine", annCosine, Some(annCosineSql)),
