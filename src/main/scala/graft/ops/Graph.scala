@@ -583,7 +583,76 @@ object Graph {
              AS assortativity
     FROM m"""
 
+  /** k-core decomposition (the k=80 core) of the co-purchase graph by
+    * ROUND-SYNCHRONOUS peeling: each round simultaneously deletes
+    * every vertex whose current degree is < k, until a fixed point —
+    * the standard cohesive-subgraph primitive (Seidman 1983; fraud
+    * rings, community cores, graph sparsification). Simultaneous
+    * deletion makes the rounds deterministic and order-free (unlike
+    * sequential peeling), so the oracle replays the identical rounds
+    * as an unrolled CTE chain.
+    *
+    * Scale shape: each round is one map-side-combined degree aggregate
+    * plus two left-semi joins against the BROADCAST surviving-vertex
+    * set (vertex-state bound — the graph_triangles memory argument;
+    * beyond it the semi joins co-partition on the vertex key, same
+    * shape). `Tables.hotCount` folds the fixed-point check into the
+    * round's checkpoint job. Round count is data-dependent and capped
+    * LOUDLY at `maxRounds` (= the oracle's unroll depth, so the two
+    * engines cannot silently diverge on a slow-converging graph);
+    * peeling converges in a handful of rounds on real degree
+    * distributions. Emits the surviving vertices with their in-core
+    * degrees. */
+  def graphKcore(s: SparkSession, dir: String, k: Int = 80,
+                 maxRounds: Int = KcoreUnroll): DataFrame = {
+    def degOf(edges: DataFrame) =
+      edges.select(col("a").as("v")).unionAll(edges.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+    var (e, cnt) = Tables.hotCount(Tables.fanout(coEdges(s, dir)))
+    var prev = -1L
+    var rounds = 0
+    while (cnt != prev && rounds < maxRounds) {
+      prev = cnt
+      val keep = broadcast(degOf(e).filter(col("deg") >= k).select("v"))
+      val (h, c) = Tables.hotCount(
+        e.join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
+          .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
+          .select("a", "b"))
+      e = h
+      cnt = c
+      rounds += 1
+    }
+    require(cnt == prev,
+      s"graph_kcore: still peeling after $rounds rounds — raise maxRounds " +
+        "(and the oracle unroll) for this graph")
+    degOf(e).orderBy("v")
+  }
+
+  private val KcoreUnroll = 12
+
+  // each round CTE is referenced more than once downstream — without
+  // MATERIALIZED DuckDB inlines the chain and the plan (and the open
+  // file handles on the base scan) grow exponentially in the unroll
+  private def kcoreRoundSql(i: Int, k: Int): String = s"""
+    d$i AS MATERIALIZED (SELECT v, COUNT(*) AS deg FROM (
+              SELECT a AS v FROM e$i UNION ALL SELECT b FROM e$i)
+            GROUP BY v),
+    k$i AS MATERIALIZED (SELECT v FROM d$i WHERE deg >= $k),
+    e${i + 1} AS MATERIALIZED (SELECT a, b FROM e$i
+                  WHERE a IN (SELECT v FROM k$i)
+                    AND b IN (SELECT v FROM k$i))"""
+
+  val graphKcoreSql: String = s"""
+    WITH ${coEdgesSql.trim},
+    e0 AS MATERIALIZED (SELECT a, b FROM pairs),
+    ${(0 until KcoreUnroll).map(kcoreRoundSql(_, 80)).mkString(",")}
+    SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+      SELECT a AS v FROM e$KcoreUnroll
+      UNION ALL SELECT b FROM e$KcoreUnroll)
+    GROUP BY v ORDER BY v"""
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("graph_kcore", (s, d) => graphKcore(s, d), Some(graphKcoreSql)),
     QueryDef("q_hier_rollup", hierRollup, Some(hierRollupSql)),
     QueryDef("q_hier_rollup_edges", hierRollupEdges, Some(hierRollupEdgesSql)),
     QueryDef("graph_assortativity", assortativity, Some(assortativitySql)),
