@@ -215,6 +215,60 @@ object Bpe {
     WHERE d.w <> ''
     GROUP BY d.source ORDER BY d.source"""
 
+  /** Tokenizer fertility per LANGUAGE — the multilingual-equity metric
+    * (tokens-per-byte by lang, and parity = each language's fertility
+    * over the corpus-best): a tokenizer that fragments one script
+    * inflates that language's training cost and truncates its
+    * effective context, so multilingual pipelines audit exactly this
+    * table before freezing a tokenizer. Same byte-BPE encoder and
+    * shuffle-hash join-back as text_bpe_bytes, regrouped by `lang`;
+    * parity divides two identically-derived doubles (one IEEE divide,
+    * rounded at 6 dp — both engines agree given equal inputs). */
+  def textFertility(s: SparkSession, dir: String): DataFrame = {
+    val seqs = trainBytes(s, dir)._2
+      .select(col("w"), size(split(col("sq"), " ")).as("n_sym"),
+        octet_length(col("w")).cast("long").as("n_b"))
+    val per = Tables.fanout(Tables.load(s, dir, "documents"))
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .join(seqs.hint("shuffle_hash"), "w")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_b")).as("n_bytes"),
+        sum(col("n_sym")).as("n_bpe"),
+        round(sum(col("n_sym")).cast("double") / sum(col("n_b")), 6)
+          .as("bpe_per_byte"))
+    val best = broadcast(per.agg(min(col("bpe_per_byte")).as("best")))
+    per.crossJoin(best)
+      .select(col("lang"), col("n_words"), col("n_bytes"), col("n_bpe"),
+        col("bpe_per_byte"),
+        round(col("bpe_per_byte") / col("best"), 6).as("parity"))
+      .orderBy("lang")
+  }
+
+  val textFertilitySql: String = s"""
+    WITH $vocabBytesSql,
+    ${(1 to Rounds).map(roundBytesSql).mkString(",")},
+    enc AS (
+      SELECT w, len(string_split(sq, ' ')) AS n_sym,
+             octet_length(encode(w)) AS n_b
+      FROM seq$Rounds),
+    per AS (
+      SELECT d.lang, COUNT(*) AS n_words,
+             CAST(SUM(e.n_b) AS BIGINT) AS n_bytes,
+             CAST(SUM(e.n_sym) AS BIGINT) AS n_bpe,
+             ROUND(CAST(SUM(e.n_sym) AS DOUBLE) / SUM(e.n_b), 6)
+               AS bpe_per_byte
+      FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+            FROM documents) d
+      JOIN enc e ON d.w = e.w
+      WHERE d.w <> ''
+      GROUP BY d.lang),
+    best AS (SELECT MIN(bpe_per_byte) AS best FROM per)
+    SELECT lang, n_words, n_bytes, n_bpe, bpe_per_byte,
+           ROUND(bpe_per_byte / best, 6) AS parity
+    FROM per, best ORDER BY lang"""
+
   // ---- oracle: the merge loop unrolled in SQL ------------------------
 
   private val vocabSql = """
@@ -275,5 +329,6 @@ object Bpe {
   def all: Seq[QueryDef] = Seq(
     QueryDef("text_bpe_train", bpeTrain, Some(bpeTrainSql)),
     QueryDef("text_bpe_encode", bpeEncode, Some(bpeEncodeSql)),
-    QueryDef("text_bpe_bytes", bpeBytes, Some(bpeBytesSql)))
+    QueryDef("text_bpe_bytes", bpeBytes, Some(bpeBytesSql)),
+    QueryDef("text_fertility", textFertility, Some(textFertilitySql)))
 }

@@ -79,4 +79,26 @@ class BpeSpec extends SparkSpec {
       assert(r.getDouble(5) <= 1.0)
     }
   }
+
+  test("text_fertility: parity floors at 1.0 on the best language and " +
+    "the table conserves the corpus against text_bpe_bytes") {
+    val fert = Bpe.textFertility(spark, sfDir).collect()
+    val bytes = Bpe.bpeBytes(spark, sfDir).collect()
+    assert(fert.nonEmpty)
+    fert.foreach { r =>
+      val (w, b, t) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(t <= b && t >= w, s"fertility bounds violated: $r")
+      // bpe_per_byte is exactly the row's own ratio at 6 dp
+      val want = BigDecimal(java.math.BigDecimal.valueOf(t.toDouble / b))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(4) == want, s"ratio mismatch: $r")
+      assert(r.getDouble(5) >= 1.0, s"parity below 1: $r")
+    }
+    assert(fert.exists(_.getDouble(5) == 1.0), "no best language at parity 1")
+    // same corpus, different grouping: word/byte/token totals conserve
+    def tot(rs: Array[org.apache.spark.sql.Row], i: Int) =
+      rs.map(_.getLong(i)).sum
+    assert(tot(fert, 1) == tot(bytes, 1) && tot(fert, 2) == tot(bytes, 2)
+      && tot(fert, 3) == tot(bytes, 3), "lang and source totals diverge")
+  }
 }
