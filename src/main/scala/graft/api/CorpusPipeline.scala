@@ -42,6 +42,18 @@ final case class CorpusPipeline(df: DataFrame) {
           >= minDistinctRatio))
   }
 
+  /** Gopher rule gate (Rae et al. 2021 §A1.1) as a chain step — the
+    * published heavier sibling of [[qualityFilter]]: word-count band,
+    * mean word length, stop-word presence, alphabetic-word ratio and
+    * symbol ratio, every comparison in cross-multiplied integer
+    * arithmetic. The predicates are THE SAME column expressions the
+    * registered `text_gopher` report certifies against the oracle
+    * (ops.Retrieval.gopherRules — one definition, no drift), and the
+    * step is a pure within-row filter Catalyst pushes to the scan. */
+  def gopherFilter(): CorpusPipeline =
+    CorpusPipeline(df.filter(
+      !graft.ops.Retrieval.gopherRules.map(_._2).reduce(_ || _)))
+
   /** Cross-corpus duplicate-BLOCK removal (the ops.Corpus
     * dedup_paragraphs rewrite as a chain step): every 10-token block
     * already seen at a smaller (doc_id, pos) is dropped and the

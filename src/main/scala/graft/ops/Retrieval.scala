@@ -174,21 +174,27 @@ object Retrieval {
     *  - alpha: fewer than 80% of words contain a letter
     *  - sym: more than 10% of words are symbol marks (#, ...)
     * One corpus pass, one map-side-combined aggregate on source. */
-  def textGopher(s: SparkSession, dir: String): DataFrame = {
+  /** The five Gopher VIOLATION predicates over a `text` column — ONE
+    * definition shared by the registered report and the fluent
+    * CorpusPipeline.gopherFilter step, so the two cannot drift. */
+  private[graft] def gopherRules: Seq[(String, org.apache.spark.sql.Column)] = {
+    val t = Text.toks
+    val dl = size(t)
+    val wc = length(col("text")) - (size(t) - 1)
     val stops = array(Seq("the", "a", "of", "and", "to", "in").map(lit): _*)
-    val d = docs(s, dir).select(col("source"),
-      size(toks).as("dl"),
-      (length(col("text")) - (size(toks) - 1)).as("wc"),
-      size(array_intersect(array_distinct(toks), stops)).as("nstop"),
-      size(filter(toks, x => x.rlike("[A-Za-z]"))).as("nalpha"),
-      size(filter(toks, x => x === "#" || x === "...")).as("nsym"))
-      .select(col("source"),
-        (col("dl") < 50 || col("dl") > 100000).as("v_nwords"),
-        (col("wc") < lit(3) * col("dl") || col("wc") > lit(10) * col("dl"))
-          .as("v_meanlen"),
-        (col("nstop") < 2).as("v_stop"),
-        (lit(5) * col("nalpha") < lit(4) * col("dl")).as("v_alpha"),
-        (lit(10) * col("nsym") > col("dl")).as("v_sym"))
+    Seq(
+      "v_nwords" -> (dl < 50 || dl > 100000),
+      "v_meanlen" -> (wc < lit(3) * dl || wc > lit(10) * dl),
+      "v_stop" -> (size(array_intersect(array_distinct(t), stops)) < 2),
+      "v_alpha" ->
+        (lit(5) * size(filter(t, x => x.rlike("[A-Za-z]"))) < lit(4) * dl),
+      "v_sym" ->
+        (lit(10) * size(filter(t, x => x === "#" || x === "...")) > dl))
+  }
+
+  def textGopher(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(
+      col("source") +: gopherRules.map { case (n, c) => c.as(n) }: _*)
     def cnt(c: String) = sum(when(col(c), 1L).otherwise(0L)).as(c)
     d.groupBy("source")
       .agg(count(lit(1)).as("n_docs"), cnt("v_nwords"), cnt("v_meanlen"),

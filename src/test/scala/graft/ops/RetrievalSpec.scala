@@ -88,6 +88,19 @@ class RetrievalSpec extends SparkSpec {
     assert(got == want, "gopher report diverges from the recompute")
   }
 
+  test("CorpusPipeline.gopherFilter keeps exactly the report's n_keep " +
+    "docs per source") {
+    val kept = graft.api.CorpusPipeline(
+        graft.Tables.load(spark, sfDir, "documents"))
+      .gopherFilter().df
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val report = Retrieval.textGopher(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(7)).filter(_._2 > 0).toMap
+    assert(report.nonEmpty)
+    assert(kept == report, "pipeline step and report keep sets diverge")
+  }
+
   test("mm_align: per-source report matches a plain-Scala recomputation") {
     val emb = graft.Tables.load(spark, sfDir, "embeddings")
       .select("vec_id", "embedding").collect()
