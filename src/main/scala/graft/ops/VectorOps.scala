@@ -200,8 +200,11 @@ object VectorOps {
       .orderBy("qid", "rn")
   }
 
-  val annIvfSql: String = s"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  /** The coarse-assignment CTE chain (embeddings → one unrolled Lloyd
+    * iteration mirroring kmeansIterate → per-vector argmin cell),
+    * shared by the IVF search oracle and corpus_cluster_topics. */
+  private val ivfAssignCtes: String = s"""
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     cents0 AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < $NCells),
     -- one unrolled Lloyd iteration, mirroring kmeansIterate: argmin
     -- assignment, then decimal-exact per-dimension means
@@ -224,7 +227,10 @@ object VectorOps {
           list_sum(list_transform(generate_series(1, len(e.v)),
             i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))), c.cent_id) AS crk
       FROM e CROSS JOIN cents c),
-    assigned AS (SELECT vec_id, v, cent_id FROM assign_ranked WHERE crk = 1),
+    assigned AS (SELECT vec_id, v, cent_id FROM assign_ranked WHERE crk = 1)"""
+
+  val annIvfSql: String = s"""
+    WITH ${ivfAssignCtes.trim},
     qp_ranked AS (
       SELECT e.vec_id AS qid, e.v AS qv, c.cent_id,
         ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
@@ -1224,8 +1230,80 @@ object VectorOps {
     SELECT method, qid, dcg, ROUND(dcg / idcg.v, 6) AS ndcg
     FROM per, idcg ORDER BY method, qid"""
 
+  /** Cluster DATASHEET for the embedding corpus — per IVF cell, the
+    * terms most over-represented vs the whole corpus (TF lift =
+    * in-cell rate over global rate): the interpretability table a
+    * curation pipeline prints next to any clustering (what IS cluster
+    * 7?). Composes the trained coarse structure (ivfAssign — the same
+    * cells ann_ivf searches and corpus_semantic_dedup prunes) with the
+    * paired documents' tokens.
+    *
+    * Determinism + scale: counts are map-side-combined integer
+    * aggregates; lift divides integer-derived doubles with fixed
+    * parenthesization ((n_cw/n_c) / (n_w/n_tot) — no integer product
+    * that could overflow at corpus scale) and rounds at 6 dp before
+    * the (lift DESC, term) ranking; the per-cell window partitions on
+    * cent_id (NCells partitions, never global); global term counts are
+    * a broadcast. Minimum support n_cw ≥ 5 keeps singleton-term lift
+    * spikes out. */
+  def corpusClusterTopics(s: SparkSession, dir: String,
+                          topK: Int = 3): DataFrame = {
+    val (assigned, _) = ivfAssign(s, dir)
+    val tok = Tables.fanout(Tables.load(s, dir, "documents"))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val cw = tok
+      .join(assigned.select(col("vec_id"), col("cent_id")),
+        col("doc_id") === col("vec_id"))
+      .groupBy("cent_id", "w").agg(count(lit(1)).as("n_cw"))
+    val cc = cw.groupBy("cent_id").agg(sum("n_cw").as("n_c"))
+    val gw = broadcast(cw.groupBy("w").agg(sum("n_cw").as("n_w")))
+    val tot = broadcast(cw.agg(sum("n_cw").as("n_tot")))
+    val lift = cw.join(cc, "cent_id").join(gw, "w").crossJoin(tot)
+      .filter(col("n_cw") >= 5)
+      .select(col("cent_id"), col("w"), col("n_cw"),
+        round((col("n_cw").cast("double") / col("n_c"))
+          / (col("n_w").cast("double") / col("n_tot")), 6).as("lift"))
+    lift.withColumn("rn", row_number().over(
+        Window.partitionBy("cent_id").orderBy(col("lift").desc, col("w"))))
+      .filter(col("rn") <= topK)
+      .select(col("cent_id"), col("rn"), col("w").as("term"),
+        col("n_cw"), col("lift"))
+      .orderBy("cent_id", "rn")
+  }
+
+  val corpusClusterTopicsSql: String = s"""
+    WITH ${ivfAssignCtes.trim},
+    tok AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents)
+      WHERE w <> ''),
+    cw AS (
+      SELECT a.cent_id, t.w, COUNT(*) AS n_cw
+      FROM tok t JOIN assigned a ON t.doc_id = a.vec_id
+      GROUP BY a.cent_id, t.w),
+    cc AS (SELECT cent_id, SUM(n_cw) AS n_c FROM cw GROUP BY cent_id),
+    gw AS (SELECT w, SUM(n_cw) AS n_w FROM cw GROUP BY w),
+    tot AS (SELECT SUM(n_cw) AS n_tot FROM cw),
+    lift AS (
+      SELECT cent_id, w, n_cw,
+        ROUND((CAST(n_cw AS DOUBLE) / n_c)
+          / (CAST(n_w AS DOUBLE) / n_tot), 6) AS lift
+      FROM cw JOIN cc USING (cent_id) JOIN gw USING (w), tot
+      WHERE n_cw >= 5),
+    ranked AS (
+      SELECT cent_id, w, n_cw, lift,
+        ROW_NUMBER() OVER (PARTITION BY cent_id
+                           ORDER BY lift DESC, w) AS rn
+      FROM lift)
+    SELECT cent_id, rn, w AS term, CAST(n_cw AS BIGINT) AS n_cw, lift
+    FROM ranked WHERE rn <= 3 ORDER BY cent_id, rn"""
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("ann_ndcg", annNdcg, Some(annNdcgSql)),
+    QueryDef("corpus_cluster_topics", (s, d) => corpusClusterTopics(s, d),
+      Some(corpusClusterTopicsSql)),
     QueryDef("embed_pca", embedPca, Some(embedPcaSql)),
     QueryDef("embed_abtt", embedAbtt, Some(embedAbttSql)),
     QueryDef("ann_cosine", annCosine, Some(annCosineSql)),

@@ -51,6 +51,28 @@ class BloomNdcgSpec extends SparkSpec {
     assert(got.exists(_._5 > 0), "m=64 produced no false positives")
   }
 
+  test("corpus_cluster_topics: ranked prefix of the full lift table, " +
+    "support floor and per-cell ordering hold") {
+    val top = VectorOps.corpusClusterTopics(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3),
+        r.getDouble(4)))
+    val full = VectorOps.corpusClusterTopics(spark, sfDir, topK = 1000)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(top.nonEmpty)
+    top.foreach { case (_, rn, _, n, _) =>
+      assert(rn >= 1 && rn <= 3 && n >= 5)
+    }
+    top.groupBy(_._1).foreach { case (cell, rows) =>
+      val lifts = rows.sortBy(_._2).map(_._5)
+      assert(lifts.sameElements(lifts.sorted.reverse),
+        s"cell $cell not ordered by lift")
+    }
+    // the registered top-3 is exactly the head of the full ranking
+    assert(top.toSet == full.filter(_._2 <= 3).toSet,
+      "top-3 is not a prefix of the full lift ranking")
+  }
+
   test("ann_ndcg matches a plain-Scala NDCG recomputation of the lsh list") {
     val exact = VectorOps.annCosine(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(3)).toMap
