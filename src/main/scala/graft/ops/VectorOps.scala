@@ -1300,7 +1300,54 @@ object VectorOps {
     SELECT cent_id, rn, w AS term, CAST(n_cw AS BIGINT) AS n_cw, lift
     FROM ranked WHERE rn <= 3 ORDER BY cent_id, rn"""
 
+  /** Hard-negative mining for contrastive training (the DPR/SimCLR
+    * data-prep step): per query, the top-k most-similar vectors with a
+    * DIFFERENT label — the negatives that actually move a contrastive
+    * loss, vs random negatives the model separates for free. Same
+    * guarded broadcast-query shape as ann_cosine (the registered
+    * small-scale exact baseline; at 100 TB the identical contract runs
+    * per IVF cell — assign queries and corpus, mine within probed
+    * cells); the wrong-label predicate rides the broadcast join. */
+  def sampleHardneg(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val e = Tables.fanout(Tables.load(s, dir, "embeddings"))
+      .select(col("vec_id"), Vec.asDouble(col("embedding")).as("v"),
+        col("label"))
+    guardAllPairs("sample_hardneg", e, "an IVF-bucketed variant")
+    val q = e.filter(expr(QueryFilter))
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("label").as("qlab"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    e.join(broadcast(q), col("label") =!= col("qlab"))
+      .select(col("qid"), col("qlab"), col("vec_id").as("cid"),
+        col("label").as("clab"), Vec.cosine(col("qv"), col("v")).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("qlab"), col("cid"), col("clab"),
+        round(col("cos"), 6).as("score"), col("rn"))
+      .orderBy("qid", "rn")
+  }
+
+  val sampleHardnegSql: String = s"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+               FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv, label AS qlab
+          FROM e WHERE $QueryFilter),
+    pairs AS (
+      SELECT q.qid, q.qlab, e.vec_id AS cid, e.label AS clab,
+        list_dot_product(q.qv, e.v) /
+          (sqrt(list_dot_product(q.qv, q.qv))
+           * sqrt(list_dot_product(e.v, e.v))) AS cos
+      FROM q CROSS JOIN e WHERE e.label != q.qlab),
+    ranked AS (
+      SELECT qid, qlab, cid, clab, cos,
+        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+      FROM pairs)
+    SELECT qid, qlab, cid, clab, ROUND(cos, 6) AS score, rn
+    FROM ranked WHERE rn <= 5 ORDER BY qid, rn"""
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("sample_hardneg", (s, d) => sampleHardneg(s, d),
+      Some(sampleHardnegSql)),
     QueryDef("ann_ndcg", annNdcg, Some(annNdcgSql)),
     QueryDef("corpus_cluster_topics", (s, d) => corpusClusterTopics(s, d),
       Some(corpusClusterTopicsSql)),

@@ -51,6 +51,31 @@ class BloomNdcgSpec extends SparkSpec {
     assert(got.exists(_._5 > 0), "m=64 produced no false positives")
   }
 
+  test("sample_hardneg: wrong-label only, ordered, and the mined top-1 " +
+    "dominates every other wrong-label candidate") {
+    val rows = VectorOps.sampleHardneg(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getDouble(4), r.getInt(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, ql, _, cl, _, _) => assert(ql != cl) }
+    val emb = graft.Tables.load(spark, sfDir, "embeddings").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map(x => x._1 * x._2).sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    rows.groupBy(_._1).foreach { case (qid, rs) =>
+      val scores = rs.sortBy(_._6).map(_._5)
+      assert(scores.sameElements(scores.sorted.reverse), s"q$qid unordered")
+      val (_, qv, qlab) = emb.find(_._1 == qid).get
+      val best = emb.filter(_._3 != qlab)
+        .map(c => cos(qv, c._2)).max
+      assert(math.abs(scores.head - best) < 1e-5,
+        s"q$qid top negative is not the max wrong-label cosine")
+    }
+  }
+
   test("corpus_cluster_topics: ranked prefix of the full lift table, " +
     "support floor and per-cell ordering hold") {
     val top = VectorOps.corpusClusterTopics(spark, sfDir).collect()
