@@ -1411,7 +1411,83 @@ object Corpus {
                  / n, 6) AS achieved
     FROM j GROUP BY 1, 2, 3, thr ORDER BY 1"""
 
+  /** Zipf-law audit per source — the corpus-naturalness datasheet row:
+    * OLS slope and R² of ln(freq) on ln(rank) over the top-1000 terms
+    * (natural text runs slope ≈ −1; machine-generated or boilerplated
+    * sources drift flat or cliff — a standard screen next to
+    * text_entropy/text_repetition). Determinism: ln of INTEGER-derived
+    * counts/ranks rounds at 6 dp before any sum (the text_langid_stat
+    * recipe), the five OLS sums ride dsum (products of two 6-dp values
+    * are exact 12-dp decimals — within the dsum128 digit envelope, and
+    * the double product sits ≪ 0.5 ulp-of-1e-12 from it so both
+    * engines quantize identically), and the slope/R² formulas divide
+    * with fixed parenthesization then round at 6 dp. One token pass,
+    * one per-source rank window over ≤1000 rows per source. */
+  def corpusZipf(s: SparkSession, dir: String, topR: Int = 1000): DataFrame = {
+    graft.GraftFunctions.register(s)
+    val freq = docs(s, dir)
+      .select(col("source"), explode(toks).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("source", "w").agg(count(lit(1)).as("freq"))
+    val ranked = freq.withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy(col("freq").desc, col("w"))))
+      .filter(col("rk") <= topR)
+      .select(col("source"),
+        round(log(col("rk").cast("double")), 6).as("x"),
+        round(log(col("freq").cast("double")), 6).as("y"))
+    ranked.groupBy("source")
+      .agg(count(lit(1)).as("n_terms"),
+        graft.QueryDef.dsum(col("x"), 6).as("sx"),
+        graft.QueryDef.dsum(col("y"), 6).as("sy"),
+        // scale-12 products exceed dsum128's scale cap; the sums are
+        // ≤1000 rows per source, so the plain decimal route is free
+        graft.QueryDef.dsumDec(col("x") * col("x"), 12).as("sxx"),
+        graft.QueryDef.dsumDec(col("y") * col("y"), 12).as("syy"),
+        graft.QueryDef.dsumDec(col("x") * col("y"), 12).as("sxy"))
+      .select(col("source"), col("n_terms"),
+        round((col("n_terms") * col("sxy") - col("sx") * col("sy"))
+          / (col("n_terms") * col("sxx") - col("sx") * col("sx")), 6)
+          .as("slope"),
+        round(((col("n_terms") * col("sxy") - col("sx") * col("sy"))
+          * (col("n_terms") * col("sxy") - col("sx") * col("sy")))
+          / ((col("n_terms") * col("sxx") - col("sx") * col("sx"))
+            * (col("n_terms") * col("syy") - col("sy") * col("sy"))), 6)
+          .as("r2"))
+      .orderBy("source")
+  }
+
+  val corpusZipfSql: String = """
+    WITH freq AS (
+      SELECT source, w, COUNT(*) AS freq
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+      WHERE w <> '' GROUP BY source, w),
+    ranked AS (
+      SELECT source,
+        ROUND(ln(CAST(ROW_NUMBER() OVER (PARTITION BY source
+          ORDER BY freq DESC, w) AS DOUBLE)), 6) AS x,
+        ROUND(ln(CAST(freq AS DOUBLE)), 6) AS y
+      FROM freq
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY source
+        ORDER BY freq DESC, w) <= 1000),
+    m AS (
+      SELECT source, COUNT(*) AS n_terms,
+        CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+        CAST(SUM(CAST(x * x AS DECIMAL(18,12))) AS DOUBLE) AS sxx,
+        CAST(SUM(CAST(y * y AS DECIMAL(18,12))) AS DOUBLE) AS syy,
+        CAST(SUM(CAST(x * y AS DECIMAL(18,12))) AS DOUBLE) AS sxy
+      FROM ranked GROUP BY source)
+    SELECT source, n_terms,
+      ROUND((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx), 6)
+        AS slope,
+      ROUND(((n_terms * sxy - sx * sy) * (n_terms * sxy - sx * sy))
+        / ((n_terms * sxx - sx * sx) * (n_terms * syy - sy * sy)), 6)
+        AS r2
+    FROM m ORDER BY source"""
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("corpus_zipf", (s, d) => corpusZipf(s, d), Some(corpusZipfSql)),
     QueryDef("chunk_cdc", chunkCdc, Some(chunkCdcSql)),
     QueryDef("sample_temperature", sampleTemperature, Some(sampleTemperatureSql)),
     QueryDef("sample_importance", sampleImportance, Some(sampleImportanceSql)),

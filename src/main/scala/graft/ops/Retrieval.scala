@@ -40,7 +40,11 @@ object Retrieval {
     * document frequencies and the corpus length stats are tiny
     * broadcasts. Top-k lands in TakeOrderedAndProject — no global
     * sort. */
-  private def bm25Scores(s: SparkSession, dir: String): DataFrame = {
+  /** The frozen per-term index artifact (w, idf6, avgdl) — built once
+    * from the corpus; the streaming scorer broadcasts it as the static
+    * side (the production pattern: stats frozen from yesterday's
+    * corpus, today's crawl scored against them). */
+  private[graft] def bm25Stats(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select(col("doc_id"), size(toks).as("dl"))
     val hits = docs(s, dir)
       .select(col("doc_id"), size(toks).as("dl"), explode(toks).as("w"))
@@ -48,16 +52,27 @@ object Retrieval {
       .groupBy("doc_id", "dl", "w").agg(count(lit(1)).as("tf"))
     val stats = broadcast(d.agg(count(lit(1)).as("n"),
       sum(col("dl")).as("sl")))
-    val dfTab = broadcast(hits.groupBy("w").agg(count(lit(1)).as("df")))
-    hits.join(dfTab, "w").crossJoin(stats)
-      .select(col("doc_id"), col("tf"), col("dl"),
-        (col("sl").cast("double") / col("n")).as("avgdl"),
+    hits.groupBy("w").agg(count(lit(1)).as("df")).crossJoin(stats)
+      .select(col("w"),
         round(log((col("n") - col("df") + lit(0.5)) /
-          (col("df") + lit(0.5)) + lit(1.0)), 6).as("idf6"))
-      .select(col("doc_id"),
-        round(col("idf6") * (col("tf") * lit(2.2) /
-          (col("tf") + lit(1.2) * (lit(0.25) +
-            lit(0.75) * col("dl") / col("avgdl")))), 6).as("ts6"))
+          (col("df") + lit(0.5)) + lit(1.0)), 6).as("idf6"),
+        (col("sl").cast("double") / col("n")).as("avgdl"))
+  }
+
+  /** The BM25 per-(doc, term) partial score expression — ONE
+    * definition shared by the batch scorer and the streaming twin. */
+  private[graft] def bm25Ts6: org.apache.spark.sql.Column =
+    round(col("idf6") * (col("tf") * lit(2.2) /
+      (col("tf") + lit(1.2) * (lit(0.25) +
+        lit(0.75) * col("dl") / col("avgdl")))), 6)
+
+  private[graft] def bm25Scores(s: SparkSession, dir: String): DataFrame = {
+    val hits = docs(s, dir)
+      .select(col("doc_id"), size(toks).as("dl"), explode(toks).as("w"))
+      .filter(col("w").isin(QTerms: _*))
+      .groupBy("doc_id", "dl", "w").agg(count(lit(1)).as("tf"))
+    hits.join(broadcast(bm25Stats(s, dir)), "w")
+      .select(col("doc_id"), bm25Ts6.as("ts6"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_hit"), QueryDef.dsum(col("ts6"), 6).as("score"))
   }

@@ -133,6 +133,37 @@ object StreamDedup {
     * cos6 is BIT-EQUAL to the batch operator's, and the cert
     * re-aggregates emissions per source against the oracle-certified
     * mm_align report (EventStreamSpec cert #18). */
+  /** Streaming twin of the BM25 scorer — documents scored as they
+    * arrive against the FROZEN index artifact (ops.Retrieval.bm25Stats:
+    * per-term idf6 + corpus avgdl, built batch and broadcast as the
+    * static side — the production pattern: stats frozen from
+    * yesterday's corpus, today's crawl scored against them). Term
+    * frequency is STATELESS (a filter() HOF over the carried token
+    * array — the batch side's per-(doc, term) aggregate is not
+    * available under the one-aggregation streaming rule), the partial
+    * score is the SAME shared bm25Ts6 expression, and the per-doc
+    * (n_hit, dsum score) aggregate is the single allowed streaming
+    * aggregation (Update mode; score is monotone non-decreasing across
+    * emissions since partial scores are positive, so the max emission
+    * per doc is the final state). Final per-doc rows equal
+    * ops.Retrieval.bm25Scores exactly (EventStreamSpec cert #19). */
+  def bm25ScoreStream(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(spark)
+    val stats = broadcast(graft.Tables.hot(
+      graft.ops.Retrieval.bm25Stats(spark, dir)))
+    val t = split(col("text"), " ")
+    readDocs(spark, dir)
+      .select(col("doc_id"), t.as("tk"), size(t).as("dl"))
+      .crossJoin(stats)
+      .withColumn("tf",
+        size(filter(col("tk"), x => x === col("w"))).cast("long"))
+      .filter(col("tf") > 0)
+      .select(col("doc_id"), graft.ops.Retrieval.bm25Ts6.as("ts6"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit"),
+        graft.QueryDef.dsum(col("ts6"), 6).as("score"))
+  }
+
   def alignGateStream(spark: SparkSession, dir: String): DataFrame = {
     graft.GraftFunctions.register(spark)
     val toks = split(col("text"), " ")

@@ -80,4 +80,34 @@ class CorpusSpec extends SparkSpec {
       .head().getDouble(1)
     assert(math.abs(h - math.log(4)) < 1e-12)
   }
+
+  test("corpus_zipf: slope/R2 match a plain-Scala OLS recomputation") {
+    def r(v: Double, s: Int): BigDecimal =
+      BigDecimal(java.math.BigDecimal.valueOf(v))
+        .setScale(s, BigDecimal.RoundingMode.HALF_UP)
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select("source", "text").collect()
+      .map(x => (x.getString(0), x.getString(1).split(" ").filter(_.nonEmpty)))
+    val want = docs.groupBy(_._1).map { case (src, ds) =>
+      val freq = ds.flatMap(_._2).groupBy(identity)
+        .map { case (w, xs) => w -> xs.length }.toSeq
+        .sortBy { case (w, f) => (-f, w) }.take(1000)
+      val pts = freq.zipWithIndex.map { case ((_, f), i) =>
+        (r(math.log(i + 1.0), 6).toDouble, r(math.log(f.toDouble), 6).toDouble)
+      }
+      val n = pts.size.toDouble
+      val sx = pts.map(p => r(p._1, 6)).sum.toDouble
+      val sy = pts.map(p => r(p._2, 6)).sum.toDouble
+      val sxx = pts.map(p => r(p._1 * p._1, 12)).sum.toDouble
+      val syy = pts.map(p => r(p._2 * p._2, 12)).sum.toDouble
+      val sxy = pts.map(p => r(p._1 * p._2, 12)).sum.toDouble
+      val slope = r((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).toDouble
+      val r2 = r((n * sxy - sx * sy) * (n * sxy - sx * sy)
+        / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6).toDouble
+      (src, pts.size.toLong, slope, r2)
+    }.toSet
+    val got = Corpus.corpusZipf(spark, sfDir).collect().map(x =>
+      (x.getString(0), x.getLong(1), x.getDouble(2), x.getDouble(3))).toSet
+    assert(got == want, "zipf OLS diverges from the recompute")
+  }
 }

@@ -381,6 +381,27 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming BM25 scoring against the frozen index equals the " +
+    "batch scorer per document") {
+    val q = StreamDedup.bm25ScoreStream(spark, sfDir)
+      .writeStream.format("memory").queryName("bm25_out")
+      .outputMode(OutputMode.Update()).start()
+    try q.processAllAvailable() finally q.stop()
+    // Update mode: partial scores are positive so score is monotone
+    // non-decreasing per doc — the max emission is the final state
+    val streamed = spark.table("bm25_out")
+      .groupBy("doc_id")
+      .agg(max(struct(col("score"), col("n_hit"))).as("m"))
+      .select(col("doc_id"), col("m.n_hit"), col("m.score"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val batch = graft.ops.Retrieval.bm25Scores(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("streaming mm_align gate (stream-static join, zero state) equals " +
     "the batch per-source report") {
     val q = StreamDedup.alignGateStream(spark, sfDir)
