@@ -754,7 +754,59 @@ object TimeSeries {
       ROUND(theta, 6) AS theta
     FROM m, th ORDER BY variant"""
 
+  /** Exact trailing rolling MEDIAN — the robust smoother next to
+    * q_ewma's exponential mean (a single fat-finger order skews a mean
+    * for 7 days; the median shrugs it off). Daily value totals
+    * quantize to integer CENTS (floor(v·100 + 0.5) — the
+    * engine-unambiguous idiom) so the median is EXACT integer
+    * arithmetic: the frame's sorted cent list yields 2·median as the
+    * sum of the two middle elements (odd frames: the middle twice),
+    * and the reported median = med2/200.0 is an exact ≤3-dp decimal —
+    * no cross-engine rounding surface at all. One per-key window; the
+    * 7-row frame bounds the per-row sort at O(7 log 7). Neither
+    * engine's built-in median() is used — both sides compute the same
+    * sorted-list formula, so interpolation conventions cannot
+    * diverge. */
+  def rollMedian(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.loadEventsUs(s, dir)
+      .withColumn("day", expr("ts_us DIV 86400000000"))
+      .groupBy("event_type", "day")
+      .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+        .as("cents"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-6, Window.currentRow)
+    daily
+      .withColumn("fr", array_sort(collect_list(col("cents")).over(w)))
+      .select(col("event_type"), col("day"), col("cents"),
+        (element_at(col("fr"), expr("CAST((size(fr) - 1) DIV 2 + 1 AS INT)"))
+          + element_at(col("fr"), expr("CAST(size(fr) DIV 2 + 1 AS INT)")))
+          .as("med2"))
+      .select(col("event_type"), col("day"), col("cents"), col("med2"),
+        (col("med2") / lit(200.0)).as("median"))
+      .orderBy("event_type", "day")
+  }
+
+  val rollMedianSql: String = """
+    WITH daily AS (
+      SELECT event_type,
+        epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+          AS cents
+      FROM events GROUP BY 1, 2),
+    fr AS (
+      SELECT event_type, day, cents,
+        list_sort(list(cents) OVER (PARTITION BY event_type ORDER BY day
+          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS fr
+      FROM daily)
+    SELECT event_type, day, cents,
+      CAST(fr[(len(fr) - 1) // 2 + 1] + fr[len(fr) // 2 + 1] AS BIGINT)
+        AS med2,
+      CAST(fr[(len(fr) - 1) // 2 + 1] + fr[len(fr) // 2 + 1] AS BIGINT)
+        / CAST(200.0 AS DOUBLE) AS median
+    FROM fr ORDER BY event_type, day"""
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("q_roll_median", rollMedian, Some(rollMedianSql)),
     QueryDef("q_ab_cuped", abCuped, Some(abCupedSql)),
     QueryDef("q_trend_ols", trendOls, Some(trendOlsSql)),
     QueryDef("q_forecast_naive", forecastNaive, Some(forecastNaiveSql)),

@@ -280,4 +280,26 @@ class GraphTimeSeriesSpec extends SparkSpec {
       }
     }
   }
+
+  test("q_roll_median matches a plain-Scala trailing-frame recomputation") {
+    val daily = graft.Tables.loadEventsUs(spark, sfDir)
+      .select(col("event_type"), expr("ts_us DIV 86400000000").as("day"),
+        col("value")).collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        math.floor(r.getDouble(2) * 100 + 0.5).toLong))
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sum }
+    val want = daily.groupBy(_._1._1).flatMap { case (et, m) =>
+      val days = m.toSeq.sortBy(_._1._2)
+      days.zipWithIndex.map { case (((_, day), cents), i) =>
+        val fr = days.slice(math.max(0, i - 6), i + 1).map(_._2).sorted
+        val med2 = fr((fr.size - 1) / 2) + fr(fr.size / 2)
+        (et, day, cents, med2, med2 / 200.0)
+      }
+    }.toSet
+    val got = TimeSeries.rollMedian(spark, sfDir).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    assert(got.nonEmpty && got == want,
+      "rolling median diverges from the recompute")
+  }
 }
