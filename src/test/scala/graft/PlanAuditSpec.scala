@@ -379,6 +379,46 @@ class PlanAuditSpec extends SparkSpec {
       "text_bpe_bytes: encode join must be a shuffled hash join")
   }
 
+  test("round-11 operators keep their scale shapes") {
+    def hasExpr(ns: Seq[SparkPlan], p: org.apache.spark.sql.catalyst
+        .expressions.Expression => Boolean) =
+      ns.exists(_.expressions.exists(_.find(p).isDefined))
+    // text_bm25: top-k is a bounded TakeOrderedAndProject, never a
+    // global sort; df/corpus stats ride broadcasts
+    val bm = collectAll(initialPlan("text_bm25"))
+    assert(bm.exists(_.nodeName.contains("TakeOrderedAndProject")),
+      "text_bm25: top-k must be TakeOrderedAndProject")
+    assert(!bm.exists(n => n.nodeName == "SortExec" &&
+        n.asInstanceOf[org.apache.spark.sql.execution.SortExec].global),
+      "text_bm25: no global sort allowed")
+    // rank_fusion: both lists cut by TakeOrdered BEFORE the windows —
+    // the single-partition row_numbers only ever see `depth` rows
+    val rf = collectAll(initialPlan("rank_fusion"))
+    assert(rf.count(_.nodeName.contains("TakeOrderedAndProject")) >= 2,
+      "rank_fusion: both lists must cut through TakeOrderedAndProject")
+    // mm_align: the dot product is the native qsum128 aggregate
+    assert(hasExpr(collectAll(initialPlan("mm_align")),
+      _.isInstanceOf[graft.functions.QSum128]),
+      "mm_align: qsum128 aggregate missing from the plan")
+    // dedup_bloom: the bit-position probe joins against a BROADCAST
+    // (the whole point — the filter side is ≤ m rows at any scale)
+    val bl = collectAll(initialPlan("dedup_bloom"))
+    assert(bl.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "dedup_bloom: bit probe must be a broadcast join")
+    // embed_pca: the centered table is computed pre-loop and the
+    // per-round sums are qsum128 (no BigDecimal decimal(38,12) sums
+    // in the n-row hot path) — pin on the converged final pass
+    assert(hasExpr(collectAll(initialPlan("embed_pca")),
+      _.isInstanceOf[graft.functions.QSum128]),
+      "embed_pca: quantized 128-bit sums missing from the hot path")
+    // corpus_cluster_topics: the ranking window partitions on the
+    // cell key — never a global (empty-partition) window
+    val ct = collectAll(initialPlan("corpus_cluster_topics"))
+    val win = ct.filter(_.nodeName.contains("Window"))
+    assert(win.nonEmpty && win.forall(_.toString.contains("cent_id")),
+      "corpus_cluster_topics: ranking window must partition by cent_id")
+  }
+
   test("no registered query plans a cartesian product") {
     // build-time driver rounds (documented in each operator):
     val skip = Set("dedup_cluster", "corpus_near_dedup", "dedup_ngram",
