@@ -782,6 +782,84 @@ object Corpus {
            COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tok_sum
     FROM packed GROUP BY 1, 2 ORDER BY source, shard"""
 
+  /** The round-11 assembly chain — the fluent pipeline composing the
+    * PUBLISHED gates end-to-end under the oracle: Gopher rules
+    * (Rae et al. 2021) → exact ≥50-token shared-substring removal
+    * (Lee et al. 2021) → exact dedup → token-budget shards. One lazy
+    * Catalyst plan up to the dedup windows; the oracle replays every
+    * step (the Gopher predicate, the window/coverage/rebuild chain,
+    * the min-id keeper, the running-sum shard cut) in SQL. Next to
+    * corpus_pipeline_v2 (heuristic gate + block-grain dedup), this is
+    * the chain a 2024-class pipeline actually ships. */
+  def pipelineV3(s: SparkSession, dir: String): DataFrame =
+    graft.api.CorpusPipeline(docs(s, dir))
+      .gopherFilter()
+      .dedupSubstrings()
+      .dedupExact
+      .packShards(2000)
+      .shardStats
+
+  val pipelineV3Sql: String = """
+    WITH d0 AS (
+      SELECT *, string_split(text, ' ') AS t0,
+        len(string_split(text, ' ')) AS dl,
+        len(text) - (len(string_split(text, ' ')) - 1) AS wc
+      FROM documents),
+    g AS (
+      SELECT doc_id, text, lang, source FROM d0
+      WHERE NOT (dl < 50 OR dl > 100000)
+        AND NOT (wc < 3 * dl OR wc > 10 * dl)
+        AND NOT (len(list_intersect(list_distinct(t0),
+              ['the', 'a', 'of', 'and', 'to', 'in'])) < 2)
+        AND NOT (5 * len(list_filter(t0,
+              x -> regexp_matches(x, '[A-Za-z]'))) < 4 * dl)
+        AND NOT (10 * len(list_filter(t0,
+              x -> x = '#' OR x = '...')) > dl)),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM g),
+    w AS (
+      SELECT doc_id, pos, array_to_string(t[pos + 1 : pos + 50], ' ') AS c
+      FROM (SELECT doc_id, t,
+              unnest(generate_series(0, len(t) - 50)) AS pos
+            FROM toks)),
+    canon AS (SELECT c, MIN(doc_id * 1048576 + pos) AS cp FROM w GROUP BY c),
+    removed AS (
+      SELECT w.doc_id, w.pos, w.pos + 49 AS cend
+      FROM w JOIN canon ON w.c = canon.c
+      WHERE w.doc_id * 1048576 + w.pos != canon.cp),
+    tok AS (
+      SELECT doc_id, pos, t[pos + 1] AS tk
+      FROM (SELECT doc_id, t,
+              unnest(generate_series(0, len(t) - 1)) AS pos
+            FROM toks)),
+    cv AS (
+      SELECT tok.doc_id, tok.pos, tok.tk,
+             MAX(r.cend) OVER (PARTITION BY tok.doc_id ORDER BY tok.pos
+                               ROWS UNBOUNDED PRECEDING) AS cov
+      FROM tok LEFT JOIN removed r
+        ON tok.doc_id = r.doc_id AND tok.pos = r.pos),
+    reb AS (
+      SELECT doc_id,
+        COALESCE(string_agg(
+          CASE WHEN cov IS NULL OR cov < pos THEN tk END, ' '
+          ORDER BY pos), '') AS text
+      FROM cv GROUP BY doc_id),
+    rw AS (
+      SELECT g.doc_id, reb.text, g.source
+      FROM g JOIN reb ON g.doc_id = reb.doc_id),
+    dedup AS (
+      SELECT * FROM rw
+      QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+    packed AS (
+      SELECT source, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+               OVER (PARTITION BY source ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) AS cum
+      FROM dedup)
+    SELECT source, CAST(FLOOR((cum - n_tok) / 2000.0) AS BIGINT) AS shard,
+           COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tok_sum
+    FROM packed GROUP BY 1, 2 ORDER BY source, shard"""
+
   /** The corpus DATASHEET — the per-source summary every corpus
     * release publishes: document/token/char totals, mean lengths, and
     * the language mix, in ONE map-side-combined aggregate pass.
@@ -1497,6 +1575,7 @@ object Corpus {
     QueryDef("corpus_datasheet", corpusDatasheet, Some(corpusDatasheetSql)),
     QueryDef("corpus_pipeline_full", pipelineFull, Some(pipelineFullSql)),
     QueryDef("corpus_pipeline_v2", pipelineV2, Some(pipelineV2Sql)),
+    QueryDef("corpus_pipeline_v3", pipelineV3, Some(pipelineV3Sql)),
     QueryDef("pack_shards", (s, d) => packShards(s, d), Some(packShardsSql)),
     QueryDef("pack_sequences", (s, d) => packSequences(s, d),
       Some(packSequencesSql)),
