@@ -164,6 +164,31 @@ object StreamDedup {
         graft.QueryDef.dsum(col("ts6"), 6).as("score"))
   }
 
+  /** Per-SOURCE BM25 scoring totals as a stream — the recovery-cert
+    * subject for the NATIVE aggregates: the per-source (count, dsum128
+    * score sum) state must survive a checkpoint restart, i.e. the
+    * 128-bit DeclarativeAggregate buffer slots serialize into the
+    * state store and restore exactly (StreamRecoverySpec cert #4).
+    * Takes the document stream as a parameter so the recovery spec can
+    * drive a two-phase file source. */
+  def bm25SourceStream(spark: SparkSession, dir: String,
+                       docsStream: DataFrame): DataFrame = {
+    graft.GraftFunctions.register(spark)
+    val stats = broadcast(graft.Tables.hot(
+      graft.ops.Retrieval.bm25Stats(spark, dir)))
+    val t = split(col("text"), " ")
+    docsStream
+      .select(col("source"), t.as("tk"), size(t).as("dl"))
+      .crossJoin(stats)
+      .withColumn("tf",
+        size(filter(col("tk"), x => x === col("w"))).cast("long"))
+      .filter(col("tf") > 0)
+      .select(col("source"), graft.ops.Retrieval.bm25Ts6.as("ts6"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_hits"),
+        graft.QueryDef.dsum(col("ts6"), 6).as("score_sum"))
+  }
+
   def alignGateStream(spark: SparkSession, dir: String): DataFrame = {
     graft.GraftFunctions.register(spark)
     val toks = split(col("text"), " ")

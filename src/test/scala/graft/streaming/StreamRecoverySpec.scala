@@ -208,4 +208,65 @@ class StreamRecoverySpec extends SparkSpec {
     assert(merged == batch,
       "merged pre/post emissions diverged from the batch pipeline")
   }
+
+  test("stopped-and-restarted dsum128 aggregation state recovers exactly " +
+    "(native-aggregate buffers through the state store)") {
+    val work = Files.createTempDirectory("graft-recovery-bm25").toString
+    val srcDir = s"$work/src"
+    val ckpt = s"$work/ckpt"
+    val outDir = s"$work/emissions"
+
+    // two-phase source STRIPED WITHIN each source (doc ids stride the
+    // source key mod 20), so every source holds back phase-2 docs and
+    // must emit post-recovery — the emission that embeds its
+    // recovered (count, 128-bit sum) buffers
+    val docs = Tables.load(spark, sfDir, "documents")
+    val phase2 = expr("(doc_id DIV 20) % 4 = 0")
+    docs.filter(!phase2)
+      .repartition(3).write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+
+    def start() = StreamDedup.bm25SourceStream(spark, sfDir,
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir))
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.write.mode("append").parquet(outDir); ()
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.ProcessingTime(50))
+      .start()
+
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // certification must hold from POST-recovery output alone
+    java.nio.file.Files.walk(java.nio.file.Paths.get(outDir))
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+
+    docs.filter(phase2).coalesce(1).write.mode("append").parquet(srcDir)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    // score_sum and n_hits are monotone per source (partial scores are
+    // positive), so the max emission per source is the final state
+    val streamed = spark.read.parquet(outDir)
+      .groupBy("source")
+      .agg(max(struct(col("n_hits"), col("score_sum"))).as("m"))
+      .select(col("source"), col("m.n_hits"), col("m.score_sum"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    val batch = graft.ops.Retrieval.bm25Scores(spark, sfDir)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(sum(col("n_hit")).as("n_hits"),
+        graft.QueryDef.dsum(col("score"), 6).as("score_sum"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    assert(batch.nonEmpty)
+    assert(streamed == batch,
+      "recovered dsum128 per-source state diverged from the batch totals")
+  }
 }
