@@ -1,20 +1,14 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-
 /** Plan inspector: prints the formatted physical plan of named queries.
+  * Builds the session via [[GraftSession.local]] so native graft
+  * functions (dsum128/qsum128/vec_dot/...) resolve and the audited
+  * config matches what Verify/Bench actually execute.
   * Usage: tools/run.sh graft.Explain <sfDir> <query...> */
 object Explain {
   def main(args: Array[String]): Unit = {
     val dir = args.head
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt)
     args.tail.foreach { name =>
       println(s"==== $name ====")
       SparkEntry.queries(name)(spark, dir).explain("formatted")

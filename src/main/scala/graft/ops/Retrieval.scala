@@ -26,8 +26,13 @@ object Retrieval {
     * mixed-df terms so idf actually spreads. */
   private val QTerms = Seq("spark", "join", "window", "vector")
 
-  private val K1 = "1.2"
-  private val B = "0.75"
+  /** BM25 parameters (Robertson/Okapi, Lucene +1 idf form) — the ONLY
+    * place the values live. bm25Ts6 and bm25ScoresSql both derive their
+    * literals from these; k1+1 = 2.2 and 1−b = 0.25 are exact in IEEE
+    * double, so the derived text matches the historical pinned
+    * literals bit-for-bit. */
+  private val K1 = 1.2
+  private val B = 0.75
 
   /** Per-(doc, term) BM25 partial scores for `QTerms`, quantized at
     * 6 dp so the per-doc sum is order-free (dsum) and the ln(idf)
@@ -62,9 +67,9 @@ object Retrieval {
   /** The BM25 per-(doc, term) partial score expression — ONE
     * definition shared by the batch scorer and the streaming twin. */
   private[graft] def bm25Ts6: org.apache.spark.sql.Column =
-    round(col("idf6") * (col("tf") * lit(2.2) /
-      (col("tf") + lit(1.2) * (lit(0.25) +
-        lit(0.75) * col("dl") / col("avgdl")))), 6)
+    round(col("idf6") * (col("tf") * lit(K1 + 1) /
+      (col("tf") + lit(K1) * (lit(1 - B) +
+        lit(B) * col("dl") / col("avgdl")))), 6)
 
   private[graft] def bm25Scores(s: SparkSession, dir: String): DataFrame = {
     val hits = docs(s, dir)
@@ -94,14 +99,14 @@ object Retrieval {
       ts AS (
         SELECT doc_id,
           ROUND(ROUND(ln((n - df + 0.5) / (df + 0.5) + 1.0), 6)
-            * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / (sld / n)))), 6)
+            * (tf * ${K1 + 1} / (tf + $K1 * (${1 - B} + $B * dl / (sld / n)))), 6)
             AS ts6
         FROM hits JOIN dft USING (w), stats)
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit,
              CAST(SUM(CAST(ts6 AS DECIMAL(18,6))) AS DOUBLE) AS score
       FROM ts GROUP BY doc_id)"""
 
-  /** BM25 top-k retrieval (Robertson/Okapi, k1=$K1 b=$B, the Lucene
+  /** BM25 top-k retrieval (Robertson/Okapi, k1=1.2 b=0.75, the Lucene
     * +1 idf form) for the fixed query over the corpus. */
   def textBm25(s: SparkSession, dir: String, k: Int = 20): DataFrame =
     bm25Scores(s, dir)

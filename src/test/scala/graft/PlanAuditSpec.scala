@@ -448,4 +448,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"plan audit offenders:\n  ${offenders.mkString("\n  ")}")
   }
+
+  test("every registered key resolves to an executable physical plan") {
+    // Completes the sweep above for the build-time-driver-round keys it
+    // skips: forcing executedPlan catches unresolved native functions
+    // (the round-11 graft.Explain failure class) without running jobs
+    // beyond each operator's own documented build-time rounds (cheap at
+    // sf0.001). The sweep + this = all registered keys, no gaps.
+    val skipped = Seq("dedup_cluster", "corpus_near_dedup", "dedup_ngram",
+      "corpus_semantic_dedup", "geo_pivot", "geo_pipeline_wide",
+      "mm_pipeline", "text_heavy_hitters", "q_transitive",
+      "q_hier_rollup_edges", "q_kmv_calibration")
+    val failures = skipped.flatMap { q =>
+      scala.util.Try {
+        SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan
+      } match {
+        case scala.util.Success(_) => None
+        case scala.util.Failure(e) =>
+          Some(s"$q: ${e.getClass.getSimpleName}: " +
+            s"${String.valueOf(e.getMessage).take(120)}")
+      }
+    }
+    assert(failures.isEmpty,
+      s"unresolvable plans:\n  ${failures.mkString("\n  ")}")
+  }
 }
