@@ -16,6 +16,61 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  // ---- size-adaptive vertex-state strategy ---------------------------
+
+  /** Conf key bounding how many vertex-state rows may BROADCAST.
+    * Every iterative operator here keeps a small per-vertex state
+    * table (16 B rank/degree/survivor rows, or adjacency arrays ≈ the
+    * compressed edge set) next to a large static edge table.
+    * Broadcasting the state is the right plan while it fits executor
+    * memory: map-side joins, the edges never move. Past this bound the
+    * broadcast is the textbook scale-killer (O(V) state collected to
+    * the driver and copied to every executor → OOM), so the SAME join
+    * routes to a co-partitioned SHUFFLE_HASH join on the vertex key:
+    * per round only the narrow state shuffles, and callers
+    * pre-partition their hot edge table on the probe key once so its
+    * layout is reused across rounds instead of reshuffled. This is the
+    * guardAllPairs routing precedent (VectorOps.scala:39) as a
+    * strategy SWITCH rather than a refusal — both shapes answer
+    * identically (GraphRoutingSpec) and both are pinned
+    * (PlanAuditSpec). */
+  val BroadcastVerticesKey = "graft.graph.broadcastVertices"
+
+  /** Default bound: 20M state rows ≈ 320 MB of packed (v, long) pairs —
+    * comfortably inside a 1 GiB broadcast budget even for the
+    * array-valued adjacency states (bounded by the oriented-degree
+    * guard), far under Spark's 512M-row broadcast hard limit. */
+  val BroadcastVerticesDefault: Long = 20L * 1000 * 1000
+
+  private def broadcastBound(s: SparkSession): Long =
+    s.conf.getOption(BroadcastVerticesKey).map(_.toLong)
+      .getOrElse(BroadcastVerticesDefault)
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.ops.Graph")
+
+  /** Route a vertex-state table of KNOWN row count (callers learn it
+    * from the Tables.hotCount they run anyway, so routing adds no
+    * job): broadcast under the bound; LOUD logged switch to a
+    * SHUFFLE_HASH hint past it — a scale run shows the flip in its
+    * logs instead of dying in a driver OOM. */
+  private[ops] def routeState(name: String, st: DataFrame,
+                              rows: Long): DataFrame = {
+    val bound = broadcastBound(st.sparkSession)
+    if (rows <= bound) broadcast(st)
+    else {
+      log.warn(s"$name: vertex-state rows=$rows exceed the broadcast " +
+        s"bound $bound ($BroadcastVerticesKey) — routing to a " +
+        "co-partitioned shuffle-hash join on the vertex key")
+      st.hint("SHUFFLE_HASH")
+    }
+  }
+
+  /** True when a state table of `rows` will broadcast — callers use it
+    * to skip the edge-side pre-partitioning only the shuffle path
+    * needs. */
+  private def willBroadcast(s: SparkSession, rows: Long): Boolean =
+    rows <= broadcastBound(s)
+
   /** Per-node depth to the root of a deterministic binary hierarchy
     * (parent(k) = k DIV 2, root 1) derived from customer keys — the
     * oracle replays it as a WITH RECURSIVE parent walk. */
@@ -245,9 +300,11 @@ object Graph {
       THEN deg * 4294967296 + v
       ELSE raise_error(concat('graph_triangles: unpackable (deg, v)=(',
         CAST(deg AS STRING), ',', CAST(v AS STRING), ')')) END""")
-    // the (deg, id) rank table is 16 B/vertex — broadcast under the
-    // same vertex-state memory bound as the adjacency broadcast below
-    val rk = broadcast(Tables.hot(deg.select(col("v"), rank.as("rk"))))
+    // the (deg, id) rank table is 16 B/vertex — size-adaptive: the
+    // hotCount's row count (same job as the checkpoint) routes it
+    // broadcast vs co-partitioned shuffle (routeState above)
+    val (rkT, nVerts) = Tables.hotCount(deg.select(col("v"), rank.as("rk")))
+    val rk = routeState("graph_triangles.rank", rkT, nVerts)
     val oriented = e
       .join(rk.withColumnRenamed("v", "a").withColumnRenamed("rk", "ra"), "a")
       .join(rk.withColumnRenamed("v", "b").withColumnRenamed("rk", "rb"), "b")
@@ -255,7 +312,11 @@ object Graph {
         when(col("ra") < col("rb"), col("a")).otherwise(col("b")).as("src"),
         when(col("ra") < col("rb"), col("b")).otherwise(col("a")).as("dst"),
         greatest(col("ra"), col("rb")).as("rdst"))
-    val o = Tables.hot(oriented)
+    // shuffle route: pin the oriented edges on the first probe key so
+    // the adjacency join below reuses the layout instead of reshuffling
+    val o = Tables.hot(
+      if (willBroadcast(s, nVerts)) oriented
+      else oriented.repartition(col("src")))
     // EDGE-ITERATOR closure: per-vertex oriented out-neighbor array
     // (bounded by the O(√m) oriented out-degree — guarded loudly),
     // then per edge (u, v) the triangles through it are exactly
@@ -271,12 +332,13 @@ object Graph {
           CAST(size(nbr) AS STRING),
           ' exceeds the adjacency-array bound')) END""").as("nbr"))
     // broadcast is right while the oriented adjacency table (n · d̄⁺
-    // longs ≈ the edge set, compressed) fits executor memory; a graph
-    // beyond that co-partitions edges and adjacency on the vertex key
-    // (bucketed layout) — same join shape, no broadcast. Without the
-    // explicit broadcast the second join shuffles every edge WITH its
-    // first adjacency array riding along.
-    val adjB = broadcast(Tables.hot(adj))
+    // longs ≈ the edge set, compressed) fits executor memory; past the
+    // bound routeState swaps it for a co-partitioned shuffle join on
+    // the vertex key — same join shape, no broadcast. In broadcast
+    // mode the explicit hint matters: without it the second join
+    // shuffles every edge WITH its first adjacency array riding along.
+    val (adjT, nAdj) = Tables.hotCount(adj)
+    val adjB = routeState("graph_triangles.adj", adjT, nAdj)
     val tris = o
       .join(adjB.select(col("v").as("src"), col("nbr").as("nu")), Seq("src"))
       .join(adjB.select(col("v").as("dst"), col("nbr").as("nv")), Seq("dst"))
@@ -325,18 +387,22 @@ object Graph {
     * state is consumed exactly once by the next round, so the whole
     * iteration is ONE query (sequential stages remain; the per-round
     * localCheckpoint write/read it replaced measured 31% of the CPU);
-    * the EDGE side and its degree join stay checkpointed once. Broadcasting the state is right while
-    * |V| ≪ executor memory (rank state is 16 B/vertex); a billion-node
-    * graph swaps the broadcast for a co-partitioned shuffle join of
-    * state and bucketed edges — same round structure, one narrow
-    * shuffle of the STATE per round, never the edges. Output is rank
+    * the EDGE side and its degree join stay checkpointed once.
+    * Broadcasting the state is right while |V| ≪ executor memory (rank
+    * state is 16 B/vertex); past the routeState bound a billion-node
+    * graph AUTOMATICALLY swaps the broadcast for a co-partitioned
+    * shuffle join of state and src-partitioned edges — same round
+    * structure, one narrow shuffle of the STATE per round (it arrives
+    * pre-partitioned from its own groupBy), never the edges. Output is rank
     * relative to uniform (rank·N, 6 dp) so the scale factor drops out.
     */
   def pageRank(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.hot(Tables.fanout(coEdges(s, dir)))
     val dirE = e.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
-    val deg = Tables.hot(
+    // hotCount: the vertex count rides the checkpoint job and drives
+    // the broadcast-vs-shuffle state routing for every round below
+    val (deg, nVerts) = Tables.hotCount(
       dirE.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg")))
     // the SOURCE degree is static — join it onto the edge list ONCE so
     // each iteration touches only (edges ⋈ broadcast rank-state); the
@@ -349,14 +415,23 @@ object Graph {
     val degGuard = expr("""CASE WHEN deg < 9000 THEN deg
       ELSE raise_error(concat('graph_pagerank: hub degree ', CAST(deg AS STRING),
         ' overflows the scaled-integer contribution sum')) END""")
-    val adj = Tables.hot(dirE
-      .join(broadcast(deg).withColumnRenamed("v", "src"), "src")
-      .select(col("src"), col("dst"), degGuard.as("deg")))
+    val adjRaw = dirE
+      .join(routeState("graph_pagerank.deg", deg, nVerts)
+        .withColumnRenamed("v", "src"), "src")
+      .select(col("src"), col("dst"), degGuard.as("deg"))
+    // shuffle route: pin the edge layout on the per-round probe key
+    // ONCE — each round's state arrives from its own groupBy(dst)
+    // shuffle already hash-partitioned on the vertex key, so the
+    // per-round join moves NOTHING but the narrow state
+    val adj = Tables.hot(
+      if (willBroadcast(s, nVerts)) adjRaw
+      else adjRaw.repartition(col("src")))
     val n = broadcast(deg.agg(count(lit(1)).as("nv")))
     var st = Tables.hot(deg.crossJoin(n)
       .select(col("v"), (lit(1.0) / col("nv")).as("pr")))
     for (_ <- 1 to 5) {
-      val contrib = adj.join(broadcast(st), col("src") === col("v"))
+      val contrib = adj.join(routeState("graph_pagerank.state", st, nVerts),
+          col("src") === col("v"))
         .select(col("dst"),
           round(col("pr") / col("deg") * lit(1e15)).cast("long").as("c"))
       val merged = contrib.groupBy(col("dst").as("v"))
@@ -409,12 +484,15 @@ object Graph {
     val e = Tables.hot(Tables.fanout(coEdges(s, dir)))
     val dirE = e.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
-    val adj = broadcast(Tables.hot(dirE.groupBy(col("src").as("v"))
+    // size-adaptive (routeState): broadcast under the vertex-state
+    // bound, co-partitioned shuffle join past it
+    val (adjT, nAdj) = Tables.hotCount(dirE.groupBy(col("src").as("v"))
       .agg(array_sort(collect_list(col("dst"))).as("nbr"))
       .select(col("v"), expr("""CASE WHEN size(nbr) <= 65536 THEN nbr
         ELSE raise_error(concat('graph_edge_overlap: degree ',
           CAST(size(nbr) AS STRING),
-          ' exceeds the adjacency-array bound')) END""").as("nbr"))))
+          ' exceeds the adjacency-array bound')) END""").as("nbr")))
+    val adj = routeState("graph_edge_overlap.adj", adjT, nAdj)
     val scored = e
       .join(adj.select(col("v").as("a"), col("nbr").as("na")), Seq("a"))
       .join(adj.select(col("v").as("b"), col("nbr").as("nb")), Seq("b"))
@@ -532,9 +610,11 @@ object Graph {
     val deg = e.select(col("a").as("v"))
       .unionAll(e.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
-    // no checkpoint: the two degree joins reuse ONE BroadcastExchange
-    // (identical child plan), so materializing first only added a job
-    val dk = broadcast(deg)
+    // hotCount: the vertex count (one job, rides the checkpoint)
+    // drives the broadcast-vs-shuffle routing; both degree joins still
+    // reuse ONE exchange (identical checkpointed child plan)
+    val (degT, nv) = Tables.hotCount(deg)
+    val dk = routeState("graph_assortativity.deg", degT, nv)
     val stubs = e
       .join(dk.withColumnRenamed("v", "a").withColumnRenamed("deg", "da"), "a")
       .join(dk.withColumnRenamed("v", "b").withColumnRenamed("deg", "db"), "b")
@@ -593,10 +673,10 @@ object Graph {
     * as an unrolled CTE chain.
     *
     * Scale shape: each round is one map-side-combined degree aggregate
-    * plus two left-semi joins against the BROADCAST surviving-vertex
-    * set (vertex-state bound — the graph_triangles memory argument;
-    * beyond it the semi joins co-partition on the vertex key, same
-    * shape). `Tables.hotCount` folds the fixed-point check into the
+    * plus two left-semi joins against the surviving-vertex set —
+    * BROADCAST under the routeState vertex-state bound, co-partitioned
+    * shuffle semi joins past it (same shape, routed per round off the
+    * survivor count). `Tables.hotCount` folds the fixed-point check into the
     * round's checkpoint job. Round count is data-dependent and capped
     * LOUDLY at `maxRounds` (= the oracle's unroll depth, so the two
     * engines cannot silently diverge on a slow-converging graph);
@@ -612,11 +692,16 @@ object Graph {
     // scans the one hot edge table per round and materializes ~16 B
     // per surviving vertex instead (measured 84 → 57 CPU-s at sf0.1).
     val e = Tables.hot(Tables.fanout(coEdges(s, dir)))
-    def liveEdges(keep: DataFrame) =
-      e.join(broadcast(keep).withColumnRenamed("v", "a"), Seq("a"),
-          "left_semi")
-        .join(broadcast(keep).withColumnRenamed("v", "b"), Seq("b"),
-          "left_semi")
+    // size-adaptive per round: each round's survivor count (already in
+    // hand from hotCount) routes the semi joins broadcast vs shuffle —
+    // the shuffle route semi-joins the edges on each endpoint key (two
+    // edge shuffles/round; a persistent deployment at that scale
+    // buckets the edge table on (a) and (b) once to amortize them)
+    def liveEdges(keep: DataFrame, rows: Long) =
+      e.join(routeState("graph_kcore.keep", keep, rows)
+          .withColumnRenamed("v", "a"), Seq("a"), "left_semi")
+        .join(routeState("graph_kcore.keep", keep, rows)
+          .withColumnRenamed("v", "b"), Seq("b"), "left_semi")
     def degOf(edges: DataFrame) =
       edges.select(col("a").as("v")).unionAll(edges.select(col("b").as("v")))
         .groupBy("v").agg(count(lit(1)).as("deg"))
@@ -628,7 +713,7 @@ object Graph {
     while (cnt != prev && rounds < maxRounds) {
       prev = cnt
       val (h, c) = Tables.hotCount(
-        degOf(liveEdges(keep)).filter(col("deg") >= k).select("v"))
+        degOf(liveEdges(keep, cnt)).filter(col("deg") >= k).select("v"))
       keep = h
       cnt = c
       rounds += 1
@@ -636,7 +721,7 @@ object Graph {
     require(cnt == prev,
       s"graph_kcore: still peeling after $rounds rounds — raise maxRounds " +
         "(and the oracle unroll) for this graph")
-    degOf(liveEdges(keep)).orderBy("v")
+    degOf(liveEdges(keep, cnt)).orderBy("v")
   }
 
   private val KcoreUnroll = 12

@@ -419,16 +419,33 @@ class PlanAuditSpec extends SparkSpec {
       "corpus_cluster_topics: ranking window must partition by cent_id")
   }
 
+  /** Keys whose query BUILD runs driver-coordinated rounds (iterative
+    * label propagation, guarded counts, pivot-column discovery) and is
+    * therefore too expensive for the lazy cartesian sweep. ONE list,
+    * shared by both sweep tests below: the cartesian sweep covers
+    * queries.keySet -- this set, the resolvability test covers exactly
+    * this set, so together they audit every registered key with no gap
+    * (asserted below — drift fails loudly). */
+  private val buildTimeDriverKeys = Set(
+    "dedup_cluster", "corpus_near_dedup", "dedup_ngram",
+    "corpus_semantic_dedup", // connected-components rounds at build time
+    "geo_pivot",
+    "geo_pipeline_wide", "geo_pipeline_long", "mm_pipeline",
+    "text_heavy_hitters", // build-time driver count sets its threshold
+    "q_transitive", // pointer-doubling rounds run at build time
+    "q_hier_rollup_edges", // ancestorClosure doubling rounds at build time
+    "q_kmv_calibration") // small-scale guard count runs at build time
+
+  test("the build-time-driver skip set is a subset of the registry") {
+    val stale = buildTimeDriverKeys -- SparkEntry.queries.keySet
+    assert(stale.isEmpty, s"skip-set keys not in the registry: $stale")
+    // and the two sweeps partition the registry exactly:
+    val swept = SparkEntry.queries.keySet -- buildTimeDriverKeys
+    assert((swept ++ buildTimeDriverKeys) == SparkEntry.queries.keySet)
+  }
+
   test("no registered query plans a cartesian product") {
-    // build-time driver rounds (documented in each operator):
-    val skip = Set("dedup_cluster", "corpus_near_dedup", "dedup_ngram",
-      "corpus_semantic_dedup", // connected-components rounds at build time
-      "geo_pivot",
-      "geo_pipeline_wide", "geo_pipeline_long", "mm_pipeline",
-      "text_heavy_hitters", // build-time driver count sets its threshold
-      "q_transitive", // pointer-doubling rounds run at build time
-      "q_hier_rollup_edges", // ancestorClosure doubling rounds at build time
-      "q_kmv_calibration") // small-scale guard count runs at build time
+    val skip = buildTimeDriverKeys
     // a query whose plan won't BUILD is its own named failure — it must
     // not abort the sweep and shadow the audit of the other ~95 plans
     // (round 5: the events loader threw on the first events query and
@@ -454,11 +471,9 @@ class PlanAuditSpec extends SparkSpec {
     // skips: forcing executedPlan catches unresolved native functions
     // (the round-11 graft.Explain failure class) without running jobs
     // beyond each operator's own documented build-time rounds (cheap at
-    // sf0.001). The sweep + this = all registered keys, no gaps.
-    val skipped = Seq("dedup_cluster", "corpus_near_dedup", "dedup_ngram",
-      "corpus_semantic_dedup", "geo_pivot", "geo_pipeline_wide",
-      "mm_pipeline", "text_heavy_hitters", "q_transitive",
-      "q_hier_rollup_edges", "q_kmv_calibration")
+    // sf0.001). The sweep + this = all registered keys, no gaps
+    // (the partition is asserted by the subset test above).
+    val skipped = buildTimeDriverKeys.toSeq.sorted
     val failures = skipped.flatMap { q =>
       scala.util.Try {
         SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan
@@ -471,5 +486,47 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(failures.isEmpty,
       s"unresolvable plans:\n  ${failures.mkString("\n  ")}")
+  }
+
+  test("graph vertex-state routing: both shapes pinned") {
+    // graph_kcore's registered k=80 core is EMPTY at sf0.001, and an
+    // empty survivor state legitimately broadcasts (0 rows ≤ any
+    // bound) — pin its routing through a k=2 run whose state is real
+    def kcorePlan(): SparkPlan = {
+      val key = "spark.sql.adaptive.enabled"
+      val prev = spark.conf.get(key)
+      try {
+        spark.conf.set(key, "false")
+        graft.ops.Graph.graphKcore(spark, sfDir, k = 2)
+          .queryExecution.executedPlan
+      } finally spark.conf.set(key, prev)
+    }
+    val routed = Seq[(String, () => SparkPlan)](
+      ("graph_pagerank", () => initialPlan("graph_pagerank")),
+      ("graph_triangles", () => initialPlan("graph_triangles")),
+      ("graph_edge_overlap", () => initialPlan("graph_edge_overlap")),
+      ("graph_kcore(k=2)", () => kcorePlan()),
+      ("graph_assortativity", () => initialPlan("graph_assortativity")))
+    // default route at test scale: state broadcasts (map-side joins,
+    // the hot edge table never moves per round)
+    for ((q, plan) <- routed) {
+      val nodes = collectAll(plan())
+      assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+        s"$q: vertex state must broadcast under the bound")
+    }
+    // forced shuffle route (bound = 0 — the past-executor-memory
+    // regime): NO broadcast hash join survives anywhere in the final
+    // plan, and the state joins become co-partitioned shuffled hash
+    // joins on the vertex key
+    spark.conf.set(graft.ops.Graph.BroadcastVerticesKey, "0")
+    try {
+      for ((q, plan) <- routed) {
+        val nodes = collectAll(plan())
+        assert(!nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+          s"$q: vertex state must NOT broadcast past the bound")
+        assert(nodes.exists(_.nodeName.contains("ShuffledHashJoin")),
+          s"$q: routed state joins must be shuffled hash joins")
+      }
+    } finally spark.conf.unset(graft.ops.Graph.BroadcastVerticesKey)
   }
 }
