@@ -72,9 +72,12 @@ object Verify {
           cancel.cancel()
           spark.sparkContext.clearJobGroup()
           // drop eager localCheckpoint blocks + SQL cache so 95
-          // sequential queries don't accumulate storage
-          spark.sparkContext.getPersistentRDDs.values
-            .foreach(_.unpersist(blocking = false))
+          // sequential queries don't accumulate storage — EXCEPT the
+          // pinned session-frozen artifacts (the trained IVF index):
+          // those are shared across queries by design (Tables.hotPinned)
+          spark.sparkContext.getPersistentRDDs
+            .filter { case (id, _) => !Tables.pinnedRddIds.contains(id) }
+            .values.foreach(_.unpersist(blocking = false))
           spark.catalog.clearCache()
         }
       }

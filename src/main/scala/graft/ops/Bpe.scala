@@ -236,13 +236,17 @@ object Bpe {
       .agg(count(lit(1)).as("n_words"),
         sum(col("n_b")).as("n_bytes"),
         sum(col("n_sym")).as("n_bpe"),
-        round(sum(col("n_sym")).cast("double") / sum(col("n_b")), 6)
-          .as("bpe_per_byte"))
+        // ratio of exact integer counts can land on a .xxxxxx5
+        // boundary — quantize by floor(x·1e6 + 0.5) (pure IEEE,
+        // engine-identical), never round() (the CLAUDE.md ROUND rule)
+        (floor(sum(col("n_sym")).cast("double") / sum(col("n_b"))
+          * lit(1e6) + lit(0.5)) / lit(1e6)).as("bpe_per_byte"))
     val best = broadcast(per.agg(min(col("bpe_per_byte")).as("best")))
     per.crossJoin(best)
       .select(col("lang"), col("n_words"), col("n_bytes"), col("n_bpe"),
         col("bpe_per_byte"),
-        round(col("bpe_per_byte") / col("best"), 6).as("parity"))
+        (floor(col("bpe_per_byte") / col("best") * lit(1e6) + lit(0.5))
+          / lit(1e6)).as("parity"))
       .orderBy("lang")
   }
 
@@ -257,8 +261,8 @@ object Bpe {
       SELECT d.lang, COUNT(*) AS n_words,
              CAST(SUM(e.n_b) AS BIGINT) AS n_bytes,
              CAST(SUM(e.n_sym) AS BIGINT) AS n_bpe,
-             ROUND(CAST(SUM(e.n_sym) AS DOUBLE) / SUM(e.n_b), 6)
-               AS bpe_per_byte
+             floor(CAST(SUM(e.n_sym) AS DOUBLE) / SUM(e.n_b) * 1e6 + 0.5)
+               / 1e6 AS bpe_per_byte
       FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
             FROM documents) d
       JOIN enc e ON d.w = e.w
@@ -266,7 +270,7 @@ object Bpe {
       GROUP BY d.lang),
     best AS (SELECT MIN(bpe_per_byte) AS best FROM per)
     SELECT lang, n_words, n_bytes, n_bpe, bpe_per_byte,
-           ROUND(bpe_per_byte / best, 6) AS parity
+           floor(bpe_per_byte / best * 1e6 + 0.5) / 1e6 AS parity
     FROM per, best ORDER BY lang"""
 
   // ---- oracle: the merge loop unrolled in SQL ------------------------

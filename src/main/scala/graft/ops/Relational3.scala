@@ -63,17 +63,42 @@ object Relational3 {
     WHERE p.p_retailprice > b.brand_avg
     ORDER BY p.p_partkey"""
 
-  /** HLL approximate distinct + approximate quantiles — rows-only (the
-    * sketches are engine-specific); AccuracySpec bounds their error. */
+  /** HLL approximate distinct + approximate quantiles, gated as a
+    * BOUNDED-ERROR AUDIT: the sketch values are engine-specific (no
+    * DuckDB replay exists), so the row the gate hashes is the exact
+    * computation PLUS booleans asserting the approx landed inside its
+    * documented bound — HLL rsd 0.01 → |apx−exact| ≤ 5%·exact (5σ);
+    * percentile_approx accuracy 10000 → rank error 1e-4, asserted by
+    * bracketing between the exact 0.49/0.51 quantiles. The oracle
+    * computes the same exact side and asserts TRUE literally: a sketch
+    * drifting out of bounds flips the boolean and fails the hash gate
+    * loudly. AccuracySpec additionally bounds the raw sketch error. */
   def qApprox(s: SparkSession, dir: String): DataFrame = {
-    Tables.load(s, dir, "lineitem")
-      .groupBy("l_returnflag")
+    val li = Tables.load(s, dir, "lineitem")
+    val apx = li.groupBy("l_returnflag")
       .agg(
         approx_count_distinct(col("l_partkey"), 0.01).as("apx_parts"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
-          .as("apx_median_price"))
+          .as("apx_med"))
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+        expr("percentile(l_extendedprice, 0.49)").as("med_lo"),
+        expr("percentile(l_extendedprice, 0.51)").as("med_hi"))
+    apx.join(exact, "l_returnflag")
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("apx_parts") - col("exact_parts"))
+          <= col("exact_parts") * lit(0.05)).as("parts_within_5pct"),
+        (col("apx_med") >= col("med_lo") && col("apx_med") <= col("med_hi"))
+          .as("median_within_rank_eps"))
       .orderBy("l_returnflag")
   }
+
+  val qApproxSql: String = """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS parts_within_5pct,
+           TRUE AS median_within_rank_eps
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
   /** Q4-style: orders with at least one late lineitem, counted per
     * priority (EXISTS decorrelated to a semi join). */
@@ -318,5 +343,5 @@ object Relational3 {
     QueryDef("q_exists_agg", qExistsAgg, Some(qExistsAggSql)),
     QueryDef("q_cond_share", qCondShare, Some(qCondShareSql)),
     QueryDef("q_case_buckets", qCaseBuckets, Some(qCaseBucketsSql)),
-    QueryDef("q_approx", qApprox, None))
+    QueryDef("q_approx", qApprox, Some(qApproxSql)))
 }

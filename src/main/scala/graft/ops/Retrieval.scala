@@ -147,11 +147,17 @@ object Retrieval {
       .withColumn("cos_rank", row_number().over(
         Window.orderBy(col("cos").desc, col("vec_id"))))
       .select(col("vec_id").as("doc_id"), col("cos_rank"))
+    // rrf6 quantizes by floor(x·1e6 + 0.5) — pure IEEE mult/add/floor,
+    // identical in both engines — NEVER round(): 1/(60+a)+1/(60+b) can
+    // land exactly on a .xxxxxx5 boundary for reachable rank pairs
+    // (13/640 at ranks 20+68), where Spark's shortest-repr half-up and
+    // DuckDB's binary-value rounding diverge (the CLAUDE.md ROUND rule)
     bm.join(cosList, Seq("doc_id"), "full_outer")
       .select(col("doc_id"), col("bm25_rank"), col("cos_rank"),
-        round(
+        (floor((
           coalesce(lit(1.0) / (lit(60) + col("bm25_rank")), lit(0.0)) +
-          coalesce(lit(1.0) / (lit(60) + col("cos_rank")), lit(0.0)), 6)
+          coalesce(lit(1.0) / (lit(60) + col("cos_rank")), lit(0.0)))
+          * lit(1e6) + lit(0.5)) / lit(1e6))
           .as("rrf6"))
       .orderBy(col("rrf6").desc, col("doc_id"))
       .limit(k)
@@ -176,8 +182,9 @@ object Retrieval {
       QUALIFY cos_rank <= 100)
     SELECT COALESCE(bm.doc_id, cosl.doc_id) AS doc_id,
            bm25_rank, cos_rank,
-           ROUND(COALESCE(CAST(1.0 AS DOUBLE) / (60 + bm25_rank), 0.0)
-                 + COALESCE(CAST(1.0 AS DOUBLE) / (60 + cos_rank), 0.0), 6)
+           floor((COALESCE(CAST(1.0 AS DOUBLE) / (60 + bm25_rank), 0.0)
+                  + COALESCE(CAST(1.0 AS DOUBLE) / (60 + cos_rank), 0.0))
+                 * 1e6 + 0.5) / 1e6
              AS rrf6
     FROM bm FULL OUTER JOIN cosl ON bm.doc_id = cosl.doc_id
     ORDER BY rrf6 DESC, doc_id LIMIT 20"""

@@ -147,27 +147,54 @@ object VectorOps {
 
   /** Corpus → (vec_id, v, cent_id): Lloyd-refined coarse centroids,
     * broadcast argmin assignment. Shared by ann_ivf (probe search) and
-    * dedup_embed_ivf (within-cell pair generation). */
+    * dedup_embed_ivf (within-cell pair generation).
+    *
+    * SESSION-FROZEN ARTIFACT (the bm25Stats frozen-index pattern,
+    * Retrieval.scala:44-47): the Lloyd training AND the corpus argmin
+    * assignment run ONCE per (session, corpus dir) and both results
+    * are checkpointed; every consumer — ann_ivf, ann_pq, ann_ivf_pq,
+    * ann_recall, ann_ndcg, corpus_cluster_topics, corpus_semantic_dedup
+    * — reuses the artifact, exactly like a production deployment that
+    * trains its IVF index nightly and serves every query against it.
+    * Before the memo each composite audit re-trained the identical
+    * structure per method. */
+  private case class IvfArtifact(assigned: DataFrame, cents: DataFrame,
+                                 live: Seq[org.apache.spark.rdd.RDD[_]])
+  private val ivfCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), IvfArtifact]()
+
   private def ivfAssign(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val e = emb(s, dir)
-    val seed = e.filter(col("vec_id") < NCells)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-    // materialize the (tiny) refined centroid table once — it feeds
-    // two broadcasts (corpus assignment + query probes), which would
-    // otherwise each recompute the whole Lloyd subtree
-    val cents = broadcast(Tables.hot(kmeansIterate(e, seed, KmeansIters)))
-    // argmin as a hash aggregate (min over a (cd, cent_id) struct —
-    // lexicographic, so ties break on cent_id exactly like the
-    // oracle's ROW_NUMBER ORDER BY cd, cent_id): partial-aggregates
-    // map-side instead of sort-shuffling all n×NCells rows
-    val assigned = e.join(cents)
-      .select(col("vec_id"), col("v"), col("cent_id"),
-        l2(col("v"), col("cv")).as("cd"))
-      .groupBy("vec_id")
-      .agg(min(struct(col("cd"), col("cent_id"))).as("m"),
-        first(col("v")).as("v"))
-      .select(col("vec_id"), col("v"), col("m.cent_id").as("cent_id"))
-    (assigned, cents)
+    val key = (s, dir)
+    // liveness check: if anything unpersisted the pinned blocks
+    // (tests, an explicit reset), rebuild instead of serving a
+    // dangling checkpoint
+    val cached = Option(ivfCache.get(key)).filter(_.live.forall(
+      _.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE))
+    val art = cached.getOrElse {
+      val e = emb(s, dir)
+      val seed = e.filter(col("vec_id") < NCells)
+        .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+      // materialize the (tiny) refined centroid table once — it feeds
+      // two broadcasts (corpus assignment + query probes), which would
+      // otherwise each recompute the whole Lloyd subtree
+      val (centsH, r1) = Tables.hotPinned(kmeansIterate(e, seed, KmeansIters))
+      val cents = broadcast(centsH)
+      // argmin as a hash aggregate (min over a (cd, cent_id) struct —
+      // lexicographic, so ties break on cent_id exactly like the
+      // oracle's ROW_NUMBER ORDER BY cd, cent_id): partial-aggregates
+      // map-side instead of sort-shuffling all n×NCells rows
+      val (assigned, r2) = Tables.hotPinned(e.join(cents)
+        .select(col("vec_id"), col("v"), col("cent_id"),
+          l2(col("v"), col("cv")).as("cd"))
+        .groupBy("vec_id")
+        .agg(min(struct(col("cd"), col("cent_id"))).as("m"),
+          first(col("v")).as("v"))
+        .select(col("vec_id"), col("v"), col("m.cent_id").as("cent_id")))
+      val a = IvfArtifact(assigned, cents, r1 ++ r2)
+      ivfCache.put(key, a)
+      a
+    }
+    (art.assigned, art.cents)
   }
 
   def annIvf(s: SparkSession, dir: String): DataFrame = {
@@ -1064,10 +1091,16 @@ object VectorOps {
       .agg(count(lit(1)).as("n_vecs"),
         graft.QueryDef.qsum(col("d2"), 12).as("sd2"),
         graft.QueryDef.qsum(col("sc") * col("sc"), 12).as("ss2"))
+      // ratios of EXACT operands (12-dp quantized sums over integer
+      // counts) can land on a .xxxxxx5 boundary — quantize by
+      // floor(x·1e6 + 0.5), never round() (the CLAUDE.md ROUND rule)
       .select(col("label"), col("n_vecs"),
-        round(col("sd2") / col("n_vecs"), 6).as("var_total"),
-        round((col("sd2") - col("ss2")) / col("n_vecs"), 6).as("var_resid"),
-        round(col("ss2") / col("sd2"), 6).as("removed_frac"))
+        (floor(col("sd2") / col("n_vecs") * lit(1e6) + lit(0.5)) / lit(1e6))
+          .as("var_total"),
+        (floor((col("sd2") - col("ss2")) / col("n_vecs") * lit(1e6)
+          + lit(0.5)) / lit(1e6)).as("var_resid"),
+        (floor(col("ss2") / col("sd2") * lit(1e6) + lit(0.5)) / lit(1e6))
+          .as("removed_frac"))
       .orderBy("label")
   }
 
@@ -1121,9 +1154,9 @@ object VectorOps {
           / 1e12 AS ss2
       FROM res GROUP BY label)
     SELECT label, n_vecs,
-      ROUND(sd2 / n_vecs, 6) AS var_total,
-      ROUND((sd2 - ss2) / n_vecs, 6) AS var_resid,
-      ROUND(ss2 / sd2, 6) AS removed_frac
+      floor(sd2 / n_vecs * 1e6 + 0.5) / 1e6 AS var_total,
+      floor((sd2 - ss2) / n_vecs * 1e6 + 0.5) / 1e6 AS var_resid,
+      floor(ss2 / sd2 * 1e6 + 0.5) / 1e6 AS removed_frac
     FROM fin ORDER BY label"""
   }
 
@@ -1199,8 +1232,11 @@ object VectorOps {
           round((lit(11) - coalesce(col("erank"), lit(11))).cast("double")
             / log2(col("rn") + lit(1)), 6).as("t6"))
         .groupBy("qid").agg(QueryDef.dsum(col("t6"), 6).as("dcg"))
+        // dcg and idcg are both EXACT 6-dp sums — their ratio can land
+        // on a .xxxxxx5 boundary; floor-quantize, never round()
         .select(lit(m).as("method"), col("qid"), col("dcg"),
-          round(col("dcg") / idcg, 6).as("ndcg"))
+          (floor(col("dcg") / idcg * lit(1e6) + lit(0.5)) / lit(1e6))
+            .as("ndcg"))
     Seq(one("ivf", annIvfFrom(e, assigned, cents)),
       one("lsh", annLsh(s, dir)), one("pq", annPq(s, dir)))
       .reduce(_ unionByName _)
@@ -1227,7 +1263,7 @@ object VectorOps {
     idcg AS (
       SELECT list_reduce(list_transform(generate_series(1, 10),
         i -> round((11 - i) / log2(i + 1), 6)), (a, x) -> a + x) AS v)
-    SELECT method, qid, dcg, ROUND(dcg / idcg.v, 6) AS ndcg
+    SELECT method, qid, dcg, floor(dcg / idcg.v * 1e6 + 0.5) / 1e6 AS ndcg
     FROM per, idcg ORDER BY method, qid"""
 
   /** Cluster DATASHEET for the embedding corpus — per IVF cell, the
@@ -1261,9 +1297,12 @@ object VectorOps {
     val tot = broadcast(cw.agg(sum("n_cw").as("n_tot")))
     val lift = cw.join(cc, "cent_id").join(gw, "w").crossJoin(tot)
       .filter(col("n_cw") >= 5)
+      // lift is a ratio of exact integer-count ratios — a .xxxxxx5
+      // boundary is reachable; floor-quantize, never round()
       .select(col("cent_id"), col("w"), col("n_cw"),
-        round((col("n_cw").cast("double") / col("n_c"))
-          / (col("n_w").cast("double") / col("n_tot")), 6).as("lift"))
+        (floor((col("n_cw").cast("double") / col("n_c"))
+          / (col("n_w").cast("double") / col("n_tot")) * lit(1e6)
+          + lit(0.5)) / lit(1e6)).as("lift"))
     lift.withColumn("rn", row_number().over(
         Window.partitionBy("cent_id").orderBy(col("lift").desc, col("w"))))
       .filter(col("rn") <= topK)
@@ -1288,8 +1327,8 @@ object VectorOps {
     tot AS (SELECT SUM(n_cw) AS n_tot FROM cw),
     lift AS (
       SELECT cent_id, w, n_cw,
-        ROUND((CAST(n_cw AS DOUBLE) / n_c)
-          / (CAST(n_w AS DOUBLE) / n_tot), 6) AS lift
+        floor((CAST(n_cw AS DOUBLE) / n_c)
+          / (CAST(n_w AS DOUBLE) / n_tot) * 1e6 + 0.5) / 1e6 AS lift
       FROM cw JOIN cc USING (cent_id) JOIN gw USING (w), tot
       WHERE n_cw >= 5),
     ranked AS (
