@@ -621,6 +621,52 @@ object GeoQueries {
     FROM chunked
     GROUP BY cluster, chunk ORDER BY cluster, chunk"""
 
+  /** The reference's chunk_by_order(max_cluster_size=…) twin
+    * (Clustering.py:128-154): features in ORIGINAL (id) order, sliced
+    * into consecutive chunks of ≤ maxSize; reported per chunk as size,
+    * id range and centroid. A naive global ROW_NUMBER is a
+    * single-partition sort — the distributed shape derives the global
+    * rank from DETERMINISTIC id-range buckets (id DIV 4096): per-bucket
+    * counts (one tiny aggregate) running-sum into bucket offsets,
+    * broadcast back, and the rank window partitions BY BUCKET — the
+    * only global state at any scale is one row per bucket, and the
+    * offset window sorts that tiny table, never the data. */
+  def chunkOrder(s: SparkSession, dir: String): DataFrame = {
+    val maxSize = 10
+    val pts = graft.Tables.fanout(Derive.points(s, dir))
+      .withColumn("bkt", expr("id DIV 4096"))
+    val wOff = org.apache.spark.sql.expressions.Window.orderBy("bkt")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = pts.groupBy("bkt").agg(count(lit(1)).as("bn"))
+      .withColumn("off", coalesce(sum(col("bn")).over(wOff), lit(0L)))
+      .select("bkt", "off")
+    val wRk = org.apache.spark.sql.expressions.Window
+      .partitionBy("bkt").orderBy("id")
+    pts.join(broadcast(offsets), "bkt")
+      .withColumn("rk", row_number().over(wRk) + col("off"))
+      .withColumn("chunk", expr(s"(rk - 1) DIV $maxSize"))
+      .groupBy("chunk")
+      .agg(count(lit(1)).as("n"),
+        min(col("id")).as("id_lo"), max(col("id")).as("id_hi"),
+        (sum(col("x").cast("decimal(18,1)")).cast("double") / count(lit(1)))
+          .as("cx"),
+        (sum(col("y").cast("decimal(18,1)")).cast("double") / count(lit(1)))
+          .as("cy"))
+      .orderBy("chunk")
+  }
+
+  val chunkOrderSql: String = s"""
+    WITH $pts,
+    chunked AS (
+      SELECT id, x, y,
+        CAST((ROW_NUMBER() OVER (ORDER BY id) - 1) // 10 AS BIGINT) AS chunk
+      FROM pts)
+    SELECT chunk, COUNT(*) AS n,
+           CAST(MIN(id) AS BIGINT) AS id_lo, CAST(MAX(id) AS BIGINT) AS id_hi,
+           CAST(SUM(CAST(x AS DECIMAL(18,1))) AS DOUBLE) / COUNT(*) AS cx,
+           CAST(SUM(CAST(y AS DECIMAL(18,1))) AS DOUBLE) / COUNT(*) AS cy
+    FROM chunked GROUP BY chunk ORDER BY chunk"""
+
   // ---- Hilbert-curve key (native expression; reference hilbert chunking)
   def hilbert(s: SparkSession, dir: String): DataFrame = {
     graft.GraftFunctions.register(s)
@@ -1615,6 +1661,7 @@ object GeoQueries {
     QueryDef("geo_hilbert", hilbert, Some(hilbertSql)),
     QueryDef("geo_cluster", cluster, Some(clusterSql)),
     QueryDef("geo_cluster_capped", clusterCapped, Some(clusterCappedSql)),
+    QueryDef("geo_chunk_order", chunkOrder, Some(chunkOrderSql)),
     QueryDef("geo_poly_tag", polyTag, Some(polyTagSql)),
     QueryDef("geo_poly_centroid", polyCentroid, Some(polyCentroidSql)),
     QueryDef("geo_rasterize", rasterize, Some(rasterizeSql)),

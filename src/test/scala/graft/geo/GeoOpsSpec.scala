@@ -275,4 +275,25 @@ class GeoOpsSpec extends SparkSpec {
       .filter(col("d_brute") < col("d_vertex")).count()
     assert(tighter > 0)
   }
+
+  test("chunkOrder slices the id order into consecutive <=maxSize chunks") {
+    val rows = graft.ops.GeoQueries.chunkOrder(spark, sfDir).collect()
+    val n = Derive.points(spark, sfDir).count()
+    assert(rows.map(_.getLong(1)).sum == n, "every point lands in a chunk")
+    // all chunks full except possibly the last, in chunk order
+    rows.dropRight(1).foreach(r => assert(r.getLong(1) == 10,
+      s"chunk ${r.getLong(0)} not full"))
+    assert(rows.last.getLong(1) <= 10)
+    // chunks partition the id ORDER: consecutive, non-overlapping ranges
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(3) < b.getLong(2),
+        s"chunk ${a.getLong(0)} id range overlaps chunk ${b.getLong(0)}")
+      case _ =>
+    }
+    // the rank window partitions by the id-range bucket — never a
+    // global single-partition sort over the points
+    val plan = graft.ops.GeoQueries.chunkOrder(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bkt"), "bucketed rank window missing from plan")
+  }
 }
