@@ -107,11 +107,17 @@ object GraftFunctions {
     new ExpressionInfo(classOf[functions.FfdBins].getName, "ffd_bins"),
     (args: Seq[Expression]) => functions.FfdBins(args))
 
+  val cdcChunksFn: Fn = (
+    FunctionIdentifier("cdc_chunks"),
+    new ExpressionInfo(classOf[functions.CdcChunks].getName, "cdc_chunks"),
+    (args: Seq[Expression]) => functions.CdcChunks(args.head))
+
   val all: Seq[Fn] =
     Seq(clippedSegmentLengthFn, hilbertIndexFn, pointInPolygonFn,
       normalizeTextFn, clippedPolygonAreaFn, vecDotFn, vecL2Fn,
       minHashSignatureFn, bigramRunStatsFn, wktPartsFn, dsum128Fn,
-      qsum128Fn, rollingHashWindowsFn, ffdBinsFn, md5MinHashFn)
+      qsum128Fn, rollingHashWindowsFn, ffdBinsFn, md5MinHashFn,
+      cdcChunksFn)
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (id, info, builder) =>

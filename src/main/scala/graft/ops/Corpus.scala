@@ -999,19 +999,28 @@ object Corpus {
   def sampleDsir(s: SparkSession, dir: String, target: String = "src0",
                  buckets: Int = 256): DataFrame = {
     graft.GraftFunctions.register(s)
+    // fold token MULTIPLICITY per (doc, bucket) before anything else:
+    // the exploded stream collapses map-side into ≤ `buckets` rows per
+    // doc, so the checkpoint, the bucket-count pass and the per-doc
+    // score join all touch the compact table — the raw token stream is
+    // scanned exactly once. The score term becomes k·(ln ratios) in
+    // BOTH engines (same doubles — the text_langid_stat recipe).
     val b = Tables.hot(docs(s, dir)
       .select(col("doc_id"), col("source"), explode(toks).as("w"))
       .withColumn("b", expr(s"""CAST(conv(substring(md5(concat('dsir:',
-        w)), 1, 8), 16, 10) AS BIGINT) % $buckets""")))
-    val cnt = b.groupBy("b").agg(count(lit(1)).as("call"),
-      sum(when(col("source") === target, 1L).otherwise(0L)).as("ctgt"))
+        w)), 1, 8), 16, 10) AS BIGINT) % $buckets"""))
+      .groupBy("doc_id", "source", "b")
+      .agg(count(lit(1)).as("k")))
+    val cnt = b.groupBy("b").agg(sum("k").as("call"),
+      sum(when(col("source") === target, col("k")).otherwise(0L)).as("ctgt"))
     val tot = cnt.agg(sum("call").as("na"), sum("ctgt").as("nt"))
     val perdoc = b.join(broadcast(cnt), Seq("b"))
       .crossJoin(broadcast(tot))
       .groupBy("doc_id", "source")
-      .agg(sum(log((col("ctgt") + lit(1L)).cast("double")) -
-          log((col("call") + lit(1L)).cast("double"))).as("sl"),
-        count(lit(1)).as("n"),
+      .agg(sum(col("k").cast("double") *
+          (log((col("ctgt") + lit(1L)).cast("double")) -
+           log((col("call") + lit(1L)).cast("double")))).as("sl"),
+        sum(col("k")).as("n"),
         first(col("na")).as("na"), first(col("nt")).as("nt"))
       .select(col("source"),
         round((col("sl") + col("n") *
@@ -1039,19 +1048,21 @@ object Corpus {
              CAST(('0x' || substring(md5('dsir:' || w), 1, 8)) AS UBIGINT)
                % 256 AS b
       FROM tok),
+    tb AS (
+      SELECT doc_id, source, b, COUNT(*) AS k FROM bk GROUP BY 1, 2, 3),
     cnt AS (
-      SELECT b, COUNT(*) AS call,
-             SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ctgt
-      FROM bk GROUP BY b),
+      SELECT b, SUM(k) AS call,
+             SUM(CASE WHEN source = 'src0' THEN k ELSE 0 END) AS ctgt
+      FROM tb GROUP BY b),
     tot AS (SELECT SUM(call) AS na, SUM(ctgt) AS nt FROM cnt),
     perdoc AS (
-      SELECT bk.doc_id, bk.source,
-        ROUND((SUM(ln(CAST(c.ctgt + 1 AS DOUBLE))
-                   - ln(CAST(c.call + 1 AS DOUBLE)))
-               + COUNT(*) * (ln(CAST((SELECT na FROM tot) + 256 AS DOUBLE))
+      SELECT tb.doc_id, tb.source,
+        ROUND((SUM(CAST(k AS DOUBLE) * (ln(CAST(c.ctgt + 1 AS DOUBLE))
+                   - ln(CAST(c.call + 1 AS DOUBLE))))
+               + SUM(k) * (ln(CAST((SELECT na FROM tot) + 256 AS DOUBLE))
                    - ln(CAST((SELECT nt FROM tot) + 256 AS DOUBLE))))
-              / COUNT(*), 6) AS lw
-      FROM bk JOIN cnt c USING (b)
+              / SUM(k), 6) AS lw
+      FROM tb JOIN cnt c USING (b)
       GROUP BY 1, 2),
     gall AS (
       SELECT COUNT(*) AS n_all, SUM(CAST(lw AS DECIMAL(18,6))) AS s_all
@@ -1345,30 +1356,22 @@ object Corpus {
     * position-fragile sibling. Per-source output reports the duplicate-
     * chunk fraction: how much of the corpus a chunk store would dedup
     * away. Boundary hashes use the md5-derived 60-bit value (oracle-
-    * replayable ordering-free modulus). Shapes: fanout → posexplode →
-    * TWO lag columns + one cumulative sum sharing a single per-doc
-    * window sort → one (doc, chunk) aggregate (chunk state is
-    * geometrically bounded) → md5-key shuffle join for global chunk
-    * counts (chunk vocab never broadcasts) → one source aggregate.
+    * replayable ordering-free modulus). Shapes: fanout → ONE native
+    * per-doc pass (functions.CdcChunks: hash, segment and re-join in a
+    * tight loop — the former posexplode + two LAG windows + cumulative
+    * sum + collect_list rebuild shuffled every TOKEN four times for
+    * work that never leaves its document) → posexplode of the per-doc
+    * chunk array → md5-key shuffle join for global chunk counts (chunk
+    * vocab never broadcasts) → one source aggregate.
     */
   private[graft] def cdcChunks(docsDf: DataFrame): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val h = expr("""CAST(conv(substring(md5(concat_ws(' ', t2, t1, w)),
-      1, 15), 16, 10) AS BIGINT)""")
+    graft.GraftFunctions.register(docsDf.sparkSession)
     docsDf
       .select(col("doc_id"), col("source"),
-        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-      .withColumn("t1", lag(col("w"), 1).over(w))
-      .withColumn("t2", lag(col("w"), 2).over(w))
-      .withColumn("b",
-        when(col("t2").isNotNull && pmod(h, lit(8)) === 0, 1).otherwise(0))
-      .withColumn("cid", coalesce(
-        sum(col("b")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-      .groupBy("doc_id", "source", "cid")
-      .agg(array_join(transform(array_sort(collect_list(struct(col("pos"),
-          col("w")))), x => x.getField("w")), " ").as("ctext"),
-        count(lit(1)).as("clen"))
+        posexplode(call_function("cdc_chunks", split(col("text"), " ")))
+          .as(Seq("cid", "ch")))
+      .select(col("doc_id"), col("source"), col("cid").cast("long").as("cid"),
+        col("ch.ctext").as("ctext"), col("ch.clen").as("clen"))
   }
 
   def chunkCdc(s: SparkSession, dir: String): DataFrame = {

@@ -136,33 +136,45 @@ object LangModel {
     * language code). Output is the confusion matrix (true lang ×
     * predicted, ≤ |L|² rows) — the evidence the classifier actually
     * separates languages. Scale shape: the trigram stream is exploded
-    * once and reused (hot), the profile joins back by gram-key
-    * SHUFFLE (char-trigram vocab of a web corpus is large), absent
-    * (doc, lang) gram matches contribute exactly ln(1) = 0 so no
-    * dense vocab×lang materialization is needed, and the 5-row
-    * language totals + 1-row vocab size broadcast. */
+    * once, multiplicity-folded map-side, and the compact (doc, gram,
+    * k) table is what checkpoints and feeds every aggregate; the
+    * learned profile (bounded by the gram space, not the corpus)
+    * BROADCASTS back onto the probe side; absent (doc, lang) gram
+    * matches contribute exactly ln(1) = 0 so no dense vocab×lang
+    * materialization is needed, and the 5-row language totals + 1-row
+    * vocab size broadcast. */
   def textLangidStat(s: SparkSession, dir: String): DataFrame = {
     val g3 = expr("""CASE WHEN length(text) >= 3
       THEN transform(sequence(1, length(text) - 2),
         i -> substring(text, i, 3))
       ELSE array() END""")
-    val dg = Tables.hot(
+    // gram MULTIPLICITY folds BEFORE the checkpoint: the raw trigram
+    // occurrence stream is scanned exactly once (explode → map-side
+    // partial count → one shuffle), and the hot table holds compact
+    // (doc, lang, gram, k) rows — the profile, the per-doc totals and
+    // the score-join probe all derive from it by integer re-aggregation
+    // (lang is functionally dependent on doc_id, so per-(doc, gram)
+    // multiplicities are exact). The score term is k·ln(c+1) in BOTH
+    // engines — same doubles.
+    val dgc = Tables.hot(
       Tables.fanout(Tables.load(s, dir, "documents"))
-        .select(col("doc_id"), col("lang"), explode(g3).as("g")))
-    val prof = dg.groupBy(col("g"), col("lang").as("plang"))
-      .agg(count(lit(1)).as("c"))
+        .select(col("doc_id"), col("lang"), explode(g3).as("g"))
+        .groupBy("doc_id", "lang", "g").agg(count(lit(1)).as("kc")))
+    val prof = dgc.groupBy(col("g"), col("lang").as("plang"))
+      .agg(sum(col("kc")).as("c"))
     val langTot = prof.groupBy("plang").agg(sum("c").as("nl"))
     val vdf = prof.agg(countDistinct("g").cast("double").as("v"))
-    val docG = dg.groupBy("doc_id", "lang").agg(count(lit(1)).as("n_g"))
-    // gram MULTIPLICITY folds before the profile join: the probe side
-    // shrinks to distinct (doc, gram) pairs and ln(c+1) is computed
-    // once per (gram, lang) profile row instead of once per occurrence
-    // (the score term is k·ln(c+1) in BOTH engines — same doubles)
-    val docGram = dg.groupBy("doc_id", "g")
-      .agg(count(lit(1)).cast("double").as("k"))
+    val docG = dgc.groupBy("doc_id", "lang").agg(sum(col("kc")).as("n_g"))
+    val docGram = dgc.select(col("doc_id"), col("g"),
+      col("kc").cast("double").as("k"))
+    // the profile is the trained MODEL: ≤ |charset|³ · |langs| rows by
+    // construction (a few MB even for a web-scale corpus — its size is
+    // bounded by the gram space, not the corpus), so it broadcasts and
+    // the 100×-larger probe side never shuffles; a gram-key shuffle
+    // here was also maximally skewed (hundreds of distinct keys)
     val profL = prof.withColumn("lc", log(col("c").cast("double") + 1.0))
     val perLang = docGram
-      .join(profL.hint("shuffle_hash"), Seq("g"))
+      .join(broadcast(profL), Seq("g"))
       .groupBy("doc_id", "plang")
       .agg(sum(col("k") * col("lc")).as("s0"))
     docG.join(broadcast(langTot))

@@ -106,9 +106,14 @@ object Relational4 {
 
   /** Q21-style waiting suppliers: orders where a supplier shipped
     * late (>90 days after the order date) while some other supplier
-    * on the same order did not — the classic exists + not-exists
-    * self-join pair on the fact table, decorrelated into left-semi
-    * and left-anti joins on the order key. */
+    * on the same order did not. The exists + not-exists pair
+    * collapses into ONE aggregation over the order key: per order,
+    * count distinct suppliers and distinct LATE suppliers — the
+    * blamed supplier exists iff n_late_supp = 1 and n_supp ≥ 2, and
+    * it IS that single late supplier (max over the when-late key).
+    * One fact shuffle (the orders join) + one hash aggregate replace
+    * the semi- and anti- self-joins' two extra fact shuffles; every
+    * order contributes at most one row, so numwait is a plain count. */
   def q21(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.load(s, dir, "orders").select("o_orderkey", "o_orderdate")
     val l = Tables.load(s, dir, "lineitem")
@@ -116,18 +121,17 @@ object Relational4 {
       .join(o, col("l_orderkey") === col("o_orderkey"))
       .withColumn("late",
         col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
-    val l1 = l.filter(col("late"))
-      .select(col("l_orderkey").as("k"), col("l_suppkey").as("supp"))
-    // exists: another supplier on the same order
-    val others = l.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
-    val withOther = l1.join(others,
-        col("k") === col("k2") && col("supp") =!= col("s2"), "left_semi")
-    // not exists: another supplier also late on that order
-    val otherLate = l.filter(col("late"))
-      .select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
-    val sole = withOther.join(otherLate,
-        col("k") === col("k3") && col("supp") =!= col("s3"), "left_anti")
-    sole.groupBy("supp").agg(countDistinct("k").as("numwait"))
+    // two-level, Expand-free: per (order, supplier) fold the line rows
+    // to one was-late flag (map-side combinable), then per order count
+    // suppliers and late suppliers — no countDistinct row triplication
+    l.groupBy("l_orderkey", "l_suppkey")
+      .agg(max(col("late")).as("sl"))
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_supp"),
+        sum(col("sl").cast("long")).as("n_late_supp"),
+        max(when(col("sl"), col("l_suppkey"))).as("supp"))
+      .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+      .groupBy("supp").agg(count(lit(1)).as("numwait"))
       .orderBy(col("numwait").desc, col("supp"))
       .limit(20)
   }

@@ -999,11 +999,36 @@ object VectorOps {
     * CENTERED table d = v − μ (computed once — it is round-invariant,
     * and the rounds, the λ half-step, and the residual pass all read
     * it), and the CONVERGED unit loading vector after [[PcaIters]]
-    * rounds — reused by embed_pca and embed_abtt. */
+    * rounds — reused by embed_pca and embed_abtt.
+    *
+    * SESSION-FROZEN ARTIFACT (the ivfAssign / bm25Stats pattern): the
+    * power iteration trains ONCE per (session, corpus dir); embed_pca
+    * and embed_abtt both consume the pinned converged state instead of
+    * re-running the 4-round corpus scan each — exactly like a
+    * production pipeline that fits its isotropy correction once and
+    * applies it everywhere. */
+  private case class PcaArtifact(e: DataFrame, dTab: DataFrame,
+                                 vArr: DataFrame,
+                                 live: Seq[org.apache.spark.rdd.RDD[_]])
+  private val pcaCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), PcaArtifact]()
+
   private def pcaConverged(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = {
+    val key = (s, dir)
+    val cached = Option(pcaCache.get(key)).filter(_.live.forall(
+      _.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE))
+    val art = cached.getOrElse {
+      val a = pcaTrain(s, dir)
+      pcaCache.put(key, a)
+      a
+    }
+    (art.e, art.dTab, art.vArr)
+  }
+
+  private def pcaTrain(s: SparkSession, dir: String): PcaArtifact = {
     graft.GraftFunctions.register(s)
-    val e = Tables.hot(emb(s, dir))
+    val (e, rE) = Tables.hotPinned(emb(s, dir))
     val n = broadcast(e.agg(count(lit(1)).as("n")))
     val dec = org.apache.spark.sql.types.DecimalType(38, 12)
     // per-dimension 6-dp mean, assembled into ONE array row. Cross-row
@@ -1022,7 +1047,7 @@ object VectorOps {
     // center ONCE: d = v − μ is round-invariant, and CollapseProject
     // would otherwise duplicate the zip_with subtree into every
     // consumer expression each round (the CLAUDE.md aliasing tax)
-    val dTab = Tables.hot(e.crossJoin(muArr)
+    val (dTab, rD) = Tables.hotPinned(e.crossJoin(muArr)
       .select(col("vec_id"),
         zip_with(col("v"), col("mu"), (a, b) => a - b).as("d")))
     for (_ <- 1 to PcaIters) {
@@ -1042,7 +1067,11 @@ object VectorOps {
           (col("w") / col("nrm")).as("u")))), x => x.getField("u"))
           .as("vk"))))
     }
-    (e, dTab, vArr)
+    // re-pin the converged 1-row state: the per-round hots above are
+    // training scratch the per-query cleanup may drop; the artifact
+    // the consumers serve from must survive it
+    val (vPinned, rV) = Tables.hotPinned(vArr)
+    PcaArtifact(e, dTab, broadcast(vPinned), rE ++ rD ++ rV)
   }
 
   def embedPca(s: SparkSession, dir: String): DataFrame = {
