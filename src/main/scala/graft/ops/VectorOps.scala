@@ -586,8 +586,11 @@ object VectorOps {
         col("m.cd").as("cd"), col("m.cent_id").as("code"))
 
   /** Encode a corpus against a codebook: (vec_id, code0..3, recon_err). */
-  def pqEncode(e: DataFrame, codebook: DataFrame): DataFrame = {
-    val assigned = pqAssign(e, broadcast(Tables.hot(codebook)))
+  def pqEncode(e: DataFrame, codebook: DataFrame): DataFrame =
+    pqWide(pqAssign(e, broadcast(Tables.hot(codebook))))
+
+  /** Long-form codes → wide (vec_id, code0..3, recon_err). */
+  private def pqWide(assigned: DataFrame): DataFrame = {
     def pick(sIdx: Int, c: String) = max(when(col("sub") === sIdx, col(c)))
     assigned.groupBy("vec_id")
       .agg(
@@ -601,8 +604,33 @@ object VectorOps {
           .as("recon_err"))
   }
 
+  /** SESSION-FROZEN ARTIFACT (the ivfAssign pattern): the raw-corpus
+    * PQ codebook and long-form corpus codes, trained once per
+    * (session, corpus dir) and served to embed_pq, ann_pq and the
+    * recall/ndcg audits — the PQ index of a production vector store. */
+  private case class PqArtifact(cents: DataFrame, codes: DataFrame,
+                                live: Seq[org.apache.spark.rdd.RDD[_]])
+  private val pqFrozenCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), PqArtifact]()
+
+  private def pqFrozen(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val key = (s, dir)
+    val cached = Option(pqFrozenCache.get(key)).filter(_.live.forall(
+      _.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE))
+    val art = cached.getOrElse {
+      val e = emb(s, dir)
+      val (centsH, r1) = Tables.hotPinned(pqCodebook(e))
+      val (codesH, r2) = Tables.hotPinned(pqAssign(e, broadcast(centsH)))
+      val a = PqArtifact(centsH, codesH, r1 ++ r2)
+      pqFrozenCache.put(key, a)
+      a
+    }
+    (art.cents, art.codes)
+  }
+
   def embedPq(s: SparkSession, dir: String): DataFrame =
-    pqEncode(emb(s, dir), pqCodebook(emb(s, dir))).orderBy("vec_id")
+    pqWide(pqFrozen(s, dir)._2).orderBy("vec_id")
 
   /** Shared oracle CTE chain: subvectors → seed → one Lloyd step →
     * refined cents → per-(vec, sub) argmin codes. Used by embed_pq
@@ -676,8 +704,8 @@ object VectorOps {
     * (query, vector), top-k windows partitioned by query. */
   def annPq(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val cents = broadcast(Tables.hot(pqCodebook(e)))
-    val codes = pqAssign(e, cents)
+    val (centsH, codes) = pqFrozen(s, dir)
+    val cents = broadcast(centsH)
     val dt = broadcast(pqSubs(e.filter(expr(QueryFilter)))
       .join(cents, Seq("sub"))
       .select(col("vec_id").as("qid"), l2(col("sv"), col("cv")).as("dd"),
@@ -743,21 +771,47 @@ object VectorOps {
     * Lloyd, and the ADC scoring in SQL) matches hash-exactly. */
   def annIvfPq(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val (assigned, cents) = ivfAssign(s, dir)
-    annIvfPqFrom(e, assigned, cents)
+    val (_, cents) = ivfAssign(s, dir)
+    annIvfPqSearch(s, dir, e, cents)
   }
 
-  /** IVF-PQ search from a PRECOMPUTED coarse assignment (see
-    * annIvfFrom). */
-  private[ops] def annIvfPqFrom(e: DataFrame, assigned: DataFrame,
-                                cents: DataFrame): DataFrame = {
-    val resid = Tables.hot(assigned.join(cents, Seq("cent_id"))
-      .select(col("vec_id"), col("cent_id").as("cell"),
-        zip_with(col("v"), col("cv"), (a, b) => a - b).as("v")))
-    val codebook = broadcast(Tables.hot(
-      pqCodebook(resid.select("vec_id", "v"))))
-    val codes = pqAssign(resid.select("vec_id", "v"), codebook)
-      .join(resid.select("vec_id", "cell"), Seq("vec_id"))
+  /** SESSION-FROZEN ARTIFACT: the residual PQ layer of the IVF-PQ
+    * index — the per-subspace codebook trained on coarse-cell
+    * residuals and the (vec_id, sub, code, cell) corpus codes. Derives
+    * from the frozen ivfAssign coarse structure; together they are the
+    * complete FAISS-shaped index a production deployment builds once. */
+  private case class IvfPqArtifact(codebook: DataFrame, codes: DataFrame,
+                                   live: Seq[org.apache.spark.rdd.RDD[_]])
+  private val ivfPqCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), IvfPqArtifact]()
+
+  private def ivfPqFrozen(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val key = (s, dir)
+    val cached = Option(ivfPqCache.get(key)).filter(_.live.forall(
+      _.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE))
+    val art = cached.getOrElse {
+      val (assigned, cents) = ivfAssign(s, dir)
+      val resid = Tables.hot(assigned.join(cents, Seq("cent_id"))
+        .select(col("vec_id"), col("cent_id").as("cell"),
+          zip_with(col("v"), col("cv"), (a, b) => a - b).as("v")))
+      val (cbH, r1) = Tables.hotPinned(pqCodebook(resid.select("vec_id", "v")))
+      val (codesH, r2) = Tables.hotPinned(
+        pqAssign(resid.select("vec_id", "v"), broadcast(cbH))
+          .join(resid.select("vec_id", "cell"), Seq("vec_id")))
+      val a = IvfPqArtifact(cbH, codesH, r1 ++ r2)
+      ivfPqCache.put(key, a)
+      a
+    }
+    (art.codebook, art.codes)
+  }
+
+  /** IVF-PQ search over the frozen coarse + residual index. */
+  private[ops] def annIvfPqSearch(s: SparkSession, dir: String,
+                                  e: DataFrame, cents: DataFrame)
+      : DataFrame = {
+    val (cbH, codes) = ivfPqFrozen(s, dir)
+    val codebook = broadcast(cbH)
     val qProbes = e.filter(expr(QueryFilter)).join(cents)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("cent_id"),
         l2(col("v"), col("cv")).as("cd"))
@@ -1540,7 +1594,7 @@ object VectorOps {
             / col("n_exact"), 6).as("recall"))
     }
     Seq(one("ivf", annIvfFrom(e, assigned, cents)),
-      one("ivf_pq", annIvfPqFrom(e, assigned, cents)),
+      one("ivf_pq", annIvfPqSearch(s, dir, e, cents)),
       one("lsh", annLsh(s, dir)), one("pq", annPq(s, dir)))
       .reduce(_ unionByName _)
       .orderBy("method", "qid")
