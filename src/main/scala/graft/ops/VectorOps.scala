@@ -203,6 +203,13 @@ object VectorOps {
     annIvfFrom(e, assigned, cents)
   }
 
+  /** The frozen IVF artifact + probe width, exposed for the streaming
+    * search twin (streaming/StreamDedup.annIvfStream): queries stream
+    * against the SAME index every batch consumer serves from. */
+  private[graft] def ivfIndex(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = ivfAssign(s, dir)
+  private[graft] def ivfNProbe: Int = NProbe
+
   /** IVF probe search from a PRECOMPUTED assignment — ann_recall audits
     * several index variants over the same coarse structure and must
     * not train it once per method. */

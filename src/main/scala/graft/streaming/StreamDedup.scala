@@ -219,4 +219,51 @@ object StreamDedup {
         round(col("sq") / (sqrt(col("c2").cast("double")) *
           sqrt(col("e2"))), 6).as("cos6"))
   }
+
+  /** Streaming NEAREST-NEIGHBOR search against the FROZEN IVF index —
+    * the production vector-store shape end to end: the index (Lloyd
+    * coarse cells + per-vector assignment, ops.VectorOps.ivfIndex) is
+    * the session-frozen artifact every batch consumer already serves
+    * from; QUERIES arrive on a stream. Probe selection is STATELESS —
+    * the ≤NCells centroids fold to one broadcast array row and each
+    * query picks its NProbe nearest cells with a sort-slice HOF (the
+    * batch side's row_number window is unavailable in streaming, but
+    * over one in-row array the lexicographic (cd, cent_id) sort is the
+    * identical ordering). Candidates come from a stream-static join to
+    * the frozen assignment on the cell key, the cosine is the same
+    * native-dot projection, and the nearest-1 per query is the single
+    * allowed streaming aggregation — min over the (−cos, cid) struct,
+    * Update mode, monotone non-increasing per query, replaying the
+    * batch orderBy(cos DESC, cid) rank-1 exactly (EventStreamSpec
+    * cert #20). */
+  def annIvfStream(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(spark)
+    val (assigned, cents) = graft.ops.VectorOps.ivfIndex(spark, dir)
+    val centArr = broadcast(graft.Tables.hot(cents.agg(
+      array_sort(collect_list(struct(col("cent_id"), col("cv"))))
+        .as("ca"))))
+    val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    val qs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+      .filter(expr("vec_id % 100 = 0"))
+      .select(col("vec_id").as("qid"),
+        graft.functions.Vec.asDouble(col("embedding")).as("qv"))
+    qs.crossJoin(centArr)
+      .withColumn("pc", slice(array_sort(transform(col("ca"), c =>
+        struct(
+          call_function("vec_l2", col("qv"), c.getField("cv")).as("cd"),
+          c.getField("cent_id").as("cent_id")))),
+        1, graft.ops.VectorOps.ivfNProbe))
+      .select(col("qid"), col("qv"),
+        explode(transform(col("pc"), p => p.getField("cent_id")))
+          .as("cent_id"))
+      .join(assigned, Seq("cent_id"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"),
+        (-graft.functions.Vec.cosine(col("qv"), col("v"))).as("nc"),
+        col("vec_id").as("cid"))
+      .groupBy("qid")
+      .agg(min(struct(col("nc"), col("cid"))).as("m"))
+      .select(col("qid"), col("m.nc").as("nc"), col("m.cid").as("cid"))
+  }
 }

@@ -424,6 +424,29 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming vector search against the frozen IVF index equals " +
+    "the batch nearest-1") {
+    val q = StreamDedup.annIvfStream(spark, sfDir)
+      .writeStream.format("memory").queryName("ivf_out")
+      .outputMode(OutputMode.Update()).start()
+    try q.processAllAvailable() finally q.stop()
+    // Update mode: the (−cos, cid) struct is monotone non-increasing
+    // per query — the min across emissions is the final state
+    val streamed = spark.table("ivf_out")
+      .groupBy("qid").agg(min(struct(col("nc"), col("cid"))).as("m"))
+      .select(col("qid"), col("m.cid").as("cid"),
+        round(-col("m.nc"), 6).as("score"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val batch = graft.ops.VectorOps.annIvf(spark, sfDir)
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("cid"), col("score"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("streaming fluent-pipeline summary equals the batch EventPipeline") {
     val q = EventStream.pipelineSummary(spark, sfDir)
       .writeStream.format("memory").queryName("pipe_out")
