@@ -112,12 +112,18 @@ object GraftFunctions {
     new ExpressionInfo(classOf[functions.CdcChunks].getName, "cdc_chunks"),
     (args: Seq[Expression]) => functions.CdcChunks(args.head))
 
+  val shingleHashesFn: Fn = (
+    FunctionIdentifier("shingle_hashes"),
+    new ExpressionInfo(classOf[functions.ShingleHashes].getName,
+      "shingle_hashes"),
+    (args: Seq[Expression]) => functions.ShingleHashes(args(0), args(1)))
+
   val all: Seq[Fn] =
     Seq(clippedSegmentLengthFn, hilbertIndexFn, pointInPolygonFn,
       normalizeTextFn, clippedPolygonAreaFn, vecDotFn, vecL2Fn,
       minHashSignatureFn, bigramRunStatsFn, wktPartsFn, dsum128Fn,
       qsum128Fn, rollingHashWindowsFn, ffdBinsFn, md5MinHashFn,
-      cdcChunksFn)
+      cdcChunksFn, shingleHashesFn)
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (id, info, builder) =>

@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Distinct xxhash64 word-shingle hashes of a token array in ONE
+  * native pass — the codegen'd replacement for
+  * `array_distinct(transform(grams(n), xxhash64))` (and, exploded, for
+  * the `explode(transform(...)).distinct()` form): Catalyst evaluates
+  * higher-order-function lambdas interpreted per element, and each
+  * gram costs a `slice` array allocation plus a `concat_ws` string
+  * build before hashing. This kernel joins each n-token window with
+  * single spaces via `UTF8String.concatWs` (the same routine
+  * `concat_ws` bottoms out in) and hashes with
+  * `XXH64.hashUTF8String(..., 42)` (the same call the `xxhash64`
+  * expression makes), so the hash values are BIT-IDENTICAL to the HOF
+  * chain — certified element-for-element in TextDedupSpec. First-
+  * occurrence order is preserved (array_distinct's contract); docs
+  * shorter than n tokens yield the empty array (the Text.grams
+  * short-doc guard).
+  */
+object ShingleMath {
+  private val Sep = UTF8String.fromString(" ")
+
+  def shingles(toks: ArrayData, n: Int): ArrayData = {
+    val cnt = toks.numElements()
+    if (cnt < n) return new GenericArrayData(Array.empty[Any])
+    val ng = cnt - n + 1
+    val ts = new Array[UTF8String](cnt)
+    var i = 0
+    while (i < cnt) { ts(i) = toks.getUTF8String(i); i += 1 }
+    val seen = new java.util.HashSet[java.lang.Long](ng * 2)
+    val out = new scala.collection.mutable.ArrayBuffer[Any](ng)
+    val window = new Array[UTF8String](n)
+    i = 0
+    while (i < ng) {
+      var j = 0
+      while (j < n) { window(j) = ts(i + j); j += 1 }
+      val g = UTF8String.concatWs(Sep, window: _*)
+      val h = java.lang.Long.valueOf(XXH64.hashUTF8String(g, 42L))
+      if (seen.add(h)) out += h.longValue()
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+case class ShingleHashes(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(StringType), IntegerType)
+
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "shingle_hashes"
+
+  override protected def nullSafeEval(toks: Any, n: Any): Any =
+    ShingleMath.shingles(toks.asInstanceOf[ArrayData],
+      n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, n) =>
+      s"graft.functions.ShingleMath.shingles($t, $n)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

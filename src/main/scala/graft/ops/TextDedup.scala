@@ -33,11 +33,15 @@ object TextDedup {
 
   /** Distinct hashed shingles: (doc_id, hs). All self-joins run on the
     * 8-byte hash, not the string — same pairs (64-bit collisions are
-    * ~1e-11 at this vocabulary), far smaller shuffles. */
-  private def shinglesHashed(d: DataFrame): DataFrame =
+    * ~1e-11 at this vocabulary), far smaller shuffles. The native
+    * shingle_hashes pass dedups WITHIN the document, which makes
+    * (doc_id, hs) rows distinct by construction — the global distinct
+    * shuffle the HOF form needed is gone. */
+  private def shinglesHashed(d: DataFrame): DataFrame = {
+    graft.GraftFunctions.register(d.sparkSession)
     d.select(col("doc_id"),
-        explode(transform(grams(3), g => xxhash64(g))).as("hs"))
-      .distinct()
+      explode(call_function("shingle_hashes", toks, lit(3))).as("hs"))
+  }
 
   /** Exact-Jaccard pairs ≥ `minJ` from a hashed-shingle table, either
     * over all co-occurring pairs (cands = None) or candidate-driven. */
@@ -175,7 +179,7 @@ object TextDedup {
     // materialized arrays
     val base = Tables.hot(
       docs(s, dir).select(col("doc_id"),
-        array_distinct(transform(grams(3), g => xxhash64(g))).as("harr")))
+        call_function("shingle_hashes", toks, lit(3)).as("harr")))
     val sh = base.select(col("doc_id"), explode(col("harr")).as("hs"))
     // band keys: hash of each row-group of the signature. sig lives in
     // ONE projection chain off the checkpoint (never re-derived from
@@ -241,7 +245,7 @@ object TextDedup {
   /** Shingle-hash array for the incremental-dedup family (3-gram
     * xxhash64, distinct) — shared with the streaming twin. */
   private[graft] def harrOf: Column =
-    array_distinct(transform(grams(3), g => xxhash64(g)))
+    call_function("shingle_hashes", toks, lit(3))
 
   /** SESSION-FROZEN ARTIFACT (the ivfAssign / bm25Stats pattern): the
     * EXISTING corpus side's shingle arrays and LSH band buckets — the
@@ -538,9 +542,11 @@ object TextDedup {
     * per-doc aggregate. Shingles travel as 8-byte xxhash64 like the
     * rest of the dedup family (same collision argument). */
   def textDupCoverage(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(s)
+    // per-doc-distinct native shingle pass — (doc_id, hs) rows are
+    // distinct by construction, no global distinct shuffle
     val sh = docs(s, dir).select(col("doc_id"),
-        explode(transform(grams(3), g => xxhash64(g))).as("hs"))
-      .distinct()
+      explode(call_function("shingle_hashes", toks, lit(3))).as("hs"))
     val first = sh.groupBy("hs").agg(min("doc_id").as("first_doc"))
       .hint("shuffle_hash") // vocab is unbounded at web scale
     sh.join(first, Seq("hs"))
@@ -587,7 +593,7 @@ object TextDedup {
   def dedupContainment(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.hot(
       docs(s, dir).select(col("doc_id"),
-        array_distinct(transform(grams(3), g => xxhash64(g))).as("harr")))
+        call_function("shingle_hashes", toks, lit(3)).as("harr")))
     val sh = base.select(col("doc_id"), explode(col("harr")).as("hs"))
     // ≥ 2 sketch hits instead of ≥ 1: a true containment pair clears it
     // with P(Bin(16, 0.8) ≤ 1) ≈ 2e-10 while the long tail of

@@ -5,6 +5,31 @@ import org.apache.spark.sql.functions._
 
 class TextVecSpec extends SparkSpec {
 
+  test("shingle_hashes is bit-identical to the HOF gram-hash chain") {
+    graft.GraftFunctions.register(spark)
+    // the native kernel must reproduce array_distinct(transform(
+    // grams(3), xxhash64)) ELEMENT FOR ELEMENT (values and first-
+    // occurrence order), including the short-doc empty-array guard
+    val both = graft.Tables.load(spark, sfDir, "documents")
+      .limit(200)
+      .select(
+        call_function("shingle_hashes", Text.toks, lit(3)).as("native"),
+        array_distinct(transform(Text.grams(3),
+          g => xxhash64(g))).as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        "native shingle hashes diverge from the HOF chain")
+    }
+    // short-doc guard: 2 tokens < n=3 → empty
+    import spark.implicits._
+    val short = Seq("a b").toDF("text")
+      .select(call_function("shingle_hashes", Text.toks, lit(3)))
+      .collect().head.getSeq[Long](0)
+    assert(short.isEmpty)
+  }
+
   test("minhash-LSH near-dup finds exactly the exact-Jaccard pairs") {
     val exact = TextDedup.dedupNgram(spark, sfDir)
       .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
