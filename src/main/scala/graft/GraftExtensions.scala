@@ -118,12 +118,18 @@ object GraftFunctions {
       "shingle_hashes"),
     (args: Seq[Expression]) => functions.ShingleHashes(args(0), args(1)))
 
+  val md5ShinglesFn: Fn = (
+    FunctionIdentifier("md5_shingles"),
+    new ExpressionInfo(classOf[functions.Md5Shingles].getName,
+      "md5_shingles"),
+    (args: Seq[Expression]) => functions.Md5Shingles(args(0), args(1)))
+
   val all: Seq[Fn] =
     Seq(clippedSegmentLengthFn, hilbertIndexFn, pointInPolygonFn,
       normalizeTextFn, clippedPolygonAreaFn, vecDotFn, vecL2Fn,
       minHashSignatureFn, bigramRunStatsFn, wktPartsFn, dsum128Fn,
       qsum128Fn, rollingHashWindowsFn, ffdBinsFn, md5MinHashFn,
-      cdcChunksFn, shingleHashesFn)
+      cdcChunksFn, shingleHashesFn, md5ShinglesFn)
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (id, info, builder) =>

@@ -25,6 +25,47 @@ import org.apache.spark.unsafe.types.UTF8String
 object ShingleMath {
   private val Sep = UTF8String.fromString(" ")
 
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Distinct 60-bit md5-prefix shingle hashes — bit-identical to
+    * `array_distinct(transform(grams(n), conv(substring(md5(g), 1,
+    * 15), 16, 10) cast long))`: the first 15 hex nibbles of the digest
+    * as an integer are bytes 0..6 followed by the high nibble of byte
+    * 7. The md5-derived form is the ORACLE-REPLAYABLE hash family
+    * (DuckDB has md5 but not xxhash64); dedup_minhash_est depends on
+    * these exact values. */
+  def md5Shingles(toks: ArrayData, n: Int): ArrayData = {
+    val cnt = toks.numElements()
+    if (cnt < n) return new GenericArrayData(Array.empty[Any])
+    val ng = cnt - n + 1
+    val ts = new Array[UTF8String](cnt)
+    var i = 0
+    while (i < cnt) { ts(i) = toks.getUTF8String(i); i += 1 }
+    val seen = new java.util.HashSet[java.lang.Long](ng * 2)
+    val out = new scala.collection.mutable.ArrayBuffer[Any](ng)
+    val window = new Array[UTF8String](n)
+    val d = md5.get()
+    i = 0
+    while (i < ng) {
+      var j = 0
+      while (j < n) { window(j) = ts(i + j); j += 1 }
+      d.reset()
+      d.update(UTF8String.concatWs(Sep, window: _*).getBytes)
+      val dig = d.digest()
+      var v = 0L
+      j = 0
+      while (j < 7) { v = (v << 8) | (dig(j) & 0xffL); j += 1 }
+      v = (v << 4) | ((dig(7) >> 4) & 0xfL)
+      val h = java.lang.Long.valueOf(v)
+      if (seen.add(h)) out += h.longValue()
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   def shingles(toks: ArrayData, n: Int): ArrayData = {
     val cnt = toks.numElements()
     if (cnt < n) return new GenericArrayData(Array.empty[Any])
@@ -67,6 +108,31 @@ case class ShingleHashes(left: Expression, right: Expression)
                                    ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (t, n) =>
       s"graft.functions.ShingleMath.shingles($t, $n)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+case class Md5Shingles(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(StringType), IntegerType)
+
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "md5_shingles"
+
+  override protected def nullSafeEval(toks: Any, n: Any): Any =
+    ShingleMath.md5Shingles(toks.asInstanceOf[ArrayData],
+      n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, n) =>
+      s"graft.functions.ShingleMath.md5Shingles($t, $n)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

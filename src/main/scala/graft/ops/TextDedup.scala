@@ -751,9 +751,11 @@ object TextDedup {
     require(n <= NgramMaxDocs,
       s"dedup_minhash_est is the small-scale calibration audit ($n docs > " +
         s"cap $NgramMaxDocs); at scale trust dedup_minhash's LSH bands")
+    graft.GraftFunctions.register(s)
+    // native md5_shingles: same 60-bit md5-prefix values as the former
+    // interpreted HOF chain, distinct within the doc in one pass
     val sh = Tables.hot(d.select(col("doc_id"),
-      explode(array_distinct(transform(grams(3),
-        g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")))).as("h")))
+      explode(call_function("md5_shingles", toks, lit(3))).as("h")))
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))

@@ -28,6 +28,20 @@ class TextVecSpec extends SparkSpec {
       .select(call_function("shingle_hashes", Text.toks, lit(3)))
       .collect().head.getSeq[Long](0)
     assert(short.isEmpty)
+    // md5 sibling: same contract against its HOF chain (the
+    // oracle-replayable 60-bit md5-prefix family)
+    val bothMd5 = graft.Tables.load(spark, sfDir, "documents")
+      .limit(200)
+      .select(
+        call_function("md5_shingles", Text.toks, lit(3)).as("native"),
+        array_distinct(transform(Text.grams(3),
+          g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")))
+          .as("hof"))
+      .collect()
+    bothMd5.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        "native md5 shingle hashes diverge from the HOF chain")
+    }
   }
 
   test("minhash-LSH near-dup finds exactly the exact-Jaccard pairs") {
