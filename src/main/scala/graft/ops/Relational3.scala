@@ -75,6 +75,10 @@ object Relational3 {
     * loudly. AccuracySpec additionally bounds the raw sketch error. */
   def qApprox(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(s, dir, "lineitem")
+    // two aggregates + a 3-row join ON PURPOSE: folding the distinct
+    // leg in with the sketch/percentile aggregates plans an Expand
+    // that re-feeds the percentile sort-aggregates the duplicated
+    // input (measured 11 s vs 3.4 s at sf0.1)
     val apx = li.groupBy("l_returnflag")
       .agg(
         approx_count_distinct(col("l_partkey"), 0.01).as("apx_parts"),
