@@ -124,12 +124,18 @@ object GraftFunctions {
       "md5_shingles"),
     (args: Seq[Expression]) => functions.Md5Shingles(args(0), args(1)))
 
+  val charNgramsFn: Fn = (
+    FunctionIdentifier("char_ngrams"),
+    new ExpressionInfo(classOf[functions.CharNgrams].getName,
+      "char_ngrams"),
+    (args: Seq[Expression]) => functions.CharNgrams(args(0), args(1)))
+
   val all: Seq[Fn] =
     Seq(clippedSegmentLengthFn, hilbertIndexFn, pointInPolygonFn,
       normalizeTextFn, clippedPolygonAreaFn, vecDotFn, vecL2Fn,
       minHashSignatureFn, bigramRunStatsFn, wktPartsFn, dsum128Fn,
       qsum128Fn, rollingHashWindowsFn, ffdBinsFn, md5MinHashFn,
-      cdcChunksFn, shingleHashesFn, md5ShinglesFn)
+      cdcChunksFn, shingleHashesFn, md5ShinglesFn, charNgramsFn)
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (id, info, builder) =>

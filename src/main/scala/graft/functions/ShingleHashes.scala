@@ -114,6 +114,47 @@ case class ShingleHashes(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Character n-gram array of a string in one native pass — equal to
+  * `transform(sequence(1, length(text) − (n−1)), i -> substring(text,
+  * i, n))` with the short-string empty-array guard (Catalyst runs that
+  * lambda INTERPRETED per position; `substringSQL` here is the same
+  * routine the `substring` expression bottoms out in, so the gram
+  * strings are identical). Multiplicity is preserved — the langid
+  * profile counts occurrences. */
+object CharNgramMath {
+  def ngrams(s: UTF8String, n: Int): ArrayData = {
+    val nc = s.numChars()
+    if (nc < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](nc - n + 1)
+    var i = 0
+    while (i < nc - n + 1) { out(i) = s.substringSQL(i + 1, n); i += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+case class CharNgrams(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType, IntegerType)
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "char_ngrams"
+
+  override protected def nullSafeEval(s: Any, n: Any): Any =
+    CharNgramMath.ngrams(s.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, n) =>
+      s"graft.functions.CharNgramMath.ngrams($s, $n)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 case class Md5Shingles(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
 

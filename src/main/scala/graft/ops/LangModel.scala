@@ -144,10 +144,11 @@ object LangModel {
     * materialization is needed, and the 5-row language totals + 1-row
     * vocab size broadcast. */
   def textLangidStat(s: SparkSession, dir: String): DataFrame = {
-    val g3 = expr("""CASE WHEN length(text) >= 3
-      THEN transform(sequence(1, length(text) - 2),
-        i -> substring(text, i, 3))
-      ELSE array() END""")
+    graft.GraftFunctions.register(s)
+    // native char_ngrams: the same trigram strings as the former
+    // transform(sequence, i -> substring) HOF — which Catalyst runs
+    // INTERPRETED per position — in one compiled pass
+    val g3 = call_function("char_ngrams", col("text"), lit(3))
     // gram MULTIPLICITY folds BEFORE the checkpoint: the raw trigram
     // occurrence stream is scanned exactly once (explode → map-side
     // partial count → one shuffle), and the hot table holds compact

@@ -4,6 +4,38 @@ import graft.SparkSpec
 
 class LangModelSpec extends SparkSpec {
 
+  test("char_ngrams is identical to the substring HOF chain") {
+    graft.GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    val both = graft.Tables.load(spark, sfDir, "documents")
+      .limit(200)
+      .select(
+        call_function("char_ngrams", col("text"), lit(3)).as("native"),
+        expr("""CASE WHEN length(text) >= 3
+          THEN transform(sequence(1, length(text) - 2),
+            i -> substring(text, i, 3))
+          ELSE array() END""").as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        "native char ngrams diverge from the HOF chain")
+    }
+    // multi-byte + short-string guards
+    import spark.implicits._
+    val edge = Seq("héllo wörld", "ab", "").toDF("text")
+      .select(
+        call_function("char_ngrams", col("text"), lit(3)).as("native"),
+        expr("""CASE WHEN length(text) >= 3
+          THEN transform(sequence(1, length(text) - 2),
+            i -> substring(text, i, 3))
+          ELSE array() END""").as("hof"))
+      .collect()
+    edge.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1))
+    }
+  }
+
   test("unigram scores match hand computation on a known corpus") {
     import spark.implicits._
     // counts: a=3 b=1 c=1 d=1, N=6; vocab (c>=2) = {a}
