@@ -44,7 +44,19 @@ object CdcChunkMath {
     if (n == 0) return new GenericArrayData(Array.empty[Any])
     val bytes = new Array[Array[Byte]](n)
     var i = 0
-    while (i < n) { bytes(i) = toks.getUTF8String(i).getBytes; i += 1 }
+    while (i < n) {
+      val u = toks.getUTF8String(i)
+      // loud contract instead of an NPE: the boundary triple has no
+      // meaningful null form (concat_ws would silently DROP the token
+      // and shift every downstream boundary) — internal call sites
+      // tokenize via split(), which never yields null elements; an
+      // external SQL caller gets the contract spelled out
+      if (u == null) throw new IllegalArgumentException(
+        s"cdc_chunks: null token at position $i - token arrays must be " +
+          "null-free (split() output)")
+      bytes(i) = u.getBytes
+      i += 1
+    }
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
     val sb = new java.io.ByteArrayOutputStream()
     var clen = 0L

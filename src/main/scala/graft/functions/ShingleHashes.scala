@@ -21,6 +21,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * occurrence order is preserved (array_distinct's contract); docs
   * shorter than n tokens yield the empty array (the Text.grams
   * short-doc guard).
+  *
+  * Null ELEMENTS (possible from an external SQL caller —
+  * `array<string>` admits containsNull; internal call sites tokenize
+  * via split(), which never yields them) are SKIPPED inside each
+  * window by `UTF8String.concatWs`, exactly the `concat_ws` semantics
+  * of the HOF chain this replaces — no NPE, bit-identical hashes.
   */
 object ShingleMath {
   private val Sep = UTF8String.fromString(" ")

@@ -284,22 +284,12 @@ object Graph {
     * overlap, k-core, assortativity — exactly like a production graph
     * store that maintains its edge table instead of re-deriving the
     * graph from the transaction log per query. */
-  private case class EdgeArtifact(e: DataFrame,
-                                  live: Seq[org.apache.spark.rdd.RDD[_]])
-  private val edgeCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), EdgeArtifact]()
+  private val edgeMemo = new graft.FrozenMemo[(SparkSession, String), DataFrame]()
 
-  private def coEdgesHot(s: SparkSession, dir: String): DataFrame = {
-    val key = (s, dir)
-    val cached = Option(edgeCache.get(key)).filter(_.live.forall(
-      _.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE))
-    cached.getOrElse {
-      val (e, live) = Tables.hotPinned(Tables.fanout(coEdges(s, dir)))
-      val a = EdgeArtifact(e, live)
-      edgeCache.put(key, a)
-      a
-    }.e
-  }
+  private def coEdgesHot(s: SparkSession, dir: String): DataFrame =
+    edgeMemo.getOrBuild((s, dir), s) {
+      Tables.hotPinned(Tables.fanout(coEdges(s, dir)))
+    }
 
   /** Per-vertex triangle counts on the co-purchase graph — the clustering
     * primitive (spam-farm detection, community cores) whose naive form is
@@ -435,14 +425,10 @@ object Graph {
     * pre-partitioned on the probe key ONCE so per-round joins move
     * NOTHING but the narrow state (it arrives from its own groupBy(dst)
     * shuffle already hash-partitioned on the vertex key). */
-  private case class DegArtifact(deg: DataFrame, nVerts: Long,
-                                 live: Seq[org.apache.spark.rdd.RDD[_]])
-  private val degCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DegArtifact]()
-  private case class AdjArtifact(adj: DataFrame,
-                                 live: Seq[org.apache.spark.rdd.RDD[_]])
-  private val adjCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, Boolean), AdjArtifact]()
+  private val degMemo =
+    new graft.FrozenMemo[(SparkSession, String), (DataFrame, Long)]()
+  private val adjMemo =
+    new graft.FrozenMemo[(SparkSession, String, Boolean), DataFrame]()
 
   private def dirEdges(s: SparkSession, dir: String): DataFrame = {
     val e = coEdgesHot(s, dir)
@@ -452,28 +438,18 @@ object Graph {
 
   /** Frozen directed-degree table + vertex count over the frozen edge
     * set. */
-  private def degFrozen(s: SparkSession, dir: String): (DataFrame, Long) = {
-    val key = (s, dir)
-    val cached = Option(degCache.get(key)).filter(_.live.forall(
-      _.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE))
-    val art = cached.getOrElse {
+  private def degFrozen(s: SparkSession, dir: String): (DataFrame, Long) =
+    degMemo.getOrBuild((s, dir), s) {
       val (d, live) = Tables.hotPinned(dirEdges(s, dir)
         .groupBy(col("src").as("v")).agg(count(lit(1)).as("deg")))
-      val a = DegArtifact(d, d.count(), live)
-      degCache.put(key, a)
-      a
+      ((d, d.count()), live)
     }
-    (art.deg, art.nVerts)
-  }
 
   private def prIndex(s: SparkSession, dir: String)
       : (DataFrame, Long, DataFrame) = {
     val (degT, nVerts) = degFrozen(s, dir)
     val route = willBroadcast(s, nVerts)
-    val key = (s, dir, route)
-    val cached = Option(adjCache.get(key)).filter(_.live.forall(
-      _.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE))
-    val art = cached.getOrElse {
+    val adj = adjMemo.getOrBuild((s, dir, route), s) {
       val degGuard = expr("""CASE WHEN deg < 9000 THEN deg
         ELSE raise_error(concat('graph_pagerank: hub degree ',
           CAST(deg AS STRING),
@@ -482,13 +458,10 @@ object Graph {
         .join(routeState("graph_pagerank.deg", degT, nVerts)
           .withColumnRenamed("v", "src"), "src")
         .select(col("src"), col("dst"), degGuard.as("deg"))
-      val (adj, rAdj) = Tables.hotPinned(
+      Tables.hotPinned(
         if (route) adjRaw else adjRaw.repartition(col("src")))
-      val a = AdjArtifact(adj, rAdj)
-      adjCache.put(key, a)
-      a
     }
-    (degT, nVerts, art.adj)
+    (degT, nVerts, adj)
   }
 
   def pageRank(s: SparkSession, dir: String): DataFrame = {

@@ -163,19 +163,29 @@ object LangModel {
         .groupBy("doc_id", "lang", "g").agg(count(lit(1)).as("kc")))
     val prof = dgc.groupBy(col("g"), col("lang").as("plang"))
       .agg(sum(col("kc")).as("c"))
-    val langTot = prof.groupBy("plang").agg(sum("c").as("nl"))
-    val vdf = prof.agg(countDistinct("g").cast("double").as("v"))
     val docG = dgc.groupBy("doc_id", "lang").agg(sum(col("kc")).as("n_g"))
     val docGram = dgc.select(col("doc_id"), col("g"),
       col("kc").cast("double").as("k"))
     // the profile is the trained MODEL: ≤ |charset|³ · |langs| rows by
-    // construction (a few MB even for a web-scale corpus — its size is
-    // bounded by the gram space, not the corpus), so it broadcasts and
-    // the 100×-larger probe side never shuffles; a gram-key shuffle
-    // here was also maximally skewed (hundreds of distinct keys)
-    val profL = prof.withColumn("lc", log(col("c").cast("double") + 1.0))
+    // construction, so for this corpus it broadcasts and the
+    // 100×-larger probe side never shuffles. But the charset bound is
+    // only tight for alphabetic scripts — real multilingual web text
+    // (CJK charsets) pushes distinct trigrams into the tens of
+    // millions, so the broadcast is ROUTED on the measured profile
+    // size (the graph-family routeState pattern), with a loud
+    // shuffle-hash fallback past the bound rather than a driver OOM.
+    // (The fallback's gram-key shuffle skews on hot grams — the price
+    // of a model that outgrew the broadcast budget, logged loudly.)
+    // hotCount doubles as the materialization: prof feeds four
+    // consumers (profL, langTot, vdf and the probe join) that would
+    // each re-aggregate the checkpointed dgc otherwise.
+    val (profL, nProf) = Tables.hotCount(
+      prof.withColumn("lc", log(col("c").cast("double") + 1.0)))
+    val langTot = profL.groupBy("plang").agg(sum("c").as("nl"))
+    val vdf = profL.agg(countDistinct("g").cast("double").as("v"))
     val perLang = docGram
-      .join(broadcast(profL), Seq("g"))
+      .join(Graph.routeState("text_langid_stat.profile", profL, nProf),
+        Seq("g"))
       .groupBy("doc_id", "plang")
       .agg(sum(col("k") * col("lc")).as("s0"))
     docG.join(broadcast(langTot))

@@ -254,26 +254,19 @@ object TextDedup {
     * every increment dedups against them). Built once per
     * (session, corpus dir); only the increment side's signatures are
     * computed per run. */
-  private case class IncIndex(harr: DataFrame, buckets: DataFrame,
-                              live: Seq[org.apache.spark.rdd.RDD[_]])
-  private val incIndexCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), IncIndex]()
+  private case class IncIndex(harr: DataFrame, buckets: DataFrame)
+  private val incIndexMemo =
+    new graft.FrozenMemo[(SparkSession, String), IncIndex]()
 
-  private def incIndex(s: SparkSession, dir: String): IncIndex = {
-    val key = (s, dir)
-    val cached = Option(incIndexCache.get(key)).filter(_.live.forall(
-      _.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE))
-    cached.getOrElse {
+  private def incIndex(s: SparkSession, dir: String): IncIndex =
+    incIndexMemo.getOrBuild((s, dir), s) {
       val (harr, r1) = Tables.hotPinned(
         docs(s, dir).filter(col("doc_id") % 4 =!= 0)
           .select(col("doc_id"), harrOf.as("harr")))
       val (buckets, r2) = Tables.hotPinned(
         packedBandKeys(harr, Seq("doc_id")))
-      val idx = IncIndex(harr, buckets, r1 ++ r2)
-      incIndexCache.put(key, idx)
-      idx
+      (IncIndex(harr, buckets), r1 ++ r2)
     }
-  }
 
   def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
     graft.GraftFunctions.register(s)

@@ -158,19 +158,14 @@ object VectorOps {
     * trains its IVF index nightly and serves every query against it.
     * Before the memo each composite audit re-trained the identical
     * structure per method. */
-  private case class IvfArtifact(assigned: DataFrame, cents: DataFrame,
-                                 live: Seq[org.apache.spark.rdd.RDD[_]])
-  private val ivfCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), IvfArtifact]()
+  private val ivfMemo =
+    new graft.FrozenMemo[(SparkSession, String), (DataFrame, DataFrame)]()
 
-  private def ivfAssign(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val key = (s, dir)
-    // liveness check: if anything unpersisted the pinned blocks
-    // (tests, an explicit reset), rebuild instead of serving a
-    // dangling checkpoint
-    val cached = Option(ivfCache.get(key)).filter(_.live.forall(
-      _.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE))
-    val art = cached.getOrElse {
+  private def ivfAssign(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    // liveness + single-builder semantics live in FrozenMemo: if
+    // anything unpersisted the pinned blocks (tests, an explicit
+    // reset), rebuild instead of serving a dangling checkpoint
+    ivfMemo.getOrBuild((s, dir), s) {
       val e = emb(s, dir)
       val seed = e.filter(col("vec_id") < NCells)
         .select(col("vec_id").as("cent_id"), col("v").as("cv"))
@@ -190,12 +185,8 @@ object VectorOps {
         .agg(min(struct(col("cd"), col("cent_id"))).as("m"),
           first(col("v")).as("v"))
         .select(col("vec_id"), col("v"), col("m.cent_id").as("cent_id")))
-      val a = IvfArtifact(assigned, cents, r1 ++ r2)
-      ivfCache.put(key, a)
-      a
+      ((assigned, cents), r1 ++ r2)
     }
-    (art.assigned, art.cents)
-  }
 
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
@@ -615,26 +606,17 @@ object VectorOps {
     * PQ codebook and long-form corpus codes, trained once per
     * (session, corpus dir) and served to embed_pq, ann_pq and the
     * recall/ndcg audits — the PQ index of a production vector store. */
-  private case class PqArtifact(cents: DataFrame, codes: DataFrame,
-                                live: Seq[org.apache.spark.rdd.RDD[_]])
-  private val pqFrozenCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), PqArtifact]()
+  private val pqFrozenMemo =
+    new graft.FrozenMemo[(SparkSession, String), (DataFrame, DataFrame)]()
 
   private def pqFrozen(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame) = {
-    val key = (s, dir)
-    val cached = Option(pqFrozenCache.get(key)).filter(_.live.forall(
-      _.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE))
-    val art = cached.getOrElse {
+      : (DataFrame, DataFrame) =
+    pqFrozenMemo.getOrBuild((s, dir), s) {
       val e = emb(s, dir)
       val (centsH, r1) = Tables.hotPinned(pqCodebook(e))
       val (codesH, r2) = Tables.hotPinned(pqAssign(e, broadcast(centsH)))
-      val a = PqArtifact(centsH, codesH, r1 ++ r2)
-      pqFrozenCache.put(key, a)
-      a
+      ((centsH, codesH), r1 ++ r2)
     }
-    (art.cents, art.codes)
-  }
 
   def embedPq(s: SparkSession, dir: String): DataFrame =
     pqWide(pqFrozen(s, dir)._2).orderBy("vec_id")
@@ -787,17 +769,12 @@ object VectorOps {
     * residuals and the (vec_id, sub, code, cell) corpus codes. Derives
     * from the frozen ivfAssign coarse structure; together they are the
     * complete FAISS-shaped index a production deployment builds once. */
-  private case class IvfPqArtifact(codebook: DataFrame, codes: DataFrame,
-                                   live: Seq[org.apache.spark.rdd.RDD[_]])
-  private val ivfPqCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), IvfPqArtifact]()
+  private val ivfPqMemo =
+    new graft.FrozenMemo[(SparkSession, String), (DataFrame, DataFrame)]()
 
   private def ivfPqFrozen(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame) = {
-    val key = (s, dir)
-    val cached = Option(ivfPqCache.get(key)).filter(_.live.forall(
-      _.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE))
-    val art = cached.getOrElse {
+      : (DataFrame, DataFrame) =
+    ivfPqMemo.getOrBuild((s, dir), s) {
       val (assigned, cents) = ivfAssign(s, dir)
       val resid = Tables.hot(assigned.join(cents, Seq("cent_id"))
         .select(col("vec_id"), col("cent_id").as("cell"),
@@ -806,12 +783,8 @@ object VectorOps {
       val (codesH, r2) = Tables.hotPinned(
         pqAssign(resid.select("vec_id", "v"), broadcast(cbH))
           .join(resid.select("vec_id", "cell"), Seq("vec_id")))
-      val a = IvfPqArtifact(cbH, codesH, r1 ++ r2)
-      ivfPqCache.put(key, a)
-      a
+      ((cbH, codesH), r1 ++ r2)
     }
-    (art.codebook, art.codes)
-  }
 
   /** IVF-PQ search over the frozen coarse + residual index. */
   private[ops] def annIvfPqSearch(s: SparkSession, dir: String,
@@ -1071,21 +1044,16 @@ object VectorOps {
   private case class PcaArtifact(e: DataFrame, dTab: DataFrame,
                                  vArr: DataFrame,
                                  live: Seq[org.apache.spark.rdd.RDD[_]])
-  private val pcaCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), PcaArtifact]()
+  private val pcaMemo =
+    new graft.FrozenMemo[(SparkSession, String),
+                         (DataFrame, DataFrame, DataFrame)]()
 
   private def pcaConverged(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame, DataFrame) = {
-    val key = (s, dir)
-    val cached = Option(pcaCache.get(key)).filter(_.live.forall(
-      _.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE))
-    val art = cached.getOrElse {
+      : (DataFrame, DataFrame, DataFrame) =
+    pcaMemo.getOrBuild((s, dir), s) {
       val a = pcaTrain(s, dir)
-      pcaCache.put(key, a)
-      a
+      ((a.e, a.dTab, a.vArr), a.live)
     }
-    (art.e, art.dTab, art.vArr)
-  }
 
   private def pcaTrain(s: SparkSession, dir: String): PcaArtifact = {
     graft.GraftFunctions.register(s)
