@@ -130,12 +130,19 @@ object GraftFunctions {
       "char_ngrams"),
     (args: Seq[Expression]) => functions.CharNgrams(args(0), args(1)))
 
+  val wordNgramsFn: Fn = (
+    FunctionIdentifier("word_ngrams"),
+    new ExpressionInfo(classOf[functions.WordNgrams].getName,
+      "word_ngrams"),
+    (args: Seq[Expression]) => functions.WordNgrams(args(0), args(1)))
+
   val all: Seq[Fn] =
     Seq(clippedSegmentLengthFn, hilbertIndexFn, pointInPolygonFn,
       normalizeTextFn, clippedPolygonAreaFn, vecDotFn, vecL2Fn,
       minHashSignatureFn, bigramRunStatsFn, wktPartsFn, dsum128Fn,
       qsum128Fn, rollingHashWindowsFn, ffdBinsFn, md5MinHashFn,
-      cdcChunksFn, shingleHashesFn, md5ShinglesFn, charNgramsFn)
+      cdcChunksFn, shingleHashesFn, md5ShinglesFn, charNgramsFn,
+      wordNgramsFn)
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (id, info, builder) =>

@@ -161,6 +161,63 @@ case class CharNgrams(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Word n-gram STRINGS of a token array in one native pass,
+  * multiplicity preserved — the compiled replacement for the
+  * `transform(sequence(1, size(toks) − (n−1)), i -> concat_ws(' ',
+  * slice(toks, i, n)))` chain (Text.grams), which Catalyst evaluates
+  * INTERPRETED per position with a slice allocation + string build
+  * each. Gram strings are BIT-IDENTICAL to that chain:
+  * `UTF8String.concatWs` is the routine `concat_ws` bottoms out in
+  * (null elements skipped identically). Docs shorter than n tokens
+  * yield the empty array (the Text.grams short-doc guard). */
+object WordNgramMath {
+  private val Sep = UTF8String.fromString(" ")
+
+  def ngrams(toks: ArrayData, n: Int): ArrayData = {
+    val cnt = toks.numElements()
+    if (cnt < n) return new GenericArrayData(Array.empty[Any])
+    val ng = cnt - n + 1
+    val ts = new Array[UTF8String](cnt)
+    var i = 0
+    while (i < cnt) { ts(i) = toks.getUTF8String(i); i += 1 }
+    val out = new Array[Any](ng)
+    val window = new Array[UTF8String](n)
+    i = 0
+    while (i < ng) {
+      var j = 0
+      while (j < n) { window(j) = ts(i + j); j += 1 }
+      out(i) = UTF8String.concatWs(Sep, window: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+case class WordNgrams(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(StringType), IntegerType)
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "word_ngrams"
+
+  override protected def nullSafeEval(toks: Any, n: Any): Any =
+    WordNgramMath.ngrams(toks.asInstanceOf[ArrayData],
+      n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, n) =>
+      s"graft.functions.WordNgramMath.ngrams($t, $n)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 case class Md5Shingles(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
 

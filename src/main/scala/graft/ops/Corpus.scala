@@ -21,8 +21,11 @@ import org.apache.spark.sql.functions._
   */
 object Corpus {
 
-  private def docs(s: SparkSession, dir: String) =
-    Tables.fanout(Tables.load(s, dir, "documents"))
+  // the session-frozen tokenized corpus (Text.docToks): same rows as
+  // fanout(load(documents)) plus precomputed toks/n_tok — every text
+  // query reads the pinned base table instead of re-scanning parquet
+  // and re-splitting per query
+  private def docs(s: SparkSession, dir: String) = Text.docToks(s, dir)
 
   private val toks = Text.toks
 
@@ -557,11 +560,18 @@ object Corpus {
     import s.implicits._
     // materialize the exploded grams ONCE (eager checkpoint): the
     // threshold count, the MG sketch pass, and the exact recount all
-    // read the same blocks instead of re-exploding the corpus 3×
-    val gramRows = Tables.hot(
-      Tables.fanout(Tables.load(s, dir, "documents"))
-        .select(explode(Text.grams(3)).as("g")))
-    val n = gramRows.count()
+    // read the same blocks instead of re-exploding the corpus 3×.
+    // word_ngrams: the native kernel emits the same gram strings as
+    // the Text.grams HOF chain (bit-certified in TextVecSpec) in one
+    // compiled pass — Catalyst ran that transform/slice/concat_ws
+    // lambda INTERPRETED per position
+    graft.GraftFunctions.register(s)
+    // hotCount: the threshold count IS the materialization job — the
+    // eager-checkpoint-then-count form paid a second full pass
+    val (gramRows, n) = Tables.hotCount(
+      docs(s, dir)
+        .select(explode(
+          call_function("word_ngrams", col("toks"), lit(3))).as("g")))
     val thresh = n.toDouble / k
     val candidates = gramRows.as[String].mapPartitions { it =>
       val m = scala.collection.mutable.HashMap.empty[String, Long]

@@ -81,26 +81,35 @@ object LangModel {
     * key SHUFFLE (bigram vocab is far too large to broadcast at web
     * scale), all aggregations map-side combined, 6 dp float gate. */
   def textBigramLp(s: SparkSession, dir: String): DataFrame = {
-    val toks = Text.toks
-    val b = Tables.fanout(Tables.load(s, dir, "documents"))
+    graft.GraftFunctions.register(s)
+    // native word_ngrams(toks, 2): the bigram stream in one compiled
+    // pass (the former struct-transform HOF ran interpreted per
+    // position), then MULTIPLICITY-FOLD BEFORE the checkpoint (the
+    // text_langid_stat recipe): the raw bigram stream is scanned
+    // exactly once and the hot table holds compact (doc, bg, k) rows —
+    // the count tables AND the probe side re-derive from it by integer
+    // sums, and the per-doc score becomes Σ k·(ln c1 − ln c12) on BOTH
+    // engines (same doubles; the oracle folds identically)
+    val dk = Tables.hot(Text.docToks(s, dir)
       .select(col("doc_id"),
-        explode(when(size(toks) >= 2,
-          transform(sequence(lit(1), size(toks) - 1), i =>
-            struct(element_at(toks, i).as("w1"),
-              element_at(toks, i + 1).as("w2"))))
-          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
-          .as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val c12 = Tables.hot(b.groupBy("w1", "w2").agg(count(lit(1)).as("c12")))
+        explode(call_function("word_ngrams", col("toks"), lit(2)))
+          .as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("k")))
+    val c12 = Tables.hot(dk.groupBy("bg").agg(sum("k").as("c12")))
     // context totals derive from the (much smaller) bigram-count table
-    // — aggregating c12 again beats re-shuffling the full bigram stream
-    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
-    b.join(c12.hint("shuffle_hash"), Seq("w1", "w2"))
+    // — aggregating c12 again beats re-shuffling the full bigram
+    // stream; w1 re-derives from the bigram string (tokens are
+    // space-split, so the first space is the token boundary)
+    val w1 = substring_index(col("bg"), " ", 1)
+    val c1 = c12.select(w1.as("w1"), col("c12"))
+      .groupBy("w1").agg(sum("c12").as("c1"))
+    dk.join(c12.hint("shuffle_hash"), Seq("bg"))
+      .select(col("doc_id"), col("k"), col("c12"), w1.as("w1"))
       .join(c1.hint("shuffle_hash"), Seq("w1"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum(log(col("c1").cast("double")) -
-          log(col("c12").cast("double"))).as("s"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        sum(col("k") * (log(col("c1").cast("double")) -
+          log(col("c12").cast("double")))).as("s"))
       .select(col("doc_id"), col("n_bigrams"),
         round(col("s") / col("n_bigrams"), 6).as("avg_nll2"))
       .orderBy("doc_id")
@@ -114,16 +123,18 @@ object LangModel {
              unnest(generate_series(1, len(w) - 1)) AS i
       FROM t),
     b AS (
-      SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM bidx),
-    c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM b GROUP BY 1, 2),
-    c1 AS (SELECT w1, COUNT(*) AS c1 FROM b GROUP BY 1)
-    SELECT b.doc_id,
-           COUNT(*) AS n_bigrams,
-           ROUND(SUM(ln(CAST(c1.c1 AS DOUBLE))
-                 - ln(CAST(c12.c12 AS DOUBLE))) / COUNT(*), 6) AS avg_nll2
-    FROM b
-    JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
-    JOIN c1 ON b.w1 = c1.w1
+      SELECT doc_id, w[i] || ' ' || w[i + 1] AS bg FROM bidx),
+    dk AS (SELECT doc_id, bg, COUNT(*) AS k FROM b GROUP BY 1, 2),
+    c12 AS (SELECT bg, CAST(SUM(k) AS BIGINT) AS c12 FROM dk GROUP BY 1),
+    c1 AS (SELECT split_part(bg, ' ', 1) AS w1, CAST(SUM(c12) AS BIGINT) AS c1
+           FROM c12 GROUP BY 1)
+    SELECT dk.doc_id,
+           CAST(SUM(dk.k) AS BIGINT) AS n_bigrams,
+           ROUND(SUM(dk.k * (ln(CAST(c1.c1 AS DOUBLE))
+                 - ln(CAST(c12.c12 AS DOUBLE)))) / SUM(dk.k), 6) AS avg_nll2
+    FROM dk
+    JOIN c12 ON dk.bg = c12.bg
+    JOIN c1 ON split_part(dk.bg, ' ', 1) = c1.w1
     GROUP BY 1 ORDER BY doc_id"""
 
   /** Statistical language ID — the corpus-trained upgrade over the

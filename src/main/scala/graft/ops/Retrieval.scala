@@ -17,8 +17,9 @@ import graft.functions.Vec
   */
 object Retrieval {
 
-  private def docs(s: SparkSession, dir: String) =
-    Tables.fanout(Tables.load(s, dir, "documents"))
+  // session-frozen tokenized corpus (Text.docToks) - the pinned base
+  // table every text query reads instead of re-scanning + re-splitting
+  private def docs(s: SparkSession, dir: String) = Text.docToks(s, dir)
 
   private val toks = Text.toks
 
@@ -49,20 +50,25 @@ object Retrieval {
     * from the corpus; the streaming scorer broadcasts it as the static
     * side (the production pattern: stats frozen from yesterday's
     * corpus, today's crawl scored against them). */
-  private[graft] def bm25Stats(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir).select(col("doc_id"), size(toks).as("dl"))
-    val hits = docs(s, dir)
-      .select(col("doc_id"), size(toks).as("dl"), explode(toks).as("w"))
-      .filter(col("w").isin(QTerms: _*))
-      .groupBy("doc_id", "dl", "w").agg(count(lit(1)).as("tf"))
-    val stats = broadcast(d.agg(count(lit(1)).as("n"),
-      sum(col("dl")).as("sl")))
-    hits.groupBy("w").agg(count(lit(1)).as("df")).crossJoin(stats)
-      .select(col("w"),
-        round(log((col("n") - col("df") + lit(0.5)) /
-          (col("df") + lit(0.5)) + lit(1.0)), 6).as("idf6"),
-        (col("sl").cast("double") / col("n")).as("avgdl"))
-  }
+  private val bm25Memo =
+    new graft.FrozenMemo[(SparkSession, String), DataFrame]()
+
+  private[graft] def bm25Stats(s: SparkSession, dir: String): DataFrame =
+    bm25Memo.getOrBuild((s, dir), s) {
+      val d = docs(s, dir).select(col("doc_id"), size(toks).as("dl"))
+      val hits = docs(s, dir)
+        .select(col("doc_id"), size(toks).as("dl"), explode(toks).as("w"))
+        .filter(col("w").isin(QTerms: _*))
+        .groupBy("doc_id", "dl", "w").agg(count(lit(1)).as("tf"))
+      val stats = broadcast(d.agg(count(lit(1)).as("n"),
+        sum(col("dl")).as("sl")))
+      Tables.hotPinned(
+        hits.groupBy("w").agg(count(lit(1)).as("df")).crossJoin(stats)
+          .select(col("w"),
+            round(log((col("n") - col("df") + lit(0.5)) /
+              (col("df") + lit(0.5)) + lit(1.0)), 6).as("idf6"),
+            (col("sl").cast("double") / col("n")).as("avgdl")))
+    }
 
   /** The BM25 per-(doc, term) partial score expression — ONE
     * definition shared by the batch scorer and the streaming twin. */

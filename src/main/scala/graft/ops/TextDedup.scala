@@ -25,8 +25,9 @@ object TextDedup {
     * this family does per-doc work that must not serialize on one task
     * (shingle explosion, regex extraction, md5 over every 4-gram). One
     * cheap shuffle of the compact rows restores full parallelism. */
-  private def docs(s: SparkSession, dir: String) =
-    Tables.fanout(Tables.load(s, dir, "documents"))
+  // session-frozen tokenized corpus (Text.docToks) - the pinned base
+  // table every text query reads instead of re-scanning + re-splitting
+  private def docs(s: SparkSession, dir: String) = Text.docToks(s, dir)
 
   private val toks = Text.toks
   private def grams(n: Int): Column = Text.grams(n)

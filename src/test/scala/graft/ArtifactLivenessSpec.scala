@@ -43,6 +43,12 @@ class ArtifactLivenessSpec extends SparkSpec {
         .collect().map(_.toString)),
     ("incremental-dedup existing-side index (dedup_incremental)",
       () => SparkEntry.queries("dedup_incremental")(spark, sfDir)
+        .collect().map(_.toString)),
+    ("tokenized corpus base table (text_tfidf)",
+      () => SparkEntry.queries("text_tfidf")(spark, sfDir)
+        .collect().map(_.toString)),
+    ("bm25 per-term stats (text_bm25)",
+      () => SparkEntry.queries("text_bm25")(spark, sfDir)
         .collect().map(_.toString)))
 
   for ((name, run) <- consumers)

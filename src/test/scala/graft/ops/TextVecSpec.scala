@@ -5,6 +5,31 @@ import org.apache.spark.sql.functions._
 
 class TextVecSpec extends SparkSpec {
 
+  test("word_ngrams is bit-identical to the Text.grams HOF chain") {
+    graft.GraftFunctions.register(spark)
+    import spark.implicits._
+    // multiplicity preserved, first-space token boundaries, short-doc
+    // empty array, multi-space empty tokens — all must match the
+    // transform(sequence, i -> concat_ws(' ', slice(toks, i, n))) form
+    val edge = Seq("a  b   c", "", "one", "one two", "rep rep rep rep")
+      .toDF("text")
+    val both = graft.Tables.load(spark, sfDir, "documents")
+      .select($"text").limit(200).unionAll(edge)
+      .select(
+        call_function("word_ngrams", Text.toks, lit(3)).as("native"),
+        Text.grams(3).as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        "native word n-grams diverge from the HOF chain")
+    }
+    val bi = Seq("a b c d").toDF("text")
+      .select(call_function("word_ngrams", Text.toks, lit(2)))
+      .collect().head.getSeq[String](0)
+    assert(bi == Seq("a b", "b c", "c d"))
+  }
+
   test("shingle_hashes is bit-identical to the HOF gram-hash chain") {
     graft.GraftFunctions.register(spark)
     // the native kernel must reproduce array_distinct(transform(
