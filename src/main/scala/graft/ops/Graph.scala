@@ -583,25 +583,58 @@ object Graph {
     * minimum-support floor. Everything is a ratio of INTEGER counts
     * (lift = c_ab·N / (n_a·n_b)), so no libm call enters the gate and
     * the ranking is bit-deterministic; ties break on the pair key.
-    * Scale shape: one distinct pass, one bounded per-basket pair
-    * explode (the coEdges contract), two hash aggregates, a broadcast
-    * of the two tiny count tables, sort-limit (TakeOrdered) — the raw
+    * Scale shape: ONE shuffle builds the per-order sorted distinct
+    * basket (groupBy(ok) with map-side partial collect_set — bounded
+    * by basket size, the coEdges contract, loud-guarded); the ordered
+    * pair stream then generates MAP-SIDE from each basket and
+    * partial-aggregates before its only exchange. The former shape
+    * self-joined the distinct (ok, pk) table against itself — a
+    * second full exchange of the table plus an uncombined pair
+    * exchange. Count tables broadcast; top-k is TakeOrdered — the
     * pair space never sorts globally.
     */
+  /** Per-basket pair cap: C(cap, 2) bounds the map-side fan-out of one
+    * basket (~half a million pairs at 1000). A basket past it is a
+    * data bug (TPC-H orders hold ≤7 parts; real carts are small) —
+    * fail loudly instead of silently materializing a hub explosion. */
+  val BasketCap = 1000
+
   def basketLift(s: SparkSession, dir: String): DataFrame = {
-    val po = Tables.hot(Tables.fanout(
-      Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()))
-    val pairs = po.as("l1").join(po.as("l2"),
-        col("l1.ok") === col("l2.ok") && col("l1.pk") < col("l2.pk"))
-      .groupBy(col("l1.pk").as("a"), col("l2.pk").as("b"))
+    // fanout FIRST: the parquet scan is one split locally and the
+    // partial collect_set must not run single-threaded (CLAUDE.md rule)
+    val baskets = Tables.hot(
+      Tables.fanout(Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")))
+        .groupBy("ok")
+        .agg(array_sort(collect_set(col("pk"))).as("pks")))
+    // loud guards: the pair fan-out cap AND the pack range (sorted
+    // basket, so the last element is the max part key)
+    val pks = when(size(col("pks")) <= BasketCap &&
+        (size(col("pks")) === 0 ||
+          element_at(col("pks"), -1) < (1L << 31)), col("pks"))
+      .otherwise(raise_error(concat(
+        lit(s"q_basket_lift: basket violates the pair cap $BasketCap " +
+          "or the 2^31 part-key pack range: "),
+        col("pks").cast("string"))))
+    // sorted basket → ordered pairs (a < b) map-side, each BIT-PACKED
+    // into one long (a << 32 | b): the pair aggregate hashes a single
+    // primitive key (HashAggregate fast path) instead of a two-column
+    // struct, and the explode stream carries 8 bytes per pair
+    val pairs = baskets
+      .select(explode(flatten(transform(pks, (x, i) =>
+        transform(slice(col("pks"), i + lit(2),
+            greatest(size(col("pks")) - i - 1, lit(0))),
+          y => shiftleft(x, 32).bitwiseOR(y))))).as("code"))
+      .groupBy("code")
       .agg(count(lit(1)).as("c_ab"))
       .filter(col("c_ab") >= 2)
+      .select(shiftright(col("code"), 32).as("a"),
+        col("code").bitwiseAND(lit((1L << 32) - 1)).as("b"),
+        col("c_ab"))
     val tot = broadcast(Tables.hot(
-      po.groupBy(col("pk")).agg(count(lit(1)).as("n"))))
-    val nOrders = broadcast(
-      po.select(col("ok")).distinct().agg(count(lit(1)).as("n_orders")))
+      baskets.select(explode(col("pks")).as("pk"))
+        .groupBy(col("pk")).agg(count(lit(1)).as("n"))))
+    val nOrders = broadcast(baskets.agg(count(lit(1)).as("n_orders")))
     pairs
       .join(tot.select(col("pk").as("a"), col("n").as("n_a")), Seq("a"))
       .join(tot.select(col("pk").as("b"), col("n").as("n_b")), Seq("b"))

@@ -149,11 +149,22 @@ object Relational8 {
              'o_orderpriority', c_prio,
              'o_totalprice', c_price,
              'o_orderdate', c_date) AS (col_name, v)"""))
+      // TWO-LEVEL aggregation (the multi-countDistinct rule): the
+      // single-shot countDistinct + min/max(string) form planned FOUR
+      // SortAggregates — a string agg BUFFER is not hash-aggregable,
+      // so every stage sorted the full stacked stream. Level 1 groups
+      // by (col_name, v) with a pure count buffer (HashAggregate,
+      // map-side combined — strings are fine as KEYS); level 2 derives
+      // every statistic from the deduped value table: only it pays the
+      // min/max sort, on |distinct values| rows instead of 5×|rows|.
+      .groupBy("col_name", "v")
+      .agg(count(lit(1)).as("cnt"))
       .groupBy("col_name")
       .agg(
-        count(lit(1)).as("n_rows"),
-        count(col("v")).as("n_filled"),
-        countDistinct(col("v")).as("n_distinct"),
+        sum(col("cnt")).as("n_rows"),
+        sum(when(col("v").isNotNull, col("cnt")).otherwise(0L))
+          .as("n_filled"),
+        count(col("v")).as("n_distinct"),
         min("v").as("min_v"),
         max("v").as("max_v"))
       .orderBy("col_name")

@@ -933,35 +933,51 @@ object VectorOps {
   def embedMrl(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     guardAllPairs("embed_mrl", e, "the LSH/IVF candidate variants")
-    val q = e.filter(expr(QueryFilter))
-      .select(col("vec_id").as("qid"), col("v").as("qv"))
-    def wOf(c: String) =
-      Window.partitionBy("qid").orderBy(col(c).desc, col("cid"))
-    val pairs = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+    // hoist the prefix slices and norms OUT of the pair loop — each
+    // per-pair cosine is then ONE dot + one multiply/divide. The norms
+    // are the same IEEE values whether computed per pair or once per
+    // row, so every quotient is bit-identical to the oracle's inline
+    // dot/(sqrt·sqrt) form.
+    def pre(df: DataFrame) = df.select(col("vec_id"), col("v"),
+      slice(col("v"), 1, 8).as("v8"), slice(col("v"), 1, 32).as("v32"),
+      sqrt(Vec.norm2(col("v"))).as("nf"),
+      sqrt(Vec.norm2(slice(col("v"), 1, 8))).as("n8"),
+      sqrt(Vec.norm2(slice(col("v"), 1, 32))).as("n32"))
+    val q = broadcast(pre(e.filter(expr(QueryFilter))).select(
+      col("vec_id").as("qid"), col("v").as("qv"), col("v8").as("qv8"),
+      col("v32").as("qv32"), col("nf").as("qnf"), col("n8").as("qn8"),
+      col("n32").as("qn32")))
+    val pairs = pre(e).join(q, col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("cid"),
-        Vec.cosine(col("qv"), col("v")).as("cos_full"),
-        Vec.cosine(slice(col("qv"), 1, 8), slice(col("v"), 1, 8))
+        (Vec.dot(col("qv"), col("v")) / (col("qnf") * col("nf")))
+          .as("cos_full"),
+        (Vec.dot(col("qv8"), col("v8")) / (col("qn8") * col("n8")))
           .as("cos_8"),
-        Vec.cosine(slice(col("qv"), 1, 32), slice(col("v"), 1, 32))
+        (Vec.dot(col("qv32"), col("v32")) / (col("qn32") * col("n32")))
           .as("cos_32"))
-      .withColumn("rn_full", row_number().over(wOf("cos_full")))
-      .withColumn("rn_8", row_number().over(wOf("cos_8")))
-      .withColumn("rn_32", row_number().over(wOf("cos_32")))
-    val top = pairs
-      .filter(col("rn_full") === 1 || col("rn_8") === 1 || col("rn_32") === 1)
-    val full = top.filter(col("rn_full") === 1)
-      .select(col("qid"), col("cid").as("cid_full"))
+    // ONE per-qid aggregate replaces three full window sorts over the
+    // pair stream: each criterion's top-1 is a lexicographic max over
+    // (cos, −cid, carried cos_full) — ties break to the smaller cid
+    // exactly like the oracle's ORDER BY cos DESC, cid — and the
+    // partial aggregate shrinks every partition to |queries| rows
+    // before the only exchange.
+    val nc = (-col("cid")).as("nc")
+    val top = pairs.groupBy("qid").agg(
+      max(struct(col("cos_full").as("c"), nc)).as("mf"),
+      max(struct(col("cos_8").as("c"), nc, col("cos_full").as("cf")))
+        .as("m8"),
+      max(struct(col("cos_32").as("c"), nc, col("cos_full").as("cf")))
+        .as("m32"))
     val dec = org.apache.spark.sql.types.DecimalType(28, 12)
     def recallOf(k: Int): DataFrame =
-      top.filter(col(s"rn_$k") === 1)
-        .select(col("qid"), col("cid").as("cid_k"), col("cos_full"))
-        .join(full, Seq("qid"))
+      top.select(col(s"m$k.nc").as("nc_k"), col(s"m$k.cf").as("cf_k"),
+          col("mf.nc").as("nc_full"))
         .groupBy(lit(k).as("prefix_dims"))
         .agg(
           count(lit(1)).as("n_queries"),
-          sum(when(col("cid_k") === col("cid_full"), 1L).otherwise(0L))
+          sum(when(col("nc_k") === col("nc_full"), 1L).otherwise(0L))
             .as("n_top1_match"),
-          (sum(col("cos_full").cast(dec)).cast("double") /
+          (sum(col("cf_k").cast(dec)).cast("double") /
             count(lit(1))).as("avg_full_cos_raw"))
         .select(col("prefix_dims"), col("n_queries"), col("n_top1_match"),
           round(col("n_top1_match") / col("n_queries"), 6).as("recall1"),
