@@ -558,20 +558,22 @@ object Corpus {
   def textHeavyHitters(s: SparkSession, dir: String,
                        k: Int = 5000): DataFrame = {
     import s.implicits._
-    // materialize the exploded grams ONCE (eager checkpoint): the
-    // threshold count, the MG sketch pass, and the exact recount all
-    // read the same blocks instead of re-exploding the corpus 3×.
     // word_ngrams: the native kernel emits the same gram strings as
     // the Text.grams HOF chain (bit-certified in TextVecSpec) in one
     // compiled pass — Catalyst ran that transform/slice/concat_ws
-    // lambda INTERPRETED per position
+    // lambda INTERPRETED per position. The gram stream stays LAZY:
+    // re-exploding the pinned token arrays per pass is cheaper than
+    // checkpoint-writing + re-reading millions of tiny gram strings
+    // (measured ~20 → 8.3 CPU-s at sf0.1 from dropping the hot()).
     graft.GraftFunctions.register(s)
-    // hotCount: the threshold count IS the materialization job — the
-    // eager-checkpoint-then-count form paid a second full pass
-    val (gramRows, n) = Tables.hotCount(
-      docs(s, dir)
-        .select(explode(
-          call_function("word_ngrams", col("toks"), lit(3))).as("g")))
+    val gramRows = docs(s, dir)
+      .select(explode(
+        call_function("word_ngrams", col("toks"), lit(3))).as("g"))
+    // the threshold count is ARITHMETIC — Σ max(n_tok − 2, 0) over the
+    // pinned base table; no explode, no full gram pass
+    val n = docs(s, dir)
+      .agg(sum(greatest(col("n_tok") - 2, lit(0))).as("n"))
+      .head().getLong(0)
     val thresh = n.toDouble / k
     val candidates = gramRows.as[String].mapPartitions { it =>
       val m = scala.collection.mutable.HashMap.empty[String, Long]

@@ -179,32 +179,99 @@ object Graph {
     * org-chart/BOM contract; duplicate or self-loop edges would skew
     * the fixed-point counts and trip the loud cap.
     */
+  /** Ceiling on broadcast-mode linear-walk steps — each step is one
+    * more chained join in a single lazy plan, and plan analysis +
+    * codegen grow with chain length (the CLAUDE.md planning-tax rule),
+    * so a hierarchy whose measured depth bound exceeds this routes to
+    * the shuffle-doubling loop instead. 32 covers a min-contraction-2
+    * forest of 4 billion nodes. */
+  val MaxLinearSteps = 32
+
   def ancestorClosure(nodes: DataFrame, edges: DataFrame,
                       maxRounds: Int = 8): DataFrame = {
-    // no seed distinct: identity pairs (id = anc) and proper-parent
-    // edges (parent < id) are disjoint by construction
-    // hotCount: checkpoint + fixed-point count ride ONE job per round
-    var (cl, cnt) = Tables.hotCount(
+    val s = nodes.sparkSession
+    // ONE tiny aggregate measures the routing inputs: edge count (the
+    // broadcast budget) and a DEPTH BOUND — every proper edge
+    // contracts id by factor ≥ r = min(id/parent), so any chain roots
+    // within log_r(maxId) steps. Degenerate forests (r → 1, e.g.
+    // parent = id − 1) blow the bound and route to the doubling loop.
+    val st = edges.agg(count(lit(1)).as("m"), max(col("id")).as("mx"),
+      min(col("id").cast("double") / col("parent")).as("r")).head()
+    val nEdges = st.getLong(0)
+    val steps =
+      if (nEdges == 0) 0
+      else {
+        val r = st.getDouble(2)
+        if (r <= 1.01) Int.MaxValue
+        else math.ceil(math.log(st.getLong(1).toDouble) /
+          math.log(r)).toInt + 1
+      }
+    if (willBroadcast(s, nEdges) && steps <= MaxLinearSteps) {
+      // BROADCAST MODE — the edge table fits the vertex-state budget
+      // and the measured depth bound fits the planning budget, so the
+      // whole closure is ONE lazy plan: broadcast the parent map once
+      // and extend every node's ancestor chain by one step per chained
+      // broadcast-hash join (the exchange is reused across all steps).
+      // No driver rounds, no checkpoints, and NO distinct: proper-
+      // parent chains (parent < id) are strictly decreasing, so each
+      // chain visits each ancestor exactly once and stops at the root.
+      // Work is O(closure) — the same total the doubling loop pays,
+      // without its per-round job latency.
+      val e = broadcast(
+        edges.select(col("id").as("eid"), col("parent").as("ep")))
+      var l = edges.select(col("id"), col("parent").as("j"),
+        array(col("parent")).as("a"))
+      for (_ <- 1 to steps) {
+        val done = col("j") === 1 || col("eid").isNull
+        l = l.join(e, col("j") === col("eid"), "left")
+          .select(col("id"),
+            when(done, col("j")).otherwise(col("ep")).as("j"),
+            when(done, col("a"))
+              .otherwise(concat(col("a"), array(col("ep")))).as("a"))
+      }
+      // per-row loud coverage guard folded into the output projection
+      // (zero extra jobs): every chain must have reached the root —
+      // unreachable unless the data violates the proper-edge contract
+      // the depth bound is derived from (e.g. duplicate id rows)
+      val chains = l.select(col("id"),
+        when(col("j") === 1, col("a")).otherwise(raise_error(concat(
+          lit("ancestor closure: chain not rooted after " +
+            s"$steps linear steps at id "),
+          col("id").cast("string"),
+          lit(" — the edge table violates the proper-edge forest " +
+            s"contract; set $BroadcastVerticesKey=0 to force the " +
+            "shuffle-doubling path")))).as("a"))
       nodes.select(col("id"), col("id").as("anc"))
-        .unionByName(edges.select(col("id"), col("parent").as("anc"))))
-    var prev = -1L
-    var rounds = 0
-    while (cnt != prev && rounds < maxRounds) {
-      prev = cnt
-      val (h, c) = Tables.hotCount(
-        cl.as("a").join(cl.as("b"), col("a.anc") === col("b.id"))
-          .select(col("a.id"), col("b.anc").as("anc")).distinct())
-      cl = h
-      cnt = c
-      rounds += 1
+        .unionByName(chains.select(col("id"), explode(col("a")).as("anc")))
+    } else {
+      // SHUFFLE MODE — pointer doubling, O(log depth) shuffle rounds.
+      // no seed distinct: identity pairs (id = anc) and proper-parent
+      // edges (parent < id) are disjoint by construction
+      // hotCount: checkpoint + fixed-point count ride ONE job per round
+      var (cl, cnt) = Tables.hotCount(
+        nodes.select(col("id"), col("id").as("anc"))
+          .unionByName(edges.select(col("id"), col("parent").as("anc"))))
+      var prev = -1L
+      var rounds = 0
+      while (cnt != prev && rounds < maxRounds) {
+        prev = cnt
+        val (h, c) = Tables.hotCount(
+          cl.as("a").join(cl.as("b").hint("SHUFFLE_HASH"),
+              col("a.anc") === col("b.id"))
+            .select(col("a.id"), col("b.anc").as("anc")).distinct())
+        cl = h
+        cnt = c
+        rounds += 1
+      }
+      // NB a cyclic edge set does NOT trip this guard — a cycle's
+      // closure is a finite fixed point, so cnt converges; only
+      // depth > 2^maxRounds fails loudly here. Cyclicity is the
+      // caller's forest contract above.
+      require(cnt == prev,
+        s"ancestor closure still growing after $rounds doubling rounds " +
+          s"($prev -> $cnt pairs) — depth > 2^$rounds; raise maxRounds")
+      cl
     }
-    // NB a cyclic edge set does NOT trip this guard — a cycle's closure is
-    // a finite fixed point, so cnt converges; only depth > 2^maxRounds
-    // fails loudly here. Cyclicity is the caller's forest contract above.
-    require(cnt == prev,
-      s"ancestor closure still growing after $rounds doubling rounds " +
-        s"($prev -> $cnt pairs) — depth > 2^$rounds; raise maxRounds")
-    cl
   }
 
   /** Subtree rollup over an ARBITRARY parent-edge table — the org-chart

@@ -20,7 +20,10 @@ class GraphRoutingSpec extends SparkSpec {
       ("graph_triangles", SparkEntry.queries("graph_triangles")),
       ("graph_edge_overlap", SparkEntry.queries("graph_edge_overlap")),
       ("graph_kcore(k=2)", (s, d) => graft.ops.Graph.graphKcore(s, d, k = 2)),
-      ("graph_assortativity", SparkEntry.queries("graph_assortativity")))
+      ("graph_assortativity", SparkEntry.queries("graph_assortativity")),
+      // ancestorClosure routes too: broadcast mode is the one-plan
+      // linear chain walk, shuffle mode the hotCount pointer doubling
+      ("q_hier_rollup_edges", SparkEntry.queries("q_hier_rollup_edges")))
 
   private def rows(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).toSeq
