@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-language-model scoring — the perplexity-style quality filter
@@ -90,22 +91,23 @@ object LangModel {
     // the count tables AND the probe side re-derive from it by integer
     // sums, and the per-doc score becomes Σ k·(ln c1 − ln c12) on BOTH
     // engines (same doubles; the oracle folds identically)
-    val dk = Tables.hot(Text.docToks(s, dir)
+    val dk = Text.docToks(s, dir)
       .select(col("doc_id"),
         explode(call_function("word_ngrams", col("toks"), lit(2)))
           .as("bg"))
-      .groupBy("doc_id", "bg").agg(count(lit(1)).as("k")))
-    val c12 = Tables.hot(dk.groupBy("bg").agg(sum("k").as("c12")))
-    // context totals derive from the (much smaller) bigram-count table
-    // — aggregating c12 again beats re-shuffling the full bigram
-    // stream; w1 re-derives from the bigram string (tokens are
-    // space-split, so the first space is the token boundary)
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("k"))
+    // both count tables become WINDOW sums over the compact table —
+    // c12(bg) = Σ k over the bigram, c1(w1) = Σ k over its context
+    // (w1 re-derives from the bigram string; tokens are space-split,
+    // so the first space is the token boundary). Two narrow window
+    // shuffles replace the count-table builds + two shuffle-hash
+    // join-backs; the window keys are the vocabulary — never broadcast
+    // (the text_unigram_lp rule), and partition skew is bounded by the
+    // hottest bigram/context frequency exactly like the join was.
     val w1 = substring_index(col("bg"), " ", 1)
-    val c1 = c12.select(w1.as("w1"), col("c12"))
-      .groupBy("w1").agg(sum("c12").as("c1"))
-    dk.join(c12.hint("shuffle_hash"), Seq("bg"))
-      .select(col("doc_id"), col("k"), col("c12"), w1.as("w1"))
-      .join(c1.hint("shuffle_hash"), Seq("w1"))
+    dk.withColumn("c12", sum(col("k")).over(Window.partitionBy("bg")))
+      .withColumn("c1",
+        sum(col("k")).over(Window.partitionBy(w1)))
       .groupBy("doc_id")
       .agg(sum(col("k")).as("n_bigrams"),
         sum(col("k") * (log(col("c1").cast("double")) -

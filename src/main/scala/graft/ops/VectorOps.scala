@@ -367,7 +367,13 @@ object VectorOps {
       .agg(slice(array_sort(collect_list(struct(col("cd"), col("cent_id")))),
         1, DedupProbes).as("top"), first(col("v")).as("v"))
       .select(col("vec_id"), col("v"), explode(col("top")).as("t"))
-      .select(col("vec_id"), col("v"), col("t.cent_id").as("cent_id"))
+      .select(col("vec_id"), col("v"),
+        // norm hoist (the embed_mrl recipe): precompute ||v|| once per
+        // (vec, probe) row so each pair verification is ONE dot — the
+        // quotient dot/(na·nb) is bit-identical to the oracle's inline
+        // dot/(sqrt·sqrt) form
+        sqrt(Vec.norm2(col("v"))).as("nrm"),
+        col("t.cent_id").as("cent_id"))
     val hotM = Tables.hot(multi)
     // Salted within-cell pairs CARRYING the vectors (same per-group
     // sizing as SkewJoin.saltedSelfPairs): shuffle volume is
@@ -382,14 +388,15 @@ object VectorOps {
     val a = sized
       .withColumn("_salt", pmod(xxhash64(col("vec_id")), col("_nsalt")).cast("int"))
       .select(col("cent_id"), col("_salt"),
-        col("vec_id").as("da"), col("v").as("va"))
+        col("vec_id").as("da"), col("v").as("va"), col("nrm").as("na"))
     val b = sized
       .withColumn("_salt", explode(sequence(lit(0), col("_nsalt") - 1)))
       .select(col("cent_id"), col("_salt"),
-        col("vec_id").as("db"), col("v").as("vb"))
+        col("vec_id").as("db"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, Seq("cent_id", "_salt"))
       .filter(col("da") < col("db"))
-      .select(col("da"), col("db"), Vec.cosine(col("va"), col("vb")).as("cos"))
+      .select(col("da"), col("db"),
+        (Vec.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
       .filter(col("cos") >= DedupCosT)
       .select(col("da"), col("db"), round(col("cos"), 6).as("cos"))
       .distinct() // a pair may share both probed cells — count once
