@@ -136,13 +136,19 @@ object GraftFunctions {
       "word_ngrams"),
     (args: Seq[Expression]) => functions.WordNgrams(args(0), args(1)))
 
+  val pairCodesFn: Fn = (
+    FunctionIdentifier("pair_codes"),
+    new ExpressionInfo(classOf[functions.PairCodes].getName,
+      "pair_codes"),
+    (args: Seq[Expression]) => functions.PairCodes(args.head))
+
   val all: Seq[Fn] =
     Seq(clippedSegmentLengthFn, hilbertIndexFn, pointInPolygonFn,
       normalizeTextFn, clippedPolygonAreaFn, vecDotFn, vecL2Fn,
       minHashSignatureFn, bigramRunStatsFn, wktPartsFn, dsum128Fn,
       qsum128Fn, rollingHashWindowsFn, ffdBinsFn, md5MinHashFn,
       cdcChunksFn, shingleHashesFn, md5ShinglesFn, charNgramsFn,
-      wordNgramsFn)
+      wordNgramsFn, pairCodesFn)
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (id, info, builder) =>

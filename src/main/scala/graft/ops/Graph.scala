@@ -674,33 +674,28 @@ object Graph {
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")))
         .groupBy("ok")
         .agg(array_sort(collect_set(col("pk"))).as("pks")))
-    // loud guards: the pair fan-out cap AND the pack range (sorted
-    // basket, so the last element is the max part key)
-    val pks = when(size(col("pks")) <= BasketCap &&
-        (size(col("pks")) === 0 ||
-          element_at(col("pks"), -1) < (1L << 31)), col("pks"))
-      .otherwise(raise_error(concat(
-        lit(s"q_basket_lift: basket violates the pair cap $BasketCap " +
-          "or the 2^31 part-key pack range: "),
-        col("pks").cast("string"))))
-    // sorted basket → ordered pairs (a < b) map-side, each BIT-PACKED
-    // into one long (a << 32 | b): the pair aggregate hashes a single
-    // primitive key (HashAggregate fast path) instead of a two-column
-    // struct, and the explode stream carries 8 bytes per pair
+    // sorted basket → ordered pairs (a < b) map-side via the native
+    // pair_codes kernel, each BIT-PACKED into one long (a << 32 | b):
+    // one compiled pass per basket (the HOF form ran interpreted with
+    // a slice per anchor), LOUD guards inside the kernel (the
+    // C(cap, 2) fan-out cap and the 2^31 pack range), and the pair
+    // aggregate hashes a single primitive key (HashAggregate fast
+    // path) with map-side partials
+    graft.GraftFunctions.register(s)
     val pairs = baskets
-      .select(explode(flatten(transform(pks, (x, i) =>
-        transform(slice(col("pks"), i + lit(2),
-            greatest(size(col("pks")) - i - 1, lit(0))),
-          y => shiftleft(x, 32).bitwiseOR(y))))).as("code"))
+      .select(explode(call_function("pair_codes", col("pks"))).as("code"))
       .groupBy("code")
       .agg(count(lit(1)).as("c_ab"))
       .filter(col("c_ab") >= 2)
       .select(shiftright(col("code"), 32).as("a"),
         col("code").bitwiseAND(lit((1L << 32) - 1)).as("b"),
         col("c_ab"))
-    val tot = broadcast(Tables.hot(
+    // tot stays lazy: the two broadcast builds each re-run a cheap
+    // explode+agg over the checkpointed baskets — cheaper than a
+    // checkpoint job of their own
+    val tot = broadcast(
       baskets.select(explode(col("pks")).as("pk"))
-        .groupBy(col("pk")).agg(count(lit(1)).as("n"))))
+        .groupBy(col("pk")).agg(count(lit(1)).as("n")))
     val nOrders = broadcast(baskets.agg(count(lit(1)).as("n_orders")))
     pairs
       .join(tot.select(col("pk").as("a"), col("n").as("n_a")), Seq("a"))
