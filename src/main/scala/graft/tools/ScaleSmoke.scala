@@ -105,7 +105,11 @@ object ScaleSmoke {
     }
 
     Seq("graph_pagerank", "graph_kcore", "dedup_incremental",
-      "q_hier_rollup_edges").foreach(run)
+      "q_hier_rollup_edges",
+      // the frozen-artifact text paths at 10x: docToks (50k docs),
+      // bm25Stats, the minhash LSH band buckets and the langid
+      // profile's measured broadcast-vs-shuffle routing
+      "text_bm25", "dedup_minhash", "text_langid_stat").foreach(run)
     println("[scale] PASS: all routed operators complete at 10x with " +
       "measured routing decisions and pinned plans")
     spark.stop()
