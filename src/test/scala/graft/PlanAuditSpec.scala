@@ -419,6 +419,50 @@ class PlanAuditSpec extends SparkSpec {
       "corpus_cluster_topics: ranking window must partition by cent_id")
   }
 
+  test("round-14 operators keep their scale shapes") {
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, SortAggregateExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    // q_basket_lift: per-order MAP-SIDE pair generation — the native
+    // pair_codes kernel feeds the pair aggregate; the old po⋈po
+    // self-join shape (a sort-merge join of the distinct table against
+    // itself) must never come back
+    val bl = collectAll(initialPlan("q_basket_lift"))
+    assert(bl.exists(_.expressions.exists(
+      _.find(_.isInstanceOf[graft.functions.PairCodes]).isDefined)),
+      "q_basket_lift: pair_codes kernel missing from the plan")
+    assert(!bl.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "q_basket_lift: a sort-merge join appeared — the self-join is back")
+
+    // q_profile: two-level — level 1 is a pure-count HashAggregate
+    // over (col_name, v); only the deduped value table pays the
+    // min/max(string) SortAggregate (partial+final = 2). The single-
+    // shot shape planned FOUR full-stream string sorts.
+    val qp = collectAll(initialPlan("q_profile"))
+    assert(qp.count(_.isInstanceOf[HashAggregateExec]) >= 2,
+      "q_profile: the level-1 count must hash-aggregate")
+    val sortAggs = qp.count(_.isInstanceOf[SortAggregateExec])
+    assert(sortAggs <= 2,
+      s"q_profile: $sortAggs SortAggregates — the 4-sort single-shot " +
+        "shape is back")
+
+    // embed_mrl: the three per-criterion argmaxes ride ONE aggregate —
+    // no per-criterion window sorts of the pair stream
+    val mrl = collectAll(initialPlan("embed_mrl"))
+    assert(!mrl.exists(_.isInstanceOf[WindowExec]),
+      "embed_mrl: window sorts are back — argmax must be one aggregate")
+
+    // text_bigram_lp: native word_ngrams feeds the fold; the two count
+    // tables are window sums over the compact table (exactly two
+    // windows), no join-backs of corpus-sized count tables
+    val bg = collectAll(initialPlan("text_bigram_lp"))
+    assert(bg.exists(_.expressions.exists(
+      _.find(_.isInstanceOf[graft.functions.WordNgrams]).isDefined)),
+      "text_bigram_lp: word_ngrams kernel missing from the plan")
+    assert(bg.count(_.isInstanceOf[WindowExec]) == 2,
+      "text_bigram_lp: expected exactly the c12/c1 window pair")
+  }
+
   /** Keys whose query BUILD runs driver-coordinated rounds (iterative
     * label propagation, guarded counts, pivot-column discovery) and is
     * therefore too expensive for the lazy cartesian sweep. ONE list,
