@@ -45,8 +45,8 @@ object Bpe {
     ELSE CAST(array() AS ARRAY<STRUCT<x: STRING, y: STRING>>) END"""
 
   private def vocab(s: SparkSession, dir: String): DataFrame =
-    Tables.fanout(Tables.load(s, dir, "documents"))
-      .select(explode(split(col("text"), " ")).as("w"))
+    Text.docToks(s, dir)
+      .select(explode(col("toks")).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("freq"))
 
@@ -84,8 +84,8 @@ object Bpe {
   def bpeEncode(s: SparkSession, dir: String): DataFrame = {
     val seqs = train(s, dir)._2
       .select(col("w"), size(split(col("sq"), " ")).as("n_sym"))
-    Tables.fanout(Tables.load(s, dir, "documents"))
-      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+    Text.docToks(s, dir)
+      .select(col("source"), explode(col("toks")).as("w"))
       .filter(col("w") =!= "")
       .join(seqs.hint("shuffle_hash"), "w")
       .groupBy("source")
@@ -147,8 +147,8 @@ object Bpe {
     val seqs = trainBytes(s, dir)._2
       .select(col("w"), size(split(col("sq"), " ")).as("n_sym"),
         octet_length(col("w")).cast("long").as("n_b"))
-    Tables.fanout(Tables.load(s, dir, "documents"))
-      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+    Text.docToks(s, dir)
+      .select(col("source"), explode(col("toks")).as("w"))
       .filter(col("w") =!= "")
       .join(seqs.hint("shuffle_hash"), "w")
       .groupBy("source")
@@ -228,8 +228,8 @@ object Bpe {
     val seqs = trainBytes(s, dir)._2
       .select(col("w"), size(split(col("sq"), " ")).as("n_sym"),
         octet_length(col("w")).cast("long").as("n_b"))
-    val per = Tables.fanout(Tables.load(s, dir, "documents"))
-      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+    val per = Text.docToks(s, dir)
+      .select(col("lang"), explode(col("toks")).as("w"))
       .filter(col("w") =!= "")
       .join(seqs.hint("shuffle_hash"), "w")
       .groupBy("lang")

@@ -1387,8 +1387,7 @@ object Corpus {
   }
 
   def chunkCdc(s: SparkSession, dir: String): DataFrame = {
-    val ch = Tables.hot(cdcChunks(
-      Tables.fanout(Tables.load(s, dir, "documents"))))
+    val ch = Tables.hot(cdcChunks(docs(s, dir)))
     val cnt = ch.select(md5(col("ctext")).as("h"))
       .groupBy("h").agg(count(lit(1)).as("c"))
     ch.withColumn("h", md5(col("ctext")))
@@ -1458,7 +1457,7 @@ object Corpus {
     * back, single scan.
     */
   def sampleTemperature(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.load(s, dir, "documents").select(col("doc_id"), col("source"))
+    val d = docs(s, dir).select(col("doc_id"), col("source"))
     val counts = d.groupBy("source").agg(count(lit(1)).as("n"))
     val ref = counts.agg(min(col("n")).as("n_ref"))
     val rates = counts.crossJoin(broadcast(ref))

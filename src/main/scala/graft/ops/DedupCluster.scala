@@ -112,7 +112,7 @@ object DedupCluster {
     * conditional aggregation — beyond the CC rounds nothing here
     * adds more than two narrow shuffles. */
   def corpusNearDedup(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.fanout(Tables.load(s, dir, "documents"))
+    val d = Text.docToks(s, dir)
       .select(col("doc_id"), col("source"), col("n_chars"))
     val lbl = dedupCluster(s, dir).select("doc_id", "cluster_id")
     val idSpace = 1L << 43

@@ -145,8 +145,10 @@ object Events {
   /** Global top-25 token 3-grams across the corpus — vocabulary /
     * phrase-frequency statistics for the text pipeline. */
   def topNgrams(s: SparkSession, dir: String): DataFrame = {
-    Tables.fanout(Tables.load(s, dir, "documents"))
-      .select(explode(Text.grams(3)).as("ngram"))
+    graft.GraftFunctions.register(s)
+    Text.docToks(s, dir)
+      .select(explode(
+        call_function("word_ngrams", col("toks"), lit(3))).as("ngram"))
       .groupBy("ngram").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("ngram"))
       .limit(25)

@@ -33,7 +33,11 @@ object LangModel {
     * own unigram distribution. minCount sets the vocabulary floor —
     * tokens below it score at the 1/N OOV floor probability. */
   def scoreUnigram(docsDf: DataFrame, minCount: Int = 2): DataFrame = {
-    val w = docsDf.select(col("doc_id"), explode(Text.toks).as("w"))
+    // consume a precomputed token column when the caller passes the
+    // docToks artifact; fall back to splitting for arbitrary frames
+    val tokCol =
+      if (docsDf.columns.contains("toks")) col("toks") else Text.toks
+    val w = docsDf.select(col("doc_id"), explode(tokCol).as("w"))
     val vocab = w.groupBy("w").agg(count(lit(1)).as("c"))
     // shuffle_hash: the vocab must NEVER ride a broadcast — at web scale
     // the rare-token tail is unbounded. The hint pins the shuffled hash
@@ -53,7 +57,7 @@ object LangModel {
   }
 
   def textUnigramLp(s: SparkSession, dir: String): DataFrame =
-    scoreUnigram(Tables.fanout(Tables.load(s, dir, "documents")))
+    scoreUnigram(Text.docToks(s, dir))
       .orderBy("doc_id")
 
   val textUnigramLpSql: String = """
@@ -171,7 +175,7 @@ object LangModel {
     // multiplicities are exact). The score term is k·ln(c+1) in BOTH
     // engines — same doubles.
     val dgc = Tables.hot(
-      Tables.fanout(Tables.load(s, dir, "documents"))
+      Text.docToks(s, dir)
         .select(col("doc_id"), col("lang"), explode(g3).as("g"))
         .groupBy("doc_id", "lang", "g").agg(count(lit(1)).as("kc")))
     val prof = dgc.groupBy(col("g"), col("lang").as("plang"))
@@ -271,8 +275,8 @@ object LangModel {
   def textPplBucket(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val nb = 300
-    val docs = Tables.load(s, dir, "documents")
-    val scored = scoreUnigram(Tables.fanout(docs))
+    val docs = Text.docToks(s, dir)
+    val scored = scoreUnigram(docs)
       .join(docs.select("doc_id", "source"), "doc_id")
     val span = scored.groupBy("source")
       .agg(min("avg_nll").as("lo"), max("avg_nll").as("hi"))
