@@ -28,7 +28,15 @@ final class FrozenMemo[K, A] {
 
   /** Serve the live artifact for `key`, or build it exactly once.
     * `build` must return the artifact plus the pinned RDDs backing it
-    * (the `Tables.hotPinned` return shape). */
+    * (the `Tables.hotPinned` return shape).
+    *
+    * NOT REENTRANT: `build` runs inside `computeIfAbsent`, so a nested
+    * `getOrBuild` on the SAME memo instance from within a build
+    * deadlocks or throws (ConcurrentHashMap recursive-update rule),
+    * and two different keys hashing to one bin serialize their builds.
+    * An artifact that composes other artifacts must read them from
+    * their OWN memo instances (the docToks ← bm25Stats shape), never
+    * from the memo it is being built into. */
   def getOrBuild(key: K, session: SparkSession)
                 (build: => (A, Seq[RDD[_]])): A = {
     m.forEach { (k, e) =>

@@ -140,7 +140,15 @@ object GraftFunctions {
     FunctionIdentifier("pair_codes"),
     new ExpressionInfo(classOf[functions.PairCodes].getName,
       "pair_codes"),
-    (args: Seq[Expression]) => functions.PairCodes(args.head))
+    (args: Seq[Expression]) => args match {
+      case Seq(c) => functions.PairCodes(c)
+      case Seq(c, org.apache.spark.sql.catalyst.expressions.Literal(
+            n: Int, org.apache.spark.sql.types.IntegerType)) =>
+        functions.PairCodes(c, n)
+      case _ => throw new IllegalArgumentException(
+        "pair_codes expects (array<long>[, cap: int literal]); got " +
+          args.mkString(", "))
+    })
 
   val all: Seq[Fn] =
     Seq(clippedSegmentLengthFn, hilbertIndexFn, pointInPolygonFn,

@@ -30,6 +30,9 @@ object PairCodeMath {
     val vs = new Array[Long](n)
     var i = 0
     while (i < n) {
+      if (arr.isNullAt(i)) throw new IllegalArgumentException(
+        s"pair_codes: null element at index $i - basket arrays must " +
+          "be null-free (filter or coalesce before pairing)")
       val v = arr.getLong(i)
       if (v < 0L || v >= (1L << 31)) throw new IllegalArgumentException(
         s"pair_codes: element $v outside the [0, 2^31) pack range")

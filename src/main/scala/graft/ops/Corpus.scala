@@ -572,7 +572,8 @@ object Corpus {
     // the threshold count is ARITHMETIC — Σ max(n_tok − 2, 0) over the
     // pinned base table; no explode, no full gram pass
     val n = docs(s, dir)
-      .agg(sum(greatest(col("n_tok") - 2, lit(0))).as("n"))
+      .agg(coalesce(sum(greatest(col("n_tok") - 2, lit(0))), lit(0L))
+        .as("n"))
       .head().getLong(0)
     val thresh = n.toDouble / k
     val candidates = gramRows.as[String].mapPartitions { it =>

@@ -219,22 +219,29 @@ object Graph {
       // without its per-round job latency.
       val e = broadcast(
         edges.select(col("id").as("eid"), col("parent").as("ep")))
+      // rt = "this chain has terminated": its head j had NO outgoing
+      // edge on some probe (root-id-agnostic — a multi-root forest is
+      // valid input; the old j === 1 guard raise_error'd any chain
+      // rooted elsewhere). steps+1 probes so a chain whose head
+      // reaches its root exactly on probe `steps` still gets the
+      // null-probe that certifies it.
       var l = edges.select(col("id"), col("parent").as("j"),
-        array(col("parent")).as("a"))
-      for (_ <- 1 to steps) {
-        val done = col("j") === 1 || col("eid").isNull
+        array(col("parent")).as("a"), lit(false).as("rt"))
+      for (_ <- 0 to steps) {
+        val done = col("rt") || col("eid").isNull
         l = l.join(e, col("j") === col("eid"), "left")
           .select(col("id"),
             when(done, col("j")).otherwise(col("ep")).as("j"),
             when(done, col("a"))
-              .otherwise(concat(col("a"), array(col("ep")))).as("a"))
+              .otherwise(concat(col("a"), array(col("ep")))).as("a"),
+            done.as("rt"))
       }
       // per-row loud coverage guard folded into the output projection
       // (zero extra jobs): every chain must have reached the root —
       // unreachable unless the data violates the proper-edge contract
       // the depth bound is derived from (e.g. duplicate id rows)
       val chains = l.select(col("id"),
-        when(col("j") === 1, col("a")).otherwise(raise_error(concat(
+        when(col("rt"), col("a")).otherwise(raise_error(concat(
           lit("ancestor closure: chain not rooted after " +
             s"$steps linear steps at id "),
           col("id").cast("string"),
@@ -683,7 +690,8 @@ object Graph {
     // path) with map-side partials
     graft.GraftFunctions.register(s)
     val pairs = baskets
-      .select(explode(call_function("pair_codes", col("pks"))).as("code"))
+      .select(explode(call_function("pair_codes", col("pks"),
+        lit(BasketCap))).as("code"))
       .groupBy("code")
       .agg(count(lit(1)).as("c_ab"))
       .filter(col("c_ab") >= 2)

@@ -131,6 +131,27 @@ class GraphTimeSeriesSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("ancestorClosure: multi-root forest certifies on BOTH routes") {
+    import spark.implicits._
+    // two trees, roots 1 and 2 (neither has an edge row): the broadcast
+    // route's old coverage guard hard-coded root id 1 and raise_error'd
+    // any chain rooted elsewhere — this pins the root-agnostic guard
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("id")
+    val edges = Seq((3L, 1L), (4L, 1L), (5L, 2L), (6L, 3L), (7L, 5L))
+      .toDF("id", "parent")
+    val want = Set((1L, 1L), (2L, 2L), (3L, 3L), (3L, 1L), (4L, 4L),
+      (4L, 1L), (5L, 5L), (5L, 2L), (6L, 6L), (6L, 3L), (6L, 1L),
+      (7L, 7L), (7L, 5L), (7L, 2L))
+    for (bound <- Seq(Long.MaxValue.toString, "0")) {
+      spark.conf.set(Graph.BroadcastVerticesKey, bound)
+      try {
+        val got = Graph.ancestorClosure(nodes, edges).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(got == want, s"route bound=$bound diverges")
+      } finally spark.conf.unset(Graph.BroadcastVerticesKey)
+    }
+  }
+
   test("q_hier_rollup_edges equals a driver-side parent-chain replay") {
     val dec = org.apache.spark.sql.types.DecimalType(18, 2)
     val out = Graph.hierRollupEdges(spark, sfDir).collect()
