@@ -160,6 +160,15 @@ object LangModel {
     * matches contribute exactly ln(1) = 0 so no dense vocab×lang
     * materialization is needed, and the 5-row language totals + 1-row
     * vocab size broadcast. */
+  /** Loud ceiling on the pivoted profile's language arity: each
+    * language adds one dense double to every gram row and one static
+    * sum column to the per-doc aggregate, so the pivot is only the
+    * right shape while the label space is small (it is — ISO codes in
+    * a labeled corpus number tens, not thousands). Past the cap the
+    * right design is the lang-keyed long profile again; fail with the
+    * remedy instead of silently planning a 1000-column aggregate. */
+  val MaxLangidLangs = 64
+
   def textLangidStat(s: SparkSession, dir: String): DataFrame = {
     graft.GraftFunctions.register(s)
     // native char_ngrams: the same trigram strings as the former
@@ -169,49 +178,72 @@ object LangModel {
     // gram MULTIPLICITY folds BEFORE the checkpoint: the raw trigram
     // occurrence stream is scanned exactly once (explode → map-side
     // partial count → one shuffle), and the hot table holds compact
-    // (doc, lang, gram, k) rows — the profile, the per-doc totals and
-    // the score-join probe all derive from it by integer re-aggregation
-    // (lang is functionally dependent on doc_id, so per-(doc, gram)
-    // multiplicities are exact). The score term is k·ln(c+1) in BOTH
-    // engines — same doubles.
+    // (doc, lang, gram, k) rows — the profile and the score probe both
+    // derive from it by integer re-aggregation (lang is functionally
+    // dependent on doc_id, so per-(doc, gram) multiplicities are
+    // exact). The score term is k·ln(c+1) in BOTH engines — same
+    // doubles.
     val dgc = Tables.hot(
       Text.docToks(s, dir)
         .select(col("doc_id"), col("lang"), explode(g3).as("g"))
         .groupBy("doc_id", "lang", "g").agg(count(lit(1)).as("kc")))
-    val prof = dgc.groupBy(col("g"), col("lang").as("plang"))
-      .agg(sum(col("kc")).as("c"))
-    val docG = dgc.groupBy("doc_id", "lang").agg(sum(col("kc")).as("n_g"))
-    val docGram = dgc.select(col("doc_id"), col("g"),
-      col("kc").cast("double").as("k"))
-    // the profile is the trained MODEL: ≤ |charset|³ · |langs| rows by
-    // construction, so for this corpus it broadcasts and the
-    // 100×-larger probe side never shuffles. But the charset bound is
-    // only tight for alphabetic scripts — real multilingual web text
-    // (CJK charsets) pushes distinct trigrams into the tens of
-    // millions, so the broadcast is ROUTED on the measured profile
-    // size (the graph-family routeState pattern), with a loud
-    // shuffle-hash fallback past the bound rather than a driver OOM.
-    // (The fallback's gram-key shuffle skews on hot grams — the price
-    // of a model that outgrew the broadcast budget, logged loudly.)
-    // hotCount doubles as the materialization: prof feeds four
-    // consumers (profL, langTot, vdf and the probe join) that would
-    // each re-aggregate the checkpointed dgc otherwise.
-    val (profL, nProf) = Tables.hotCount(
-      prof.withColumn("lc", log(col("c").cast("double") + 1.0)))
-    val langTot = profL.groupBy("plang").agg(sum("c").as("nl"))
-    val vdf = profL.agg(countDistinct("g").cast("double").as("v"))
-    val perLang = docGram
-      .join(Graph.routeState("text_langid_stat.profile", profL, nProf),
+    // the label space is a ROUTING aggregate (≤ tens of rows, loud
+    // cap): per-language gram totals collect to the driver so the
+    // smoothing penalty ln(n_l + V) becomes a per-language constant
+    // and the per-language score columns can be laid out statically.
+    val langRows = dgc.groupBy(col("lang"))
+      .agg(sum(col("kc")).as("nl")).orderBy("lang").collect()
+    require(langRows.length <= MaxLangidLangs,
+      s"text_langid_stat: ${langRows.length} languages exceed the " +
+        s"pivoted-profile cap $MaxLangidLangs — route the profile " +
+        "back through the long (gram, lang) join shape instead")
+    val langs = langRows.map(r => (r.getString(0), r.getLong(1))).toSeq
+    // the profile is the trained MODEL, PIVOTED to ONE row per gram
+    // with a dense per-language ln(c+1) vector (absent (gram, lang)
+    // pairs are exactly ln(1) = 0). The old long (gram, lang) profile
+    // multiplied every probe row by the ~|langs| languages holding
+    // that gram — a 5× join fan-out the pivot removes: the probe join
+    // now emits ONE row per (doc, gram) and the broadcast hashmap
+    // holds one entry per gram instead of five. Still ROUTED on the
+    // measured gram count (CJK charsets push distinct trigrams into
+    // the tens of millions): broadcast under the bound, loud
+    // shuffle-hash fallback past it rather than a driver OOM.
+    // hotCount doubles as the materialization AND measures V (the
+    // distinct gram count of the smoothing term) for free.
+    val (profV, nGrams) = Tables.hotCount(
+      dgc.groupBy(col("g"), col("lang"))
+        .agg(sum(col("kc")).as("c"))
+        .groupBy("g")
+        .agg(map_from_entries(collect_list(struct(col("lang"),
+          log(col("c").cast("double") + 1.0)))).as("m"))
+        .select(col("g") +: langs.zipWithIndex.map { case ((l, _), i) =>
+          coalesce(col("m")(lit(l)), lit(0.0)).as(s"lc$i") }: _*))
+    // per-doc scores in ONE aggregate pass: |langs| static conditional
+    // sums (plus the gram total) — no (doc, lang)-keyed shuffle, no
+    // per-language row expansion anywhere in the plan.
+    val sums = sum(col("k")).as("n_g") +:
+      langs.indices.map(i => sum(col("k") * col(s"lc$i")).as(s"s$i"))
+    val perDoc = dgc
+      .select(col("doc_id"), col("lang"), col("g"),
+        col("kc").cast("double").as("k"))
+      .join(Graph.routeState("text_langid_stat.profile", profV, nGrams),
         Seq("g"))
-      .groupBy("doc_id", "plang")
-      .agg(sum(col("k") * col("lc")).as("s0"))
-    docG.join(broadcast(langTot))
-      .join(perLang, Seq("doc_id", "plang"), "left")
-      .crossJoin(broadcast(vdf))
-      .withColumn("score", round(coalesce(col("s0"), lit(0.0)) -
-        col("n_g") * log(col("nl").cast("double") + col("v")), 6))
       .groupBy("doc_id", "lang")
-      .agg(min(struct((-col("score")).as("ns"), col("plang"))).as("m"))
+      .agg(sums.head, sums.tail: _*)
+    // argmax by (score DESC, plang ASC) is a map-side array_min over
+    // the per-language candidate structs — scores rounded at 6 dp
+    // FIRST so the cross-engine tie-break is stable (ties fall to the
+    // smaller language code), like the old min-struct aggregate but
+    // with no extra shuffle. ln(n_l + V) is a driver constant: same
+    // java.lang.Math.log Spark's log expression evaluates, on an
+    // exactly-representable integer-valued double.
+    perDoc.select(col("lang"), array_min(array(
+        langs.zipWithIndex.map { case ((l, nl), i) =>
+          struct(
+            (-round(col(s"s$i") - col("n_g") *
+              lit(math.log(nl.toDouble + nGrams.toDouble)), 6)).as("ns"),
+            lit(l).as("plang"))
+        }: _*)).as("m"))
       .groupBy(col("lang"), col("m.plang").as("pred_lang"))
       .agg(count(lit(1)).as("n"))
       .orderBy("lang", "pred_lang")
