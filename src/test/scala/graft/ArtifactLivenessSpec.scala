@@ -49,6 +49,9 @@ class ArtifactLivenessSpec extends SparkSpec {
         .collect().map(_.toString)),
     ("bm25 per-term stats (text_bm25)",
       () => SparkEntry.queries("text_bm25")(spark, sfDir)
+        .collect().map(_.toString)),
+    ("synthetic multipolygon WKT corpus (geo_wkt_multipoly)",
+      () => SparkEntry.queries("geo_wkt_multipoly")(spark, sfDir)
         .collect().map(_.toString)))
 
   for ((name, run) <- consumers)
