@@ -18,7 +18,7 @@ object SparkEntry {
       ops.VectorOps.all ++
       ops.Multimodal.all ++ ops.WebData.all ++ ops.Graph.all ++
       ops.TimeSeries.all ++ ops.Bpe.all ++ ops.Sketches.all ++
-      ops.Journey.all ++ ops.Retrieval.all
+      ops.Journey.all ++ ops.Retrieval.all ++ ops.QualityLr.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -54,6 +54,19 @@ final case class CorpusPipeline(df: DataFrame) {
     CorpusPipeline(df.filter(
       !graft.ops.Retrieval.gopherRules.map(_._2).reduce(_ || _)))
 
+  /** TRAINED quality gate (FineWeb-Edu/CCNet class) — apply a weight
+    * vector learned by `ops.QualityLr.trainLr` as a pure within-row
+    * filter: keep documents whose fixed-point logit is ≥ 0 (p ≥ ½).
+    * The logit is THE SAME integer arithmetic training used
+    * (QualityLr.logitZ — one definition, no drift), the model rides
+    * in as an O(Buckets) array literal, and the predicate pushes like
+    * any other scan filter — no join, no shuffle, model-serving at
+    * scan speed. */
+  def lrQualityFilter(weights: Array[Long]): CorpusPipeline =
+    CorpusPipeline(df.filter(
+      graft.ops.QualityLr.logitZ(split(col("text"), " "), weights)
+        >= 0L))
+
   /** Cross-corpus duplicate-BLOCK removal (the ops.Corpus
     * dedup_paragraphs rewrite as a chain step): every 10-token block
     * already seen at a smaller (doc_id, pos) is dropped and the

@@ -239,6 +239,73 @@ object Corpus {
     * a uniform u32 fraction), so it stays deterministic and
     * cluster-size-independent; both engines compute the identical
     * double (exact u32 → double, division by 2^32 exact). */
+  /** Token-budget EPOCH scheduler — the data-mixing table every
+    * training run publishes next to its rates (corpus_mix /
+    * sample_temperature set per-source RATES; this answers "how many
+    * epochs of each source fit a fixed token budget"): temperature
+    * weights w_s = √n_s (α = 0.5 — small sources upweighted), each
+    * source's ideal allocation is budget·w_s/Σw, its epoch count is
+    * ideal/n_s CAPPED at [[EpochCap]] (the repeated-data bound —
+    * Muennighoff et al. 2023 find ~4 epochs the useful limit), and
+    * the scheduled tokens are min(cap·n_s, ideal). Budget = 2×
+    * corpus tokens (a 2-epoch-average run), derived from the data so
+    * the schedule is scale-free.
+    *
+    * Determinism: weights quantize to integers (floor(√n·10⁶+0.5) —
+    * sqrt IS exactly rounded IEEE), every sum is an integer sum, and
+    * the continuous outputs are single correctly-rounded mult/div
+    * chains mirrored expression-for-expression in the oracle. Scale
+    * shape: one map-side-combined aggregate to ≤|sources| rows, one
+    * broadcast of the two totals — nothing else touches the corpus. */
+  val EpochCap = 4.0
+
+  def corpusEpochs(s: SparkSession, dir: String): DataFrame = {
+    val q = docs(s, dir)
+      .groupBy("source").agg(sum(col("n_tok")).as("n_tok"))
+      .withColumn("wq",
+        floor(sqrt(col("n_tok").cast("double")) * lit(1e6) + lit(0.5))
+          .cast("long"))
+    val t = q.agg((sum(col("n_tok")) * 2L).as("budget"),
+      sum(col("wq")).as("sumwq"))
+    val ideal =
+      col("budget").cast("double") * col("wq") / col("sumwq")
+    q.crossJoin(broadcast(t))
+      .select(col("source"), col("n_tok"),
+        round(col("wq").cast("double") / col("sumwq"), 6).as("share"),
+        round(least(lit(EpochCap), ideal / col("n_tok")), 6)
+          .as("epochs"),
+        floor(least(lit(EpochCap) * col("n_tok"), ideal)).cast("long")
+          .as("toks_alloc"),
+        when(ideal / col("n_tok") > EpochCap, 1L).otherwise(0L)
+          .as("capped"))
+      .orderBy("source")
+  }
+
+  val corpusEpochsSql: String = """
+    WITH c AS (
+      SELECT source,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tok
+      FROM documents GROUP BY 1),
+    q AS (
+      SELECT source, n_tok,
+             CAST(floor(sqrt(CAST(n_tok AS DOUBLE)) * 1000000.0 + 0.5)
+               AS BIGINT) AS wq
+      FROM c),
+    t AS (
+      SELECT CAST(SUM(n_tok) AS BIGINT) * 2 AS budget,
+             CAST(SUM(wq) AS BIGINT) AS sumwq
+      FROM q)
+    SELECT source, n_tok,
+           ROUND(CAST(wq AS DOUBLE) / sumwq, 6) AS share,
+           ROUND(LEAST(4.0, CAST(budget AS DOUBLE) * wq / sumwq
+             / n_tok), 6) AS epochs,
+           CAST(floor(LEAST(4.0 * n_tok,
+             CAST(budget AS DOUBLE) * wq / sumwq)) AS BIGINT)
+             AS toks_alloc,
+           CAST(CASE WHEN CAST(budget AS DOUBLE) * wq / sumwq / n_tok
+             > 4.0 THEN 1 ELSE 0 END AS BIGINT) AS capped
+    FROM q, t ORDER BY source"""
+
   def corpusMix(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val counts = d.groupBy("lang").agg(count(lit(1)).as("n_total"))
@@ -1583,6 +1650,7 @@ object Corpus {
     QueryDef("corpus_zipf", (s, d) => corpusZipf(s, d), Some(corpusZipfSql)),
     QueryDef("chunk_cdc", chunkCdc, Some(chunkCdcSql)),
     QueryDef("sample_temperature", sampleTemperature, Some(sampleTemperatureSql)),
+    QueryDef("corpus_epochs", corpusEpochs, Some(corpusEpochsSql)),
     QueryDef("sample_importance", sampleImportance, Some(sampleImportanceSql)),
     QueryDef("sample_dsir", (s, d) => sampleDsir(s, d), Some(sampleDsirSql)),
     QueryDef("dedup_paragraphs", dedupParagraphs, Some(dedupParagraphsSql)),

@@ -37,6 +37,34 @@ class ChunkMixSpec extends SparkSpec {
     chunks.unpersist()
   }
 
+  test("corpus_epochs: budget conserved, caps respected, shares normalize") {
+    val out = Corpus.corpusEpochs(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val totTok = out.map(_.getAs[Long]("n_tok")).sum
+    val budget = 2L * totTok
+    val alloc = out.map(_.getAs[Long]("toks_alloc")).sum
+    // per-source floor loses < 1 token each; never exceeds the budget
+    assert(alloc <= budget, s"allocated $alloc over budget $budget")
+    // with no capped source the ideal allocations sum exactly to the
+    // budget, so only the per-source floor (< 1 token each) is lost
+    if (out.forall(_.getAs[Long]("capped") == 0L))
+      assert(alloc >= budget - out.length,
+        s"uncapped schedule left ${budget - alloc} tokens unscheduled")
+    out.foreach { r =>
+      val (n, e, a, c) = (r.getAs[Long]("n_tok"),
+        r.getAs[Double]("epochs"), r.getAs[Long]("toks_alloc"),
+        r.getAs[Long]("capped"))
+      assert(e <= Corpus.EpochCap, s"${r.get(0)}: epochs $e over cap")
+      assert(a <= (Corpus.EpochCap * n).toLong,
+        s"${r.get(0)}: allocation exceeds cap*corpus")
+      assert((c == 1L) == (e == Corpus.EpochCap),
+        s"${r.get(0)}: capped flag inconsistent with epochs $e")
+      assert(a >= 0L && r.getAs[Double]("share") > 0.0)
+    }
+    val shares = out.map(_.getAs[Double]("share")).sum
+    assert(math.abs(shares - 1.0) < 1e-4, s"shares sum to $shares")
+  }
+
   test("corpus_mix: smallest stratum kept whole, others downsampled to it") {
     val out = Corpus.corpusMix(spark, sfDir).collect()
     assert(out.length > 1)
