@@ -346,8 +346,13 @@ object Graph {
       .distinct()
   }
 
+  // MATERIALIZED: every consumer (triangles, pagerank, edge overlap,
+  // assortativity, kcore) references pairs 2-3 times — DuckDB inlines
+  // an unmaterialized CTE per reference, re-running the lineitem
+  // self-join each time (found by the 10x scale bench: the pagerank
+  // oracle ground past 10 minutes at 22 GB; the CLAUDE.md CTE rule)
   private val coEdgesSql: String = """
-    pairs AS (
+    pairs AS MATERIALIZED (
       SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
       FROM lineitem l1 JOIN lineitem l2
         ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey)"""
@@ -441,8 +446,8 @@ object Graph {
       SELECT v, COUNT(*) AS deg FROM (
         SELECT a AS v FROM pairs UNION ALL SELECT b AS v FROM pairs)
       GROUP BY v),
-    rk AS (SELECT v, deg * 4294967296 + v AS rk FROM deg),
-    oriented AS (
+    rk AS MATERIALIZED (SELECT v, deg * 4294967296 + v AS rk FROM deg),
+    oriented AS MATERIALIZED (
       SELECT CASE WHEN ra.rk < rb.rk THEN p.a ELSE p.b END AS src,
              CASE WHEN ra.rk < rb.rk THEN p.b ELSE p.a END AS dst,
              GREATEST(ra.rk, rb.rk) AS rdst
@@ -565,8 +570,12 @@ object Graph {
   }
 
   val pageRankSql: String = {
+    // every CTE here is referenced by each later iteration — all
+    // MATERIALIZED or the unrolled plan re-derives the edge list per
+    // round per reference (exponential in unroll depth; the
+    // graph_kcore precedent, re-found by the 10x scale bench)
     def iter(k: Int): String = s"""
-    it$k AS (
+    it$k AS MATERIALIZED (
       SELECT g.v, g.deg,
              CAST(0.15 AS DOUBLE) / n.nv + CAST(0.85 AS DOUBLE) *
                (CAST(SUM(CAST(floor(p.pr / p.deg * 1e15 + 0.5) AS BIGINT))
@@ -577,12 +586,13 @@ object Graph {
       GROUP BY g.v, g.deg, n.nv)"""
     s"""
     WITH $coEdgesSql,
-    dirE AS (
+    dirE AS MATERIALIZED (
       SELECT a AS src, b AS dst FROM pairs
       UNION ALL SELECT b, a FROM pairs),
-    deg AS (SELECT src AS v, COUNT(*) AS deg FROM dirE GROUP BY src),
-    n AS (SELECT COUNT(*) AS nv FROM deg),
-    it0 AS (
+    deg AS MATERIALIZED (
+      SELECT src AS v, COUNT(*) AS deg FROM dirE GROUP BY src),
+    n AS MATERIALIZED (SELECT COUNT(*) AS nv FROM deg),
+    it0 AS MATERIALIZED (
       SELECT v, deg, CAST(1.0 AS DOUBLE) / n.nv AS pr FROM deg, n),
     ${(1 to 5).map(iter).mkString(",")}
     SELECT it5.v AS part, ROUND(it5.pr * n.nv, 6) AS r_rel
@@ -784,10 +794,10 @@ object Graph {
 
   val assortativitySql: String = s"""
     WITH $coEdgesSql,
-    deg AS (
+    deg AS MATERIALIZED (
       SELECT v, COUNT(*) AS deg FROM (
         SELECT a AS v FROM pairs UNION ALL SELECT b FROM pairs) GROUP BY 1),
-    stubs AS (
+    stubs AS MATERIALIZED (
       SELECT d1.deg AS x, d2.deg AS y
       FROM pairs JOIN deg d1 ON d1.v = pairs.a JOIN deg d2 ON d2.v = pairs.b),
     st2 AS (

@@ -5,7 +5,7 @@ query, 32 threads, against the same parquet the Spark bench reads.
 Usage: python3 tools/baseline.py <sfDir> <oracle_sql.json> [query ...]
 Prints one JSON line: {"queries": {name: sec}, "total": sec}.
 """
-import sys, json, time
+import sys, json, time, os
 import duckdb
 
 sfdir, oracle_path = sys.argv[1], sys.argv[2]
@@ -14,7 +14,12 @@ con = duckdb.connect()
 con.execute("SET threads TO 32")
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    p = f"{sfdir}/{t}.parquet"
+    # Spark-written tables are DIRECTORIES of part files (the 10x
+    # ScaleData replicas); DuckDB needs the glob form for those
+    if os.path.isdir(p):
+        p = f"{p}/*.parquet"
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
 oracle = json.load(open(oracle_path))
 out, total = {}, 0.0
