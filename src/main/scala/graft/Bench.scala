@@ -203,8 +203,17 @@ object Bench {
       // retry passes (beyond `iters`) re-run ONLY still-unsampled
       // queries — re-sampling healthy ones would spend the remaining
       // budget on queries that already have their number
+      // per-iteration DETERMINISTIC reshuffle (tiebreak after the
+      // coverage sort): with a fixed alphabetical order, a PERIODIC
+      // host steal burst (~minutes) lands on the same alphabetical
+      // neighborhood in every pass — the r15 run-1 audit showed
+      // adjacent chunk_*/corpus_*/dedup_* queries inflated 1.5-2.6×
+      // across ALL samples while other families ran calm. Shuffling
+      // each pass decorrelates bursts from queries so min-of-N
+      // actually reaches a calm sample per query.
       val order = {
-        val o = names.sortBy(good)
+        val o = names.sortBy(n =>
+          (good(n), scala.util.hashing.MurmurHash3.stringHash(s"$n#$it")))
         if (it <= iters) o else o.filter(good(_) == 0)
       }
       order.foreach { n =>
