@@ -463,6 +463,34 @@ class PlanAuditSpec extends SparkSpec {
       "text_bigram_lp: expected exactly the c12/c1 window pair")
   }
 
+  test("round-15 operators keep their scale shapes") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec, ShuffledHashJoinExec}
+    // text_langid_stat: the PIVOTED profile probes in ONE broadcast
+    // join (one row per (doc, gram)); the old long-profile shape had
+    // the 5x fan-out join plus docG/langTot/perLang join-backs — any
+    // second join or a window sort means the fan-out came back
+    val ls = collectAll(initialPlan("text_langid_stat"))
+    val joins = ls.count(p => p.isInstanceOf[BroadcastHashJoinExec] ||
+      p.isInstanceOf[SortMergeJoinExec] ||
+      p.isInstanceOf[ShuffledHashJoinExec])
+    assert(joins == 1,
+      s"text_langid_stat: $joins joins — the pivoted profile needs " +
+        "exactly the one probe join")
+    assert(!ls.exists(_.isInstanceOf[WindowExec]),
+      "text_langid_stat: a window sort appeared")
+
+    // corpus_epochs: one aggregation to |sources| rows + the 2-value
+    // broadcast — the corpus is touched exactly once (one scan)
+    val ce = collectAll(initialPlan("corpus_epochs"))
+    val scans = ce.count(p =>
+      p.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec] ||
+        p.nodeName.contains("Scan ExistingRDD"))
+    assert(scans <= 2, // corpus scan + its broadcast-total rescan
+      s"corpus_epochs: $scans scans — the schedule must not re-walk " +
+        "the corpus per output column")
+  }
+
   /** Keys whose query BUILD runs driver-coordinated rounds (iterative
     * label propagation, guarded counts, pivot-column discovery) and is
     * therefore too expensive for the lazy cartesian sweep. ONE list,
