@@ -142,9 +142,18 @@ object GraftFunctions {
       "pair_codes"),
     (args: Seq[Expression]) => args match {
       case Seq(c) => functions.PairCodes(c)
-      case Seq(c, org.apache.spark.sql.catalyst.expressions.Literal(
-            n: Int, org.apache.spark.sql.types.IntegerType)) =>
-        functions.PairCodes(c, n)
+      // accept int AND long literal caps (SQL integer literals can
+      // arrive as BIGINT; a 2+1-style foldable cap arrives unfolded —
+      // fold it here rather than rejecting intent that is a valid cap)
+      case Seq(c, cap) if cap.foldable =>
+        cap.eval() match {
+          case n: Int => functions.PairCodes(c, n)
+          case n: Long if n >= 0 && n <= Int.MaxValue =>
+            functions.PairCodes(c, n.toInt)
+          case other => throw new IllegalArgumentException(
+            "pair_codes cap must be a non-negative int-range literal; " +
+              s"got $other")
+        }
       case _ => throw new IllegalArgumentException(
         "pair_codes expects (array<long>[, cap: int literal]); got " +
           args.mkString(", "))

@@ -184,6 +184,50 @@ final case class CorpusPipeline(df: DataFrame) {
             lit(budget.toDouble)).cast("bigint")))
   }
 
+  /** Mixture-scheduled physical interleave (the ops.Corpus
+    * pack_mixture construction as a chain step — that report op
+    * certifies this exact instance set against the DuckDB oracle):
+    * replicate every document by its source's scheduled epoch count
+    * (⌊e_s⌋ + a deterministic md5-threshold Bernoulli for the
+    * fraction) and assign each instance its run position — `slice`
+    * (which of `slices` equal timeline slices of the training run)
+    * and `mix_h` (the order key within the slice). Uniform hashes
+    * spread every source evenly along the run, so no source is
+    * front-loaded; the physical write is partitionBy(slice) +
+    * sortWithinPartitions(mix_h). Rows keep their full schema plus
+    * (rep, slice, mix_h). */
+  def packMixture(slices: Int = 64): CorpusPipeline = {
+    val nTok = size(split(col("text"), " ")).cast("long")
+    val q = df.select(col("source"), nTok.as("_nt"))
+      .groupBy("source").agg(sum(col("_nt")).as("src_tok"))
+      .withColumn("wq",
+        floor(sqrt(col("src_tok").cast("double")) * lit(1e6) + lit(0.5))
+          .cast("long"))
+    val t = q.agg((sum(col("src_tok")) * 2L).as("budget"),
+      sum(col("wq")).as("sumwq"))
+    val e = least(lit(graft.ops.Corpus.EpochCap),
+      col("budget").cast("double") * col("wq") / col("sumwq")
+        / col("src_tok"))
+    val sched = q.crossJoin(broadcast(t))
+      .select(col("source"), floor(e).cast("long").as("_full_e"),
+        floor((e - floor(e)) * lit(1152921504606846976L).cast("double"))
+          .cast("long").as("_thr"))
+    val h60 = expr("""CAST(conv(substring(md5(concat('mixk:',
+      CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)""")
+    val h32 = expr("""CAST(conv(substring(md5(concat('mix:',
+      CAST(doc_id AS STRING), '#', CAST(rep AS STRING))), 1, 8),
+      16, 10) AS BIGINT)""")
+    CorpusPipeline(df.join(broadcast(sched), "source")
+      .withColumn("_reps",
+        col("_full_e") + when(h60 < col("_thr"), 1L).otherwise(0L))
+      .where(col("_reps") >= 1L) // sequence(0, n) descends for n < 0
+      .withColumn("rep", explode(sequence(lit(0L), col("_reps") - 1L)))
+      .withColumn("mix_h", h32)
+      .withColumn("slice",
+        floor(col("mix_h") / lit(4294967296.0 / slices)).cast("long"))
+      .drop("_full_e", "_thr", "_reps"))
+  }
+
   /** Per-shard rollup after packShards. */
   def shardStats: DataFrame =
     df.groupBy("source", "shard")

@@ -306,6 +306,121 @@ object Corpus {
              > 4.0 THEN 1 ELSE 0 END AS BIGINT) AS capped
     FROM q, t ORDER BY source"""
 
+  /** Mixture-scheduled physical interleave (pack_mixture) — the step
+    * between [[corpusEpochs]] (how many epochs of each source fit the
+    * budget) and [[packSequences]] (how instances pack into fixed
+    * windows) that a trainer actually consumes: MATERIALIZE the epoch
+    * schedule into a training ORDER in which every source is uniform
+    * ALONG the run, not front-loaded (a curriculum that accidentally
+    * front-loads one source biases early training — the mixture
+    * schedule published next to every data recipe).
+    *
+    * Construction (all decisions pure md5 functions of the row —
+    * rerunnable, cluster-size independent):
+    *   - per-source epochs e_s = the corpus_epochs ratio (UNROUNDED,
+    *     same integer-quantized √n weights);
+    *   - each doc replicates ⌊e_s⌋ times, plus once more iff its
+    *     60-bit keep hash falls under floor(frac(e_s)·2⁶⁰) — the
+    *     sample_temperature integer-threshold idiom, so the expected
+    *     token mass per source IS the scheduled allocation;
+    *   - every instance (doc, rep) gets a position hash h32; the run
+    *     order is (slice, h32) with slice = h32 / 2²⁶ — 64 equal
+    *     timeline slices of the training run. Uniform hashes ⇒ every
+    *     source's instances spread uniformly across slices.
+    *
+    * Output: the per-(slice, source) audit table — instance count,
+    * token mass, and an order-free content hash sum pinning the exact
+    * instance set (the set under a deterministic total order IS the
+    * physical order, so content equality certifies order equality).
+    *
+    * Scale shape: one ≤4× map-side explode, one broadcast of the
+    * ≤|sources| schedule, ONE map-side-combined hash aggregate to
+    * slices·|sources| rows. No window, no global sort — at 100 TB the
+    * physical write is partitionBy(slice) + sortWithinPartitions(h32),
+    * embarrassingly parallel. */
+  def packMixture(s: SparkSession, dir: String, slices: Int = 64): DataFrame = {
+    val d = docs(s, dir)
+    val q = d.groupBy("source").agg(sum(col("n_tok")).as("src_tok"))
+      .withColumn("wq",
+        floor(sqrt(col("src_tok").cast("double")) * lit(1e6) + lit(0.5))
+          .cast("long"))
+    val t = q.agg((sum(col("src_tok")) * 2L).as("budget"),
+      sum(col("wq")).as("sumwq"))
+    // the corpus_epochs ratio, unrounded — one mult/div chain mirrored
+    // operation-for-operation in the oracle (identical IEEE doubles)
+    val e = least(lit(EpochCap),
+      col("budget").cast("double") * col("wq") / col("sumwq")
+        / col("src_tok"))
+    val sched = q.crossJoin(broadcast(t))
+      .select(col("source"), floor(e).cast("long").as("full_e"),
+        floor((e - floor(e)) * lit(1152921504606846976L).cast("double"))
+          .cast("long").as("thr"))
+    val h60 = expr("""CAST(conv(substring(md5(concat('mixk:',
+      CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)""")
+    val inst = d.select(col("source"), col("doc_id"), col("n_tok"))
+      .join(broadcast(sched), "source")
+      .withColumn("reps",
+        col("full_e") + when(h60 < col("thr"), 1L).otherwise(0L))
+      // Spark sequence(0, n) DESCENDS for n < 0 — zero-rep docs must
+      // leave through the filter, never reach the sequence
+      .where(col("reps") >= 1L)
+      .select(col("source"), col("doc_id"), col("n_tok"),
+        explode(sequence(lit(0L), col("reps") - 1L)).as("rep"))
+    val h32 = expr("""CAST(conv(substring(md5(concat('mix:',
+      CAST(doc_id AS STRING), '#', CAST(rep AS STRING))), 1, 8),
+      16, 10) AS BIGINT)""")
+    inst
+      .select(col("source"), col("n_tok"), h32.as("h32"))
+      // h32/2^26 is an exact dyadic double — floor identical both
+      // engines; h_sum through the 128-bit accumulator (u32 terms are
+      // exact 0-digit doubles well inside the 2^51 envelope)
+      .groupBy(floor(col("h32") / lit(4294967296.0 / slices))
+        .cast("long").as("slice"), col("source"))
+      .agg(count(lit(1)).as("n_inst"), sum(col("n_tok")).as("tok_sum"),
+        QueryDef.dsum(col("h32"), 0).as("h_sum"))
+      .orderBy("slice", "source")
+  }
+
+  val packMixtureSql: String = """
+    WITH c AS (
+      SELECT source, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents),
+    q AS (
+      SELECT source, CAST(SUM(n_tok) AS BIGINT) AS src_tok,
+             CAST(floor(sqrt(CAST(SUM(n_tok) AS DOUBLE)) * 1000000.0
+               + 0.5) AS BIGINT) AS wq
+      FROM c GROUP BY 1),
+    t AS (
+      SELECT CAST(SUM(src_tok) AS BIGINT) * 2 AS budget,
+             CAST(SUM(wq) AS BIGINT) AS sumwq FROM q),
+    sched AS (
+      SELECT source, CAST(floor(e) AS BIGINT) AS full_e,
+             CAST(floor((e - floor(e)) *
+               CAST(1152921504606846976 AS DOUBLE)) AS BIGINT) AS thr
+      FROM (SELECT source, LEAST(4.0,
+              CAST(budget AS DOUBLE) * wq / sumwq / src_tok) AS e
+            FROM q, t)),
+    inst AS (
+      SELECT source, doc_id, n_tok,
+             unnest(generate_series(0, reps - 1)) AS rep
+      FROM (SELECT c.source, c.doc_id, c.n_tok,
+              s.full_e + (CASE WHEN ('0x' || substring(md5('mixk:' ||
+                  CAST(c.doc_id AS VARCHAR)), 1, 15))::UBIGINT::BIGINT
+                  < s.thr THEN 1 ELSE 0 END) AS reps
+            FROM c JOIN sched s USING (source))
+      WHERE reps >= 1),
+    h AS (
+      SELECT source, n_tok,
+             ('0x' || substring(md5('mix:' || CAST(doc_id AS VARCHAR) ||
+               '#' || CAST(rep AS VARCHAR)), 1, 8))::UBIGINT::BIGINT
+               AS h32
+      FROM inst)
+    SELECT CAST(floor(h32 / 67108864.0) AS BIGINT) AS slice, source,
+           COUNT(*) AS n_inst, CAST(SUM(n_tok) AS BIGINT) AS tok_sum,
+           CAST(SUM(CAST(h32 AS DECIMAL(18,0))) AS DOUBLE) AS h_sum
+    FROM h GROUP BY 1, 2 ORDER BY slice, source"""
+
   def corpusMix(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val counts = d.groupBy("lang").agg(count(lit(1)).as("n_total"))
@@ -1651,6 +1766,8 @@ object Corpus {
     QueryDef("chunk_cdc", chunkCdc, Some(chunkCdcSql)),
     QueryDef("sample_temperature", sampleTemperature, Some(sampleTemperatureSql)),
     QueryDef("corpus_epochs", corpusEpochs, Some(corpusEpochsSql)),
+    QueryDef("pack_mixture", (s, d) => packMixture(s, d),
+      Some(packMixtureSql)),
     QueryDef("sample_importance", sampleImportance, Some(sampleImportanceSql)),
     QueryDef("sample_dsir", (s, d) => sampleDsir(s, d), Some(sampleDsirSql)),
     QueryDef("dedup_paragraphs", dedupParagraphs, Some(dedupParagraphsSql)),

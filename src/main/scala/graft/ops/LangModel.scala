@@ -226,7 +226,14 @@ object LangModel {
     val perDoc = dgc
       .select(col("doc_id"), col("lang"), col("g"),
         col("kc").cast("double").as("k"))
-      .join(Graph.routeState("text_langid_stat.profile", profV, nGrams),
+      // routeState's row bound was sized for ~16-byte packed (v, long)
+      // rows; a PIVOTED profile row carries the gram plus a dense
+      // |langs|-double vector (~8 B each), so route on the EFFECTIVE
+      // packed-row count nGrams·|langs| — a CJK-scale profile near the
+      // raw-gram bound would otherwise broadcast multiple GB into the
+      // driver OOM the route exists to prevent.
+      .join(Graph.routeState("text_langid_stat.profile", profV,
+          nGrams * math.max(1, langs.length).toLong),
         Seq("g"))
       .groupBy("doc_id", "lang")
       .agg(sums.head, sums.tail: _*)

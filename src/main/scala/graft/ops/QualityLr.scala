@@ -109,11 +109,23 @@ object QualityLr {
         .select(col("y"), p.as("p"), explode(col("xs")).as("e"))
         .groupBy(col("e.b").cast("long").as("b"))
         .agg(sum(floor((col("p") - col("y")) * col("e.k") * lit(1e6)
-          + lit(0.5)).cast("long")).as("g"))
+          + lit(0.5)).cast("long")).as("g"),
+          sum(col("e.k").cast("long")).as("kt"))
         .collect()
       if (keys == null) keys = g.map(_.getLong(0)).sorted
       g.foreach { r =>
         val b = r.getLong(0).toInt
+        // exactness envelope: each gradient term is bounded by k·10⁶,
+        // so the per-bucket LongType sum is exact only while
+        // Σk·10⁶ < 2⁶² — past ~4.6·10¹² tokens in one bucket the plain
+        // long accumulator could wrap SILENTLY (non-ANSI sum) while the
+        // oracle's HUGEINT keeps going. Fail loudly at the envelope
+        // (the dsum128 exactness-contract pattern); a corpus that big
+        // routes through a 128-bit accumulator instead.
+        require(r.getLong(2) <= (1L << 62) / 1000000L,
+          s"text_quality_lr: bucket $b token mass ${r.getLong(2)} " +
+            "exceeds the 2^62/1e6 long-gradient envelope — route the " +
+            "gradient through a 128-bit accumulator (qsum128)")
         w(b + 1) -= math.floor(Eta * r.getLong(1).toDouble / nDocs
           + 0.5).toLong
       }

@@ -57,12 +57,98 @@ class ChunkMixSpec extends SparkSpec {
       assert(e <= Corpus.EpochCap, s"${r.get(0)}: epochs $e over cap")
       assert(a <= (Corpus.EpochCap * n).toLong,
         s"${r.get(0)}: allocation exceeds cap*corpus")
-      assert((c == 1L) == (e == Corpus.EpochCap),
-        s"${r.get(0)}: capped flag inconsistent with epochs $e")
+      // `epochs` is ROUND(ideal/n_tok, 6) while `capped` compares the
+      // UNROUNDED ratio: an uncapped ratio in [cap − 5e-7, cap) rounds
+      // to exactly the cap with capped=0 — assert one-sided with a
+      // rounding-width tolerance instead of exact iff
+      if (c == 1L) assert(e == Corpus.EpochCap,
+        s"${r.get(0)}: capped flag set but epochs $e below cap")
+      else assert(e <= Corpus.EpochCap,
+        s"${r.get(0)}: uncapped epochs $e above cap")
+      if (e < Corpus.EpochCap - 1e-6) assert(c == 0L,
+        s"${r.get(0)}: capped flag set at epochs $e well below cap")
       assert(a >= 0L && r.getAs[Double]("share") > 0.0)
     }
     val shares = out.map(_.getAs[Double]("share")).sum
     assert(math.abs(shares - 1.0) < 1e-4, s"shares sum to $shares")
+  }
+
+  test("pack_mixture: brute-force twin, not front-loaded, pipeline step agrees") {
+    val out = Corpus.packMixture(spark, sfDir).collect()
+    assert(out.nonEmpty)
+
+    // ---- brute-force twin: replay the whole construction in plain
+    // Scala (identical IEEE ops) and compare EXACTLY — no tolerances
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docRows = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val srcTok = docRows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val wq = srcTok.view.mapValues(t =>
+      math.floor(math.sqrt(t.toDouble) * 1e6 + 0.5).toLong).toMap
+    val budget = srcTok.values.sum * 2L
+    val sumwq = wq.values.sum
+    val sched = srcTok.map { case (src, t) =>
+      val e = math.min(Corpus.EpochCap,
+        budget.toDouble * wq(src) / sumwq / t)
+      src -> (math.floor(e).toLong,
+        math.floor((e - math.floor(e)) * 1152921504606846976L.toDouble).toLong)
+    }
+    val expected = scala.collection.mutable.Map
+      .empty[(Long, String), (Long, Long, Double)]
+    docRows.foreach { case (src, id, nt) =>
+      val (full, thr) = sched(src)
+      val h60 = java.lang.Long.parseLong(md5hex(s"mixk:$id").take(15), 16)
+      val reps = full + (if (h60 < thr) 1L else 0L)
+      (0L until reps).foreach { rep =>
+        val h32 = java.lang.Long.parseLong(
+          md5hex(s"mix:$id#$rep").take(8), 16)
+        val k = (h32 / 67108864L, src)
+        val (a, b, c) = expected.getOrElse(k, (0L, 0L, 0.0))
+        expected(k) = (a + 1L, b + nt, c + h32.toDouble)
+      }
+    }
+    assert(out.length == expected.size,
+      s"group count ${out.length} vs twin ${expected.size}")
+    out.foreach { r =>
+      val k = (r.getAs[Long]("slice"), r.getAs[String]("source"))
+      val (ni, ts, hs) = expected(k)
+      assert(r.getAs[Long]("n_inst") == ni, s"$k: n_inst")
+      assert(r.getAs[Long]("tok_sum") == ts, s"$k: tok_sum")
+      assert(r.getAs[Double]("h_sum") == hs, s"$k: h_sum")
+    }
+
+    // ---- uniform ALONG the run: no source front-loads its instances
+    // into the early slices (first-half mass within 5σ multinomial
+    // tolerance of half — the property the hash-position interleave
+    // exists to provide)
+    out.groupBy(_.getAs[String]("source")).foreach { case (src, rows) =>
+      val tot = rows.map(_.getAs[Long]("n_inst")).sum.toDouble
+      val firstHalf = rows.filter(_.getAs[Long]("slice") < 32)
+        .map(_.getAs[Long]("n_inst")).sum.toDouble
+      assert(math.abs(firstHalf - tot / 2) <=
+        5 * math.sqrt(tot * 0.25) + 1,
+        s"$src: front-loaded (first half $firstHalf of $tot)")
+    }
+
+    // ---- the fluent chain step materializes the SAME instance set
+    val viaPipeline = graft.api.CorpusPipeline(
+        graft.Tables.load(spark, sfDir, "documents"))
+      .packMixture().df
+      .groupBy("slice", "source").agg(count(lit(1)).as("n_inst"))
+      .collect()
+      .map(r => (r.getAs[Long]("slice"), r.getAs[String]("source")) ->
+        r.getAs[Long]("n_inst")).toMap
+    assert(viaPipeline.size == out.length)
+    out.foreach { r =>
+      val k = (r.getAs[Long]("slice"), r.getAs[String]("source"))
+      assert(viaPipeline(k) == r.getAs[Long]("n_inst"),
+        s"pipeline step disagrees at $k")
+    }
   }
 
   test("corpus_mix: smallest stratum kept whole, others downsampled to it") {
