@@ -75,7 +75,11 @@ object GeoQueries {
     val st = broadcast(Derive.sites(s, dir)
       .select((col("id") % 3 + 2019).as("year"),
         col("x").as("fx"), col("y").as("fy")))
-    Derive.points(s, dir).join(st)
+    // fanout FIRST: the points scan of a small parquet arrives as ONE
+    // partition, and without it the broadcast pair explosion + partial
+    // aggregate run on a single task — invisible at sf0.1 (1.8 CPU-s)
+    // but 88 s wall ≈ 95 s CPU at the 10× scale bench (round-16 find)
+    Tables.fanout(Derive.points(s, dir)).join(st)
       .groupBy("id", "year")
       .agg(min(Geo.dist(col("x"), col("y"), col("fx"), col("fy")))
         .as("distance"))

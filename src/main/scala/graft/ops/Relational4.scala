@@ -116,9 +116,18 @@ object Relational4 {
     * order contributes at most one row, so numwait is a plain count. */
   def q21(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.load(s, dir, "orders").select("o_orderkey", "o_orderdate")
+    // SHUFFLE_HASH, build=orders: ONE l_orderkey exchange per side that
+    // BOTH downstream aggregation levels then reuse (an l_orderkey hash
+    // partitioning satisfies groupBy(l_orderkey, l_suppkey) and
+    // groupBy(l_orderkey) alike — zero further full-data exchanges).
+    // The default route paid broadcast at sf0.1 but flipped to
+    // sort-merge past the 10 MB orders estimate at the 10× scale bench:
+    // two sorted exchanges for the join PLUS the (okey, skey) and
+    // (okey) aggregate exchanges — four full-data shuffles vs this
+    // plan's two, and no sort at all.
     val l = Tables.load(s, dir, "lineitem")
       .select("l_orderkey", "l_suppkey", "l_shipdate")
-      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(o.hint("SHUFFLE_HASH"), col("l_orderkey") === col("o_orderkey"))
       .withColumn("late",
         col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
     // two-level, Expand-free: per (order, supplier) fold the line rows

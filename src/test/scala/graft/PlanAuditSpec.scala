@@ -491,6 +491,57 @@ class PlanAuditSpec extends SparkSpec {
         "the corpus per output column")
   }
 
+  test("round-16 operators keep their scale shapes") {
+    import org.apache.spark.sql.execution.joins.{SortMergeJoinExec, ShuffledHashJoinExec}
+    // q21_sole_late: SHUFFLE_HASH join whose l_orderkey exchange is
+    // REUSED by both aggregation levels — exactly 2 full-data hash
+    // exchanges (one per scan side) + the tiny final per-supplier one,
+    // and no sort-merge join (the 10× regression shape: SMJ + two more
+    // aggregate exchanges)
+    val q21 = collectAll(initialPlan("q21_sole_late"))
+    assert(q21.exists(_.isInstanceOf[ShuffledHashJoinExec]),
+      "q21: the orders join must be a shuffled hash join")
+    assert(!q21.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "q21: a sort-merge join appeared")
+    val q21ex = q21.collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.toString.contains("hashpartitioning") => e
+    }
+    assert(q21ex.length == 3,
+      s"q21: ${q21ex.length} hash exchanges — the aggregation levels " +
+        "must reuse the join's l_orderkey partitioning")
+
+    // geo_nearest_year: the points side must fan out BEFORE the pair
+    // explosion (the 10× scale bench caught it running on ONE task:
+    // 88 s wall ≈ 95 s CPU) — a round-robin exchange under the join
+    val ny = collectAll(initialPlan("geo_nearest_year"))
+    val nyJoin = ny.find(p => p.nodeName.contains("Join")).get
+    assert(collectAll(nyJoin).exists {
+      case e: ShuffleExchangeExec =>
+        e.outputPartitioning.toString.contains("RoundRobinPartitioning")
+      case _ => false
+    }, "geo_nearest_year: points must fan out below the pair join")
+
+    // pack_mixture: ONE map-side-combined hash aggregate over the
+    // instance explode — partial agg under the single exchange, no
+    // window, no sort-merge join anywhere
+    val pm = collectAll(initialPlan("pack_mixture"))
+    assert(!pm.exists(_.isInstanceOf[SortMergeJoinExec]) &&
+      !pm.exists(_.nodeName.contains("Window")),
+      "pack_mixture: schedule must broadcast and slices must aggregate")
+    val pmEx = pm.collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.toString.contains("hashpartitioning") => e
+    }
+    // exactly 2: the per-source schedule rollup (to |sources| rows)
+    // and the (slice, source) audit aggregate — both map-side combined
+    assert(pmEx.length == 2 &&
+      pmEx.forall(e =>
+        collectAll(e.child).exists(_.nodeName.contains("HashAggregate"))),
+      s"pack_mixture: ${pmEx.length} hash exchanges — the schedule " +
+        "rollup and the audit aggregate, nothing else")
+  }
+
   /** Keys whose query BUILD runs driver-coordinated rounds (iterative
     * label propagation, guarded counts, pivot-column discovery) and is
     * therefore too expensive for the lazy cartesian sweep. ONE list,
