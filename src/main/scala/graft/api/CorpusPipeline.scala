@@ -128,6 +128,15 @@ final case class CorpusPipeline(df: DataFrame) {
       .filter(packed =!= col("cp"))
       .select(col("doc_id"), col("pos"),
         (col("pos") + lit(w - 1)).as("cend"))
+    excise(removed)
+  }
+
+  /** Shared span surgery: rebuild `text` with every token covered by
+    * a `removed` (doc_id, pos, cend) hit window excised. Docs without
+    * hits never pay the explode/rebuild (left_semi prefilter) — at
+    * scale the rebuild cost tracks the true duplication/contamination
+    * volume, not the corpus size. */
+  private def excise(removed: DataFrame): CorpusPipeline = {
     val cov = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val rebuilt = df
@@ -146,6 +155,24 @@ final case class CorpusPipeline(df: DataFrame) {
     CorpusPipeline(df.join(rebuilt, Seq("doc_id"), "left")
       .withColumn("text", coalesce(col("_rebuilt"), col("text")))
       .drop("_rebuilt"))
+  }
+
+  /** Substring-grain benchmark decontamination — the surgery
+    * `text_decontam_span` certifies, as a chain step: excise every
+    * token covered by a ≥ w-token verbatim overlap with `bench` (a
+    * (doc_id, text) benchmark frame), keep the rest of the document.
+    * The benchmark window set is tiny by nature and broadcasts; the
+    * corpus window stream pays a map-side semi-join and never
+    * shuffles. */
+  def decontamSpan(bench: DataFrame, w: Int = 25): CorpusPipeline = {
+    graft.GraftFunctions.register(df.sparkSession)
+    val bw = graft.ops.Corpus.substringWindows(bench, w)
+      .select("h1", "h2").distinct()
+    val hits = graft.ops.Corpus.substringWindows(df, w)
+      .join(broadcast(bw), Seq("h1", "h2"))
+      .select(col("doc_id"), col("pos"),
+        (col("pos") + lit(w - 1)).as("cend"))
+    excise(hits)
   }
 
   /** Exact dedup keeping the smallest doc_id per identical text —

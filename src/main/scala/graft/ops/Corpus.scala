@@ -421,6 +421,70 @@ object Corpus {
            CAST(SUM(CAST(h32 AS DECIMAL(18,0))) AS DOUBLE) AS h_sum
     FROM h GROUP BY 1, 2 ORDER BY slice, source"""
 
+  /** Quality-ascending CURRICULUM schedule (pack_curriculum) — the
+    * ordering companion to [[packMixture]]: where pack_mixture makes
+    * every source uniform along the run, a curriculum deliberately
+    * orders the run so training ENDS on the highest-quality data (the
+    * FineWeb-Edu / OLMo-2 midtraining-anneal recipe). Stage = the
+    * document's quality band — distinct-token ratio (the Gopher-style
+    * diversity signal sample_importance weights by) cut into 8 STATIC
+    * fractional bands, ascending along the run; within a stage every
+    * doc is hash-positioned (md5 h32), so each stage is internally
+    * order-free and source-uniform (no source front-loads within its
+    * band — the pack_mixture property, per stage).
+    *
+    * Banding is floor(r·8) with r = distinct/total: r is a correctly
+    * rounded rational in both engines and ·8 is an exponent shift
+    * (EXACT in IEEE), so the band is bit-deterministic cross-engine —
+    * no .5-boundary exposure. The exact-quantile alternative
+    * (ntile over a global sort) needs a range partition of the whole
+    * corpus; static bands are shuffle-free and cluster-size
+    * independent, the corpus_mix/sample_* determinism contract.
+    *
+    * Output: the per-(stage, source) audit table — doc count, token
+    * mass, the summed 1e6-quantized quality (certifying the ascent is
+    * monotone in stage), and the order-free h_sum position-set hash
+    * (the set under (stage, h32) total order IS the physical order).
+    * Scale shape: ONE corpus scan, ONE map-side-combined hash
+    * aggregate to ≤ 8·|sources| rows; the 100 TB write is
+    * partitionBy(stage) + sortWithinPartitions(h32). */
+  def packCurriculum(s: SparkSession, dir: String,
+                     stages: Int = 8): DataFrame = {
+    val d = docs(s, dir)
+    val r = size(array_distinct(toks)).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+    val h32 = expr("""CAST(conv(substring(md5(concat('cur:',
+      CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)""")
+    d.select(col("source"), col("n_tok"),
+        least(lit(stages - 1), floor(r * stages).cast("int")).as("stage"),
+        floor(r * lit(1e6) + lit(0.5)).cast("long").as("q6"),
+        h32.as("h32"))
+      .groupBy("stage", "source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_sum"),
+        sum(col("q6")).as("q_sum"),
+        QueryDef.dsum(col("h32"), 0).as("h_sum"))
+      .orderBy("stage", "source")
+  }
+
+  val packCurriculumSql: String = """
+    WITH c AS (
+      SELECT source, doc_id,
+             string_split(text, ' ') AS t FROM documents),
+    s AS (
+      SELECT source, doc_id,
+             CAST(len(t) AS BIGINT) AS n_tok,
+             CAST(len(list_distinct(t)) AS DOUBLE) /
+               GREATEST(len(t), 1) AS r,
+             ('0x' || substring(md5('cur:' || CAST(doc_id AS VARCHAR)),
+               1, 8))::UBIGINT::BIGINT AS h32
+      FROM c)
+    SELECT CAST(LEAST(7, floor(r * 8)) AS INTEGER) AS stage, source,
+           COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tok_sum,
+           CAST(SUM(CAST(floor(r * 1000000.0 + 0.5) AS BIGINT))
+             AS BIGINT) AS q_sum,
+           CAST(SUM(CAST(h32 AS DECIMAL(18,0))) AS DOUBLE) AS h_sum
+    FROM s GROUP BY 1, 2 ORDER BY stage, source"""
+
   def corpusMix(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val counts = d.groupBy("lang").agg(count(lit(1)).as("n_total"))
@@ -540,6 +604,161 @@ object Corpus {
            COALESCE(o.n_overlap > 0, false) AS contaminated
     FROM documents d LEFT JOIN o USING (doc_id)
     WHERE d.doc_id % 31 <> 0 ORDER BY d.doc_id"""
+
+  /** SESSION-FROZEN ARTIFACT (the incIndex / bm25Stats pattern): the
+    * benchmark side's DISTINCT window-hash set for
+    * [[textDecontamSpan]] — the "eval-set index" of the
+    * decontamination scenario. At 100 TB the benchmark suite is fixed
+    * and tiny (eval sets are KB-MB by nature); its window index is
+    * built once and every corpus snapshot screens against it, so the
+    * per-run cost is the corpus scan alone. */
+  private val benchWinMemo =
+    new graft.FrozenMemo[(SparkSession, String, Int), DataFrame]()
+  private def benchWindows(s: SparkSession, dir: String,
+                           w: Int): DataFrame =
+    benchWinMemo.getOrBuild((s, dir, w), s) {
+      Tables.hotPinned(
+        substringWindows(docs(s, dir).filter(col("doc_id") % 31 === 0), w)
+          .select("h1", "h2").distinct())
+    }
+
+  /** Substring-grain benchmark decontamination — the span-removal
+    * standard (GPT-3 appendix C / Lee et al. 2021 applied to the
+    * test-leak screen) that [[textDecontam]]'s 5-gram FLAG
+    * under-serves: instead of discarding a whole document for one
+    * shared 5-gram, remove exactly the tokens covered by a ≥ w-token
+    * verbatim overlap with the benchmark set and keep the rest. Every
+    * w-token window of every corpus document is keyed at stride 1
+    * (any shared run of ≥ w tokens is caught at every alignment);
+    * a token is contaminated iff ANY matching window covers it
+    * (overlapping hits merge into spans via the running-max
+    * coverage); documents rebuild from surviving tokens, certified
+    * byte-exact by md5 against the oracle's string-content replay.
+    * Benchmark = the deterministic held-out slice (doc_id % 31 = 0),
+    * the same split textDecontam screens — the two operators are the
+    * flag/surgery pair over one scenario.
+    *
+    * Scale shape: the `rolling_hash_windows` native expression rolls
+    * two independent 64-bit polynomial hashes per window — O(n) per
+    * document, no w× window-string materialization (dedup_substrings
+    * Scaladoc). The benchmark index is a session-frozen BROADCAST set
+    * (benchmarks are small by nature), so the corpus window stream
+    * pays a map-side semi-join and NEVER shuffles — unlike
+    * dedup_substrings there is no global first-occurrence aggregate;
+    * the only full-data exchange is the per-doc coverage window, and
+    * hit rows (the only join output) are bounded by the true
+    * contamination volume. */
+  /** Shared span-surgery report: per-document (n_tok, covered-token
+    * count, rebuilt md5) from a (doc_id, pos) table of w-token hit
+    * windows. Hit START positions fold to one sorted array per
+    * document — the ONLY shuffled rows are the hits themselves
+    * (bounded by the true duplication/contamination volume), and
+    * coverage merge + rebuild then run PER DOCUMENT as two O(n + h)
+    * folds over (toks, starts): the cdc_chunks rule (work that never
+    * leaves its document never leaves its row) — no token explode, no
+    * per-token join, no coverage window, zero full-data exchange. */
+  private[graft] def spanFoldReport(corpusDf: DataFrame, hits: DataFrame,
+                                    w: Int, cntName: String): DataFrame = {
+    val hitsByDoc = hits.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("starts"))
+    // bind the token array to a MATERIALIZED column when the caller
+    // carries one (docToks does): the fold lambdas are interpreted,
+    // and an inline split(text) expression would re-split per lambda
+    // step after CollapseProject inlines it (the PCA hoist lesson —
+    // O(n·h) re-splits on a boilerplate-heavy doc). Constructed spec
+    // frames fall back to the expression at toy scale.
+    val base =
+      if (corpusDf.columns.contains("toks"))
+        corpusDf.select(col("doc_id"), col("text"), col("toks"))
+      else corpusDf.select(col("doc_id"), col("text"), toks.as("toks"))
+    val tk = col("toks")
+    val n = size(tk)
+    val wl = lit(w)
+    // newly covered tokens of interval [s, s+w−1] given the running
+    // max covered end e: ascending starts make e the only state
+    val covered = aggregate(col("starts"),
+      struct(lit(-1).as("e"), lit(0).as("c")),
+      (a, s) => struct(
+        greatest(a.getField("e"), s + wl - 1).as("e"),
+        (a.getField("c") + greatest(lit(0),
+          least(s + wl - 1, n - 1) - greatest(s, a.getField("e") + 1)
+            + 1)).as("c")),
+      a => a.getField("c"))
+    // rebuild: slice out each gap between merged intervals (plus the
+    // tail), join gaps with single spaces — O(n) copied tokens, h
+    // interpreted lambda steps (h = hits in THIS doc, typically tiny)
+    val rebuilt = aggregate(col("starts"),
+      struct(lit(0).as("nxt"), array().cast("array<string>").as("ps")),
+      (a, s) => struct(
+        greatest(a.getField("nxt"), s + wl).as("nxt"),
+        when(s > a.getField("nxt"),
+          concat(a.getField("ps"), array(array_join(
+            slice(tk, a.getField("nxt") + 1, s - a.getField("nxt")),
+            " "))))
+          .otherwise(a.getField("ps")).as("ps")),
+      a => concat_ws(" ",
+        when(n > a.getField("nxt"),
+          concat(a.getField("ps"), array(array_join(
+            slice(tk, a.getField("nxt") + 1, n - a.getField("nxt")),
+            " "))))
+          .otherwise(a.getField("ps"))))
+    // clean docs (the overwhelming majority) take the lazy CASE fast
+    // path: split+rejoin is byte-faithful, so rebuilt_md5 = md5(text)
+    base.join(hitsByDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), n.cast("bigint").as("n_tok"),
+        when(col("starts").isNull, lit(0L))
+          .otherwise(covered.cast("bigint")).as(cntName),
+        when(col("starts").isNull, md5(col("text")))
+          .otherwise(md5(rebuilt)).as("rebuilt_md5"))
+      .orderBy("doc_id")
+  }
+
+  private[graft] def decontamSpanCore(benchWins: DataFrame,
+                                      corpusDf: DataFrame,
+                                      w: Int): DataFrame = {
+    val hits = substringWindows(corpusDf, w)
+      .join(broadcast(benchWins), Seq("h1", "h2"))
+      .select(col("doc_id"), col("pos"))
+    spanFoldReport(corpusDf, hits, w, "n_contam")
+  }
+
+  def textDecontamSpan(s: SparkSession, dir: String,
+                       w: Int = 25): DataFrame = {
+    graft.GraftFunctions.register(s)
+    decontamSpanCore(benchWindows(s, dir, w),
+      docs(s, dir).filter(col("doc_id") % 31 =!= 0), w)
+  }
+
+  val textDecontamSpanSql: String = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    w AS (
+      SELECT doc_id, pos, array_to_string(t[pos + 1 : pos + 25], ' ') AS c
+      FROM (SELECT doc_id, t,
+              unnest(generate_series(0, len(t) - 25)) AS pos
+            FROM toks)),
+    b AS (SELECT DISTINCT c FROM w WHERE doc_id % 31 = 0),
+    hits AS (
+      SELECT w.doc_id, w.pos, w.pos + 24 AS cend
+      FROM w JOIN b USING (c) WHERE w.doc_id % 31 <> 0),
+    tok AS (
+      SELECT doc_id, pos, t[pos + 1] AS tk
+      FROM (SELECT doc_id, t,
+              unnest(generate_series(0, len(t) - 1)) AS pos
+            FROM toks)
+      WHERE doc_id % 31 <> 0),
+    cv AS (
+      SELECT tok.doc_id, tok.pos, tok.tk,
+             MAX(h.cend) OVER (PARTITION BY tok.doc_id ORDER BY tok.pos
+                               ROWS UNBOUNDED PRECEDING) AS cov
+      FROM tok LEFT JOIN hits h
+        ON tok.doc_id = h.doc_id AND tok.pos = h.pos)
+    SELECT doc_id, COUNT(*) AS n_tok,
+           CAST(SUM(CASE WHEN cov IS NOT NULL AND cov >= pos
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_contam,
+           COALESCE(md5(string_agg(
+             CASE WHEN cov IS NULL OR cov < pos THEN tk END, ' '
+             ORDER BY pos)), md5('')) AS rebuilt_md5
+    FROM cv GROUP BY doc_id ORDER BY doc_id"""
 
   /** Per-document repetition signals (the Gopher-style quality
     * filters: repetitious documents are low-value training data):
@@ -1410,8 +1629,11 @@ object Corpus {
     * skew, e.g. a license header duplicated 10^9 times, where a
     * per-key window sort would concentrate the key in one task); the
     * verdict join is an 8+8-byte-key hash join AQE can skew-split.
-    * Coverage, span merge, and rebuild are ONE per-doc sort window +
-    * one per-doc aggregate. Reference anchor: the grain the reference's
+    * Coverage, span merge, and rebuild run PER DOCUMENT as two
+    * O(n + h) folds over (toks, sorted hit starts) — see
+    * [[spanFoldReport]]: only the non-canonical window positions ever
+    * shuffle, the token stream itself never leaves its scan task.
+    * Reference anchor: the grain the reference's
     * duplicate-filter rows imply, generalized to the published
     * exact-substring standard.
     */
@@ -1439,23 +1661,12 @@ object Corpus {
     val canon = wins.groupBy("h1", "h2").agg(min(packed).as("cp"))
     val removed = wins.join(canon, Seq("h1", "h2"))
       .filter(packed =!= col("cp"))
-      .select(col("doc_id"), col("pos"),
-        (col("pos") + lit(w - 1)).as("cend"))
-    val cov = Window.partitionBy("doc_id").orderBy("pos")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docsDf.select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
-      .join(removed, Seq("doc_id", "pos"), "left")
-      .withColumn("cov", max(col("cend")).over(cov))
-      .withColumn("dropped",
-        col("cov").isNotNull && col("cov") >= col("pos"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tok"),
-        sum(when(col("dropped"), 1L).otherwise(0L)).as("n_dropped"),
-        md5(concat_ws(" ",
-          transform(array_sort(collect_list(when(!col("dropped"),
-            struct(col("pos"), col("tok"))))),
-            x => x.getField("tok")))).as("rebuilt_md5"))
-      .orderBy("doc_id")
+      .select(col("doc_id"), col("pos"))
+    // round 16: the coverage tail moved from posexplode + per-token
+    // left join + running-max window (three full-data exchanges of
+    // the token stream) to the shared per-doc fold — only the
+    // non-canonical window positions shuffle
+    spanFoldReport(docsDf, removed, w, "n_dropped")
   }
 
   def dedupSubstrings(s: SparkSession, dir: String): DataFrame = {
@@ -1766,6 +1977,8 @@ object Corpus {
     QueryDef("chunk_cdc", chunkCdc, Some(chunkCdcSql)),
     QueryDef("sample_temperature", sampleTemperature, Some(sampleTemperatureSql)),
     QueryDef("corpus_epochs", corpusEpochs, Some(corpusEpochsSql)),
+    QueryDef("pack_curriculum", (s, d) => packCurriculum(s, d),
+      Some(packCurriculumSql)),
     QueryDef("pack_mixture", (s, d) => packMixture(s, d),
       Some(packMixtureSql)),
     QueryDef("sample_importance", sampleImportance, Some(sampleImportanceSql)),
@@ -1795,6 +2008,8 @@ object Corpus {
     QueryDef("corpus_mix", corpusMix, Some(corpusMixSql)),
     QueryDef("text_tfidf", (s, d) => textTfidf(s, d), Some(textTfidfSql)),
     QueryDef("text_decontam", (s, d) => textDecontam(s, d), Some(textDecontamSql)),
+    QueryDef("text_decontam_span", (s, d) => textDecontamSpan(s, d),
+      Some(textDecontamSpanSql)),
     QueryDef("text_repetition", textRepetition, Some(textRepetitionSql)),
     QueryDef("corpus_pipeline", pipelineE2e, Some(pipelineE2eSql)))
 }

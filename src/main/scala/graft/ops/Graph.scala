@@ -599,6 +599,78 @@ object Graph {
     FROM it5, n ORDER BY part"""
   }
 
+  /** Synchronous label-propagation COMMUNITIES over the co-purchase
+    * graph (4 fixed rounds) — the community-detection member of the
+    * structural family (product clusters, spam cliques) between
+    * dedup_cluster's connected components (pure reachability) and
+    * graph_pagerank's continuous scores: each round every vertex
+    * adopts the most frequent label among its neighbors, ties to the
+    * SMALLEST label — the Raghavan et al. 2007 rule made
+    * deterministic. Synchronous sweeps with a fixed round count are
+    * the cluster-friendly variant (no sequential visit order to
+    * replay), and both engines unroll the identical 4 rounds, so the
+    * gate certifies every intermediate labeling bit-exactly.
+    *
+    * Scale shape: reuses the session-frozen route-keyed adjacency
+    * (prIndex — the pagerank artifact; a production graph store
+    * maintains ONE adjacency) and the size-adaptive state routing.
+    * Per round: one state join (map-side under the broadcast bound;
+    * past it the state arrives hash-partitioned on the vertex key
+    * from its own aggregate, the pre-partitioned edges never move)
+    * + TWO map-side-combined hash aggregates — neighbor-label counts
+    * fold per (dst, label) partial before the exchange, then the
+    * argmax rides ONE packed-long max (cnt·2³² + (2³²−1−label): max
+    * picks highest count, then lowest label — the bit-pack that keeps
+    * the aggregate a HashAggregate where a struct max regresses to
+    * SortAggregate). Labels are guarded < 2³² loudly; counts are
+    * bounded by the shared adjacency's hub guard. */
+  def labelPropagation(s: SparkSession, dir: String): DataFrame = {
+    val (degT, nVerts, adj) = prIndex(s, dir)
+    val labGuard = expr("""CASE WHEN v >= 0 AND v < 4294967296 THEN v
+      ELSE raise_error(concat('graph_communities: label ',
+        CAST(v AS STRING), ' unpackable')) END""")
+    var st = Tables.hot(degT.select(col("v"), labGuard.as("lab")))
+    for (_ <- 1 to 4) {
+      val m = adj
+        .join(routeState("graph_communities.state", st, nVerts),
+          col("src") === col("v"))
+        .groupBy(col("dst"), col("lab"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("dst"),
+          (col("cnt") * lit(4294967296L) +
+            (lit(4294967295L) - col("lab"))).as("m"))
+      st = m.groupBy(col("dst").as("v"))
+        .agg((lit(4294967295L) - max(col("m")) % lit(4294967296L))
+          .as("lab"))
+    }
+    st.groupBy(col("lab").as("community"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy("community")
+  }
+
+  val labelPropagationSql: String = {
+    // unrolled rounds: each references the previous once but dirE
+    // every round — all MATERIALIZED (the pagerank CTE rule)
+    def iter(k: Int): String = s"""
+    lp$k AS MATERIALIZED (
+      SELECT v, CAST(4294967295 - (MAX(m) % 4294967296) AS BIGINT) AS lab
+      FROM (SELECT e.dst AS v,
+              COUNT(*) * 4294967296 + (4294967295 - p.lab) AS m
+            FROM dirE e JOIN lp${k - 1} p ON e.src = p.v
+            GROUP BY e.dst, p.lab)
+      GROUP BY v)"""
+    s"""
+    WITH $coEdgesSql,
+    dirE AS MATERIALIZED (
+      SELECT a AS src, b AS dst FROM pairs
+      UNION ALL SELECT b, a FROM pairs),
+    lp0 AS MATERIALIZED (
+      SELECT DISTINCT src AS v, src AS lab FROM dirE),
+    ${(1 to 4).map(iter).mkString(",")}
+    SELECT lab AS community, COUNT(*) AS n_members
+    FROM lp4 GROUP BY lab ORDER BY community"""
+  }
+
   /** Edge EMBEDDEDNESS distribution — per edge the fraction of its
     * endpoints' other neighbors that are shared, |N(u)∩N(v)| /
     * (|N(u)|+|N(v)|−2−|N(u)∩N(v)|) — the tie-strength signal crawl
@@ -910,6 +982,8 @@ object Graph {
     QueryDef("q_transitive", transitiveDepth, Some(transitiveDepthSql)),
     QueryDef("graph_triangles", triangleCounts, Some(triangleCountsSql)),
     QueryDef("graph_pagerank", pageRank, Some(pageRankSql)),
+    QueryDef("graph_communities", labelPropagation,
+      Some(labelPropagationSql)),
     QueryDef("graph_edge_overlap", edgeOverlap, Some(edgeOverlapSql)),
     QueryDef("q_basket_lift", basketLift, Some(basketLiftSql)))
 }

@@ -361,9 +361,15 @@ class PlanAuditSpec extends SparkSpec {
       "dedup_substrings: native rolling-hash keying missing")
     assert(!hasExpr(dw, e => e.prettyName == "slice"),
       "dedup_substrings: window strings are being materialized")
+    // round 16: the coverage tail is the per-doc fold — no window,
+    // no token posexplode (the only Generate in the final plan would
+    // be window keying, which sits behind the checkpoint)
     val dsAll = collectAll(initialPlan("dedup_substrings"))
-    assert(dsAll.count(_.nodeName.contains("Window")) == 1,
-      "dedup_substrings: one coverage window expected")
+    assert(dsAll.count(_.nodeName.contains("Window")) == 0,
+      "dedup_substrings: the coverage window is back — the per-doc " +
+        "fold shape is gone")
+    assert(!dsAll.exists(_.nodeName.contains("Generate")),
+      "dedup_substrings: a token explode appeared in the final plan")
     // pack_sequences: the sequential FFD runs INSIDE one expression
     // per (source, bucket) group — no per-item plan loop, no window
     val psAll = collectAll(initialPlan("pack_sequences"))
@@ -540,6 +546,55 @@ class PlanAuditSpec extends SparkSpec {
         collectAll(e.child).exists(_.nodeName.contains("HashAggregate"))),
       s"pack_mixture: ${pmEx.length} hash exchanges — the schedule " +
         "rollup and the audit aggregate, nothing else")
+  }
+
+  test("round-16 additions keep their scale shapes") {
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.execution.aggregate.SortAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    // text_decontam_span: per-doc fold shape — the corpus window
+    // stream joins the broadcast benchmark set map-side and only hit
+    // rows shuffle; NO coverage window, NO token explode (exactly one
+    // Generate: the rolling-hash window explode; the frozen benchmark
+    // index subtree sits behind its checkpoint)
+    val ds = collectAll(initialPlan("text_decontam_span"))
+    assert(!ds.exists(_.isInstanceOf[WindowExec]),
+      "decontam_span: a coverage window appeared — the per-doc fold " +
+        "shape is gone")
+    assert(ds.count(_.nodeName.contains("Generate")) == 1,
+      "decontam_span: expected exactly the rolling-hash Generate " +
+        "(a second one means the token posexplode is back)")
+    assert(ds.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "decontam_span: the benchmark window set must broadcast")
+
+    // pack_curriculum: one scan, ONE map-side-combined hash aggregate
+    // to <= 8*|sources| rows — no explode, no window, no join
+    val pc = collectAll(initialPlan("pack_curriculum"))
+    assert(!pc.exists(p => p.nodeName.contains("Generate") ||
+      p.isInstanceOf[WindowExec] || p.nodeName.contains("Join")),
+      "pack_curriculum: must be a pure scan + aggregate")
+    val pcEx = pc.collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.toString.contains("hashpartitioning") => e
+    }
+    assert(pcEx.length == 1 &&
+      collectAll(pcEx.head.child).exists(_.nodeName.contains("HashAggregate")),
+      s"pack_curriculum: ${pcEx.length} hash exchanges — one map-side-" +
+        "combined aggregate, nothing else")
+
+    // graph_communities: the packed-long argmax must stay a
+    // HashAggregate everywhere (a struct max would regress every
+    // round to SortAggregate), and the broadcast state route holds at
+    // this scale (no sort-merge join)
+    val gc = collectAll(initialPlan("graph_communities"))
+    assert(!gc.exists(_.isInstanceOf[SortAggregateExec]),
+      "graph_communities: a SortAggregate appeared — the packed-long " +
+        "argmax lost its hash path")
+    assert(!gc.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "graph_communities: state join regressed to sort-merge")
+    assert(gc.count(_.isInstanceOf[BroadcastHashJoinExec]) >= 4,
+      "graph_communities: each round's state join must broadcast " +
+        "under the routeState bound")
   }
 
   /** Keys whose query BUILD runs driver-coordinated rounds (iterative

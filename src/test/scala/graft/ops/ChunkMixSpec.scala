@@ -167,4 +167,35 @@ class ChunkMixSpec extends SparkSpec {
         s"${r.getString(0)}: kept $nKept of $nTotal at rate $rate")
     }
   }
+
+  test("pack_curriculum: exact partition, bands tight, quality " +
+    "ascends along the run") {
+    val out = Corpus.packCurriculum(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val d = graft.Tables.load(spark, sfDir, "documents")
+      .select(size(split(col("text"), " ")).as("n")).collect()
+    // every document lands in exactly one (stage, source) cell
+    assert(out.map(_.getAs[Long]("n_docs")).sum === d.length.toLong)
+    assert(out.map(_.getAs[Long]("tok_sum")).sum ===
+      d.map(_.getAs[Int]("n").toLong).sum)
+    // per-stage mean quality sits inside the stage's fractional band
+    // (q6 rounds at 1e-6 — tolerance covers the half-step) and is
+    // strictly ascending across non-empty stages: the curriculum ends
+    // on the highest-quality data
+    val byStage = out.groupBy(_.getAs[Int]("stage")).toSeq.sortBy(_._1)
+    val means = byStage.map { case (st, rows) =>
+      val nd = rows.map(_.getAs[Long]("n_docs")).sum
+      val mean = rows.map(_.getAs[Long]("q_sum")).sum.toDouble / nd / 1e6
+      assert(mean >= st / 8.0 - 1e-6 && mean <= (st + 1) / 8.0 + 1e-6,
+        s"stage $st: mean quality $mean outside its band")
+      mean
+    }
+    assert(means == means.sorted && means.distinct.size == means.size,
+      s"stage means not strictly ascending: $means")
+    // deterministic: a second run reproduces the audit bit-exactly
+    // (pure md5 position hashes — no RNG state)
+    val again = Corpus.packCurriculum(spark, sfDir).collect()
+    assert(out.map(_.toString).sorted.toSeq ===
+      again.map(_.toString).sorted.toSeq)
+  }
 }

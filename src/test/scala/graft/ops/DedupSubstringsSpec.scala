@@ -122,4 +122,96 @@ class DedupSubstringsSpec extends SparkSpec {
     assert(out(0L)._2 == 0L)
     assert(out(1L) == ((12L, 10L, md5Of(Seq("v0", "v1").mkString(" ")))))
   }
+
+  // ---- text_decontam_span (the benchmark-vs-corpus variant) ----------
+
+  private def runSpan(bench: Seq[(Long, String)],
+                      corpus: Seq[(Long, String)], w: Int) = {
+    val bw = Corpus.substringWindows(bench.toDF("doc_id", "text"), w)
+      .select("h1", "h2").distinct()
+    Corpus.decontamSpanCore(bw, corpus.toDF("doc_id", "text"), w)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+  }
+
+  test("decontam span: a >= w-token benchmark overlap is excised " +
+    "surgically; a (w-1)-token overlap is untouched") {
+    val w = 25
+    val bench = (0 until 40).map(i => s"x$i")
+    // corpus doc 0: 5 unique + bench tokens x5..x34 (a 30-token shared
+    // run) + 5 unique. Hit windows start at corpus pos 5..10 (each
+    // must lie fully inside the run), coverage merges to pos 5..34.
+    val c0 = (0 until 5).map(i => s"u$i") ++ bench.slice(5, 35) ++
+      (0 until 5).map(i => s"v$i")
+    // corpus doc 1: shares only 24 consecutive tokens — no 25-window
+    // fits inside the overlap, so span-grain finds NOTHING (while
+    // 5-gram flag decontam would discard the whole doc)
+    val c1 = (0 until 6).map(i => s"w$i") ++ bench.slice(0, 24) ++
+      (0 until 6).map(i => s"y$i")
+    val out = runSpan(Seq(9000L -> bench.mkString(" ")),
+      Seq(0L -> c0.mkString(" "), 1L -> c1.mkString(" ")), w)
+    val kept0 = (0 until 5).map(i => s"u$i") ++ (0 until 5).map(i => s"v$i")
+    assert(out(0L) == ((40L, 30L, md5Of(kept0.mkString(" ")))))
+    assert(out(1L) == ((36L, 0L, md5Of(c1.mkString(" ")))))
+  }
+
+  test("decontam span: a verbatim benchmark copy is fully removed; " +
+    "two disjoint hits cover independently") {
+    val w = 10
+    val b0 = (0 until 15).map(i => s"p$i")
+    val b1 = (0 until 12).map(i => s"q$i")
+    // doc 0 IS b0 — every token covered, rebuild is the empty string
+    // doc 1 embeds both benchmark docs with unique filler between:
+    // two disjoint excisions in one document
+    val c1 = b0 ++ (0 until 5).map(i => s"f$i") ++ b1 ++ Seq("z0")
+    val out = runSpan(
+      Seq(9000L -> b0.mkString(" "), 9001L -> b1.mkString(" ")),
+      Seq(0L -> b0.mkString(" "), 1L -> c1.mkString(" ")), w)
+    assert(out(0L) == ((15L, 15L, md5Of(""))))
+    val kept1 = (0 until 5).map(i => s"f$i") ++ Seq("z0")
+    assert(out(1L) == ((33L, 27L, md5Of(kept1.mkString(" ")))))
+  }
+
+  test("CorpusPipeline.decontamSpan rebuilds exactly what the " +
+    "certified report op certifies") {
+    import org.apache.spark.sql.functions.{col, md5}
+    val w = 10
+    val b = (0 until 14).map(i => s"k$i")
+    val bench = Seq(9000L -> b.mkString(" ")).toDF("doc_id", "text")
+    val corpus = Seq(
+      0L -> ((0 until 4).map(i => s"a$i") ++ b).mkString(" "),
+      1L -> "short doc untouched",
+      2L -> (b.take(9) ++ Seq("zz")).mkString(" ")) // 9 < w: no hit
+      .toDF("doc_id", "text")
+    val stepped = graft.api.CorpusPipeline(corpus).decontamSpan(bench, w)
+      .df.select(col("doc_id"), md5(col("text")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val bw = Corpus.substringWindows(bench, w).select("h1", "h2").distinct()
+    val certified = Corpus.decontamSpanCore(bw, corpus, w)
+      .select(col("doc_id"), col("rebuilt_md5"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(stepped == certified)
+    assert(stepped(0L) == md5Of((0 until 4).map(i => s"a$i").mkString(" ")))
+    assert(stepped(2L) == md5Of((b.take(9) ++ Seq("zz")).mkString(" ")))
+  }
+
+  test("decontam span vs flag decontam: span hits imply 5-gram flags, " +
+    "never the reverse (grain ordering, real corpus)") {
+    import org.apache.spark.sql.functions.col
+    val span = Corpus.textDecontamSpan(spark, sfDir)
+      .select(col("doc_id"), col("n_contam")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val flag = Corpus.textDecontam(spark, sfDir)
+      .select(col("doc_id"), col("contaminated")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(span.keySet == flag.keySet, "same corpus split")
+    val spanHit = span.filter(_._2 > 0L).keySet
+    // a shared 25-token run contains shared 5-grams, so every span hit
+    // must also be 5-gram flagged
+    spanHit.foreach(id =>
+      assert(flag(id), s"doc $id: span-contaminated but not flagged"))
+    // and the flag grain is strictly coarser on this corpus: some
+    // flagged doc has no 25-token span (or the fixture is degenerate)
+    assert(flag.count(_._2) >= spanHit.size)
+  }
 }
