@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -673,10 +673,30 @@ object Corpus {
       else corpusDf.select(col("doc_id"), col("text"), toks.as("toks"))
     val tk = col("toks")
     val n = size(tk)
+    // clean docs (the overwhelming majority) take the lazy CASE fast
+    // path: split+rejoin is byte-faithful, so rebuilt_md5 = md5(text)
+    base.join(hitsByDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), n.cast("bigint").as("n_tok"),
+        when(col("starts").isNull, lit(0L))
+          .otherwise(coveredCount(col("starts"), n, w).cast("bigint"))
+          .as(cntName),
+        when(col("starts").isNull, md5(col("text")))
+          .otherwise(md5(rebuiltString(col("starts"), tk, n, w)))
+          .as("rebuilt_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Coverage-merge fold: how many tokens of an n-token doc are
+    * covered by ≥1 of the w-token windows starting at the SORTED
+    * positions in `starts` — newly covered tokens of [s, s+w−1]
+    * given the running max covered end e (ascending starts make e
+    * the only state). Shared with the streaming twin
+    * (streaming/StreamDedup.decontamSpanStream) so the two sides
+    * cannot drift. */
+  private[graft] def coveredCount(starts: Column, n: Column,
+                                  w: Int): Column = {
     val wl = lit(w)
-    // newly covered tokens of interval [s, s+w−1] given the running
-    // max covered end e: ascending starts make e the only state
-    val covered = aggregate(col("starts"),
+    aggregate(starts,
       struct(lit(-1).as("e"), lit(0).as("c")),
       (a, s) => struct(
         greatest(a.getField("e"), s + wl - 1).as("e"),
@@ -684,10 +704,16 @@ object Corpus {
           least(s + wl - 1, n - 1) - greatest(s, a.getField("e") + 1)
             + 1)).as("c")),
       a => a.getField("c"))
-    // rebuild: slice out each gap between merged intervals (plus the
-    // tail), join gaps with single spaces — O(n) copied tokens, h
-    // interpreted lambda steps (h = hits in THIS doc, typically tiny)
-    val rebuilt = aggregate(col("starts"),
+  }
+
+  /** Gap-slice rebuild: the doc's tokens with every covered span
+    * excised, gaps joined by single spaces — O(n) copied tokens, h
+    * interpreted lambda steps (h = hits in THIS doc, typically
+    * tiny). Shared with the streaming twin. */
+  private[graft] def rebuiltString(starts: Column, tk: Column,
+                                   n: Column, w: Int): Column = {
+    val wl = lit(w)
+    aggregate(starts,
       struct(lit(0).as("nxt"), array().cast("array<string>").as("ps")),
       (a, s) => struct(
         greatest(a.getField("nxt"), s + wl).as("nxt"),
@@ -702,15 +728,6 @@ object Corpus {
             slice(tk, a.getField("nxt") + 1, n - a.getField("nxt")),
             " "))))
           .otherwise(a.getField("ps"))))
-    // clean docs (the overwhelming majority) take the lazy CASE fast
-    // path: split+rejoin is byte-faithful, so rebuilt_md5 = md5(text)
-    base.join(hitsByDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"), n.cast("bigint").as("n_tok"),
-        when(col("starts").isNull, lit(0L))
-          .otherwise(covered.cast("bigint")).as(cntName),
-        when(col("starts").isNull, md5(col("text")))
-          .otherwise(md5(rebuilt)).as("rebuilt_md5"))
-      .orderBy("doc_id")
   }
 
   private[graft] def decontamSpanCore(benchWins: DataFrame,

@@ -100,6 +100,55 @@ object StreamDedup {
       .withColumn("kept", col("n_dups") === 0)
   }
 
+  /** Streaming twin of ops.Corpus.textDecontamSpan — the crawl
+    * screened against the FROZEN benchmark window index as documents
+    * arrive (cert #21): the benchmark (h1, h2) window set is the
+    * static side (built by the batch-shared `substringWindows`
+    * construction — eval suites are fixed and tiny, so the index
+    * broadcasts), each incoming doc's stride-1 windows come from the
+    * same native rolling_hash_windows STATELESS (explode_outer keeps
+    * sub-w docs alive with a null window that joins nothing), a
+    * stream-static LEFT join marks hit positions, and the per-doc
+    * (starts array, text) fold state is the single allowed streaming
+    * aggregation (Update mode). Coverage merge + gap-slice rebuild
+    * are the SAME shared fold expressions the batch op evaluates
+    * (Corpus.coveredCount / rebuiltString), applied as a projection
+    * after the aggregation — final emissions equal the batch surgery
+    * rows exactly (EventStreamSpec). The starts set only grows
+    * across batches, so covered count is monotone non-decreasing and
+    * equal counts imply equal covered sets — the max emission IS the
+    * final state. */
+  def decontamSpanStream(spark: SparkSession, dir: String,
+                         w: Int = 25): DataFrame = {
+    import graft.ops.Corpus
+    graft.GraftFunctions.register(spark)
+    val isBench = col("doc_id") % 31 === 0
+    val bench = graft.Tables.hot(
+      Corpus.substringWindows(
+        graft.Tables.load(spark, dir, "documents").filter(isBench), w)
+        .select("h1", "h2").distinct())
+      .withColumn("hit", lit(1))
+    val wins = readDocs(spark, dir).filter(!isBench)
+      .select(col("doc_id"), col("text"),
+        explode_outer(call_function("rolling_hash_windows",
+          split(col("text"), " "), lit(w))).as("wh"))
+      .select(col("doc_id"), col("text"), col("wh.pos").as("pos"),
+        col("wh.h1").as("h1"), col("wh.h2").as("h2"))
+    val agg = wins.join(broadcast(bench), Seq("h1", "h2"), "left")
+      .groupBy("doc_id")
+      .agg(first(col("text")).as("text"),
+        sort_array(collect_list(when(col("hit") === 1, col("pos"))))
+          .as("starts"))
+    val tk = split(col("text"), " ")
+    val n = size(tk)
+    agg.select(col("doc_id"), n.cast("bigint").as("n_tok"),
+      Corpus.coveredCount(col("starts"), n, w).cast("bigint")
+        .as("n_contam"),
+      when(size(col("starts")) === 0, md5(col("text")))
+        .otherwise(md5(Corpus.rebuiltString(col("starts"), tk, n, w)))
+        .as("rebuilt_md5"))
+  }
+
   /** Streaming twin of the corpus ASSEMBLY chain head —
     * api.CorpusPipeline.qualityFilter().dedupExact as documents arrive:
     * the quality gate is a stateless filter (identical predicate), and

@@ -447,6 +447,36 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming span decontamination against the frozen benchmark " +
+    "index equals the batch surgery per document") {
+    // w = 10 at spec scale: the sf0.001 corpus holds real >=10-token
+    // benchmark overlaps but none at the production default 25
+    val q = StreamDedup.decontamSpanStream(spark, sfDir, 10)
+      .writeStream.format("memory").queryName("despan_out")
+      .outputMode(OutputMode.Update()).start()
+    try q.processAllAvailable() finally q.stop()
+    // Update mode: the per-doc starts set only grows across batches,
+    // so the covered count is monotone non-decreasing AND equal
+    // counts imply equal covered sets (supersets of equal size are
+    // equal) — the max (n_contam, rebuilt_md5) emission is the final
+    // state, and the md5 tie-break never fires on differing rebuilds
+    val streamed = spark.table("despan_out")
+      .groupBy("doc_id")
+      .agg(max(struct(col("n_contam"), col("n_tok"),
+        col("rebuilt_md5"))).as("m"))
+      .select(col("doc_id"), col("m.n_tok"), col("m.n_contam"),
+        col("m.rebuilt_md5"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val batch = graft.ops.Corpus.textDecontamSpan(spark, sfDir, 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(batch.nonEmpty)
+    assert(batch.exists(_._2._2 > 0L),
+      "fixture must contain real contamination")
+    assert(streamed == batch)
+  }
+
   test("streaming fluent-pipeline summary equals the batch EventPipeline") {
     val q = EventStream.pipelineSummary(spark, sfDir)
       .writeStream.format("memory").queryName("pipe_out")
