@@ -1291,6 +1291,108 @@ object Corpus {
            COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tok_sum
     FROM packed GROUP BY 1, 2 ORDER BY source, shard"""
 
+  /** The round-16 RELEASE chain (corpus_pipeline_v4): screen the
+    * corpus against the benchmark (span surgery — text_decontam_span's
+    * certified step), drop exact duplicates of the CLEANED text (a
+    * contaminated doc and its clean twin collapse after surgery —
+    * order matters, and this order is the one a release runs), then
+    * materialize the mixture schedule and report the per-(slice,
+    * source) audit. Three certified operators composed end-to-end
+    * under one oracle replay; every stage shape is the one its
+    * standalone op certifies (broadcast benchmark index, md5-argmin
+    * keeper, md5 instance placement). */
+  def pipelineV4(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(s)
+    val d = docs(s, dir)
+    val bench = d.filter(col("doc_id") % 31 === 0)
+    val corpus = d.filter(col("doc_id") % 31 =!= 0)
+    val cleaned = graft.api.CorpusPipeline(corpus)
+      .decontamSpan(bench, 25)
+      .dedupExact
+    val nTok = size(split(col("text"), " ")).cast("long")
+    cleaned.packMixture(64).df
+      .groupBy("slice", "source")
+      .agg(count(lit(1)).as("n_inst"), sum(nTok).as("tok_sum"),
+        QueryDef.dsum(col("mix_h"), 0).as("h_sum"))
+      .orderBy("slice", "source")
+  }
+
+  val pipelineV4Sql: String = """
+    WITH toksAll AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    w AS (
+      SELECT doc_id, pos, array_to_string(t[pos + 1 : pos + 25], ' ') AS c
+      FROM (SELECT doc_id, t,
+              unnest(generate_series(0, len(t) - 25)) AS pos
+            FROM toksAll)),
+    b AS (SELECT DISTINCT c FROM w WHERE doc_id % 31 = 0),
+    hits AS (
+      SELECT w.doc_id, w.pos, w.pos + 24 AS cend
+      FROM w JOIN b USING (c) WHERE w.doc_id % 31 <> 0),
+    tok AS (
+      SELECT doc_id, pos, t[pos + 1] AS tk
+      FROM (SELECT doc_id, t,
+              unnest(generate_series(0, len(t) - 1)) AS pos
+            FROM toksAll)
+      WHERE doc_id % 31 <> 0),
+    cv AS (
+      SELECT tok.doc_id, tok.pos, tok.tk,
+             MAX(h.cend) OVER (PARTITION BY tok.doc_id ORDER BY tok.pos
+                               ROWS UNBOUNDED PRECEDING) AS cov
+      FROM tok LEFT JOIN hits h
+        ON tok.doc_id = h.doc_id AND tok.pos = h.pos),
+    reb AS (
+      SELECT doc_id,
+             COALESCE(string_agg(
+               CASE WHEN cov IS NULL OR cov < pos THEN tk END, ' '
+               ORDER BY pos), '') AS text
+      FROM cv GROUP BY doc_id),
+    rw AS (
+      SELECT d.doc_id, reb.text, d.source
+      FROM documents d JOIN reb USING (doc_id)),
+    dedup AS (
+      SELECT * FROM rw
+      QUALIFY row_number() OVER (PARTITION BY md5(text)
+                                 ORDER BY doc_id) = 1),
+    c AS (
+      SELECT source, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM dedup),
+    q AS (
+      SELECT source, CAST(SUM(n_tok) AS BIGINT) AS src_tok,
+             CAST(floor(sqrt(CAST(SUM(n_tok) AS DOUBLE)) * 1000000.0
+               + 0.5) AS BIGINT) AS wq
+      FROM c GROUP BY 1),
+    t AS (
+      SELECT CAST(SUM(src_tok) AS BIGINT) * 2 AS budget,
+             CAST(SUM(wq) AS BIGINT) AS sumwq FROM q),
+    sched AS (
+      SELECT source, CAST(floor(e) AS BIGINT) AS full_e,
+             CAST(floor((e - floor(e)) *
+               CAST(1152921504606846976 AS DOUBLE)) AS BIGINT) AS thr
+      FROM (SELECT source, LEAST(4.0,
+              CAST(budget AS DOUBLE) * wq / sumwq / src_tok) AS e
+            FROM q, t)),
+    inst AS (
+      SELECT source, doc_id, n_tok,
+             unnest(generate_series(0, reps - 1)) AS rep
+      FROM (SELECT c.source, c.doc_id, c.n_tok,
+              s.full_e + (CASE WHEN ('0x' || substring(md5('mixk:' ||
+                  CAST(c.doc_id AS VARCHAR)), 1, 15))::UBIGINT::BIGINT
+                  < s.thr THEN 1 ELSE 0 END) AS reps
+            FROM c JOIN sched s USING (source))
+      WHERE reps >= 1),
+    h AS (
+      SELECT source, n_tok,
+             ('0x' || substring(md5('mix:' || CAST(doc_id AS VARCHAR) ||
+               '#' || CAST(rep AS VARCHAR)), 1, 8))::UBIGINT::BIGINT
+               AS h32
+      FROM inst)
+    SELECT CAST(floor(h32 / 67108864.0) AS BIGINT) AS slice, source,
+           COUNT(*) AS n_inst, CAST(SUM(n_tok) AS BIGINT) AS tok_sum,
+           CAST(SUM(CAST(h32 AS DECIMAL(18,0))) AS DOUBLE) AS h_sum
+    FROM h GROUP BY 1, 2 ORDER BY slice, source"""
+
   /** The corpus DATASHEET — the per-source summary every corpus
     * release publishes: document/token/char totals, mean lengths, and
     * the language mix, in ONE map-side-combined aggregate pass.
@@ -2006,6 +2108,7 @@ object Corpus {
     QueryDef("corpus_pipeline_full", pipelineFull, Some(pipelineFullSql)),
     QueryDef("corpus_pipeline_v2", pipelineV2, Some(pipelineV2Sql)),
     QueryDef("corpus_pipeline_v3", pipelineV3, Some(pipelineV3Sql)),
+    QueryDef("corpus_pipeline_v4", pipelineV4, Some(pipelineV4Sql)),
     QueryDef("pack_shards", (s, d) => packShards(s, d), Some(packShardsSql)),
     QueryDef("pack_sequences", (s, d) => packSequences(s, d),
       Some(packSequencesSql)),

@@ -38,7 +38,7 @@ COMPOSITE = {
     "corpus_near_dedup", "dedup_minhash", "dedup_minhash_est",
     "dedup_ngram", "pack_sequences", "text_bpe_train",
     "text_bpe_encode", "text_bpe_bytes",
-    "corpus_pipeline_v2", "corpus_pipeline_v3",
+    "corpus_pipeline_v2", "corpus_pipeline_v3", "corpus_pipeline_v4",
     # the oracle is the IDENTICAL unrolled peel loop (12 rounds both
     # engines; VERDICT r14 certified CPU parity with the oracle's own
     # unroll) — wall is the same synchronous rounds on both sides
