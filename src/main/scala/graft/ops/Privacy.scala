@@ -162,7 +162,96 @@ object Privacy {
            CAST(MIN(sz) AS BIGINT) AS min_class
     FROM classes"""
 
+  // ---- differentially-private release (q_dp_release) -----------------
+
+  /** Truncation bound for the discrete-Laplace inverse CDF. */
+  private[graft] val DpB = 64
+
+  /** Inverse-CDF thresholds of the two-sided geometric (discrete
+    * Laplace) at α = 3/4 EXACTLY — P(z) = (1/7)·(3/4)^|z|, i.e. pure
+    * ε-DP at ε = ln(4/3) per released quantum. cum(k) = (4/7)·α^|k|
+    * for k < 0 and 1 − (4/7)·α^(k+1) for k ≥ 0, scaled to 2⁶⁰ and
+    * floored. Computed ONCE with 34-digit decimal arithmetic and
+    * embedded as LITERALS in both the Spark plan and the generated
+    * oracle SQL — cross-engine determinism is by construction (the
+    * engines compare the same integers), not by trusting either
+    * engine's transcendental library: no exp/ln ever evaluates in
+    * the gate (the no-libm rule). */
+  private[graft] val dpThresholds: Array[Long] = {
+    val scale = BigDecimal(2).pow(60)
+    def pw(e: Int) = BigDecimal(3).pow(e) / BigDecimal(4).pow(e)
+    ((-DpB) until DpB).map { k =>
+      val c =
+        if (k < 0) BigDecimal(4) / 7 * pw(-k)
+        else BigDecimal(1) - BigDecimal(4) / 7 * pw(k + 1)
+      (c * scale).setScale(0, BigDecimal.RoundingMode.FLOOR).toLong
+    }.toArray
+  }
+
+  /** z(u) = −B + |{thresholds ≤ u}| for a 60-bit uniform u — the
+    * clamped inverse CDF, z ∈ [−B, B]. */
+  private def dpNoise(u: Column): Column =
+    (lit(-DpB) + size(filter(typedlit(dpThresholds), t => t <= u)))
+      .cast("long")
+
+  /** Differentially-private corpus-statistics RELEASE — the privacy
+    * trio's third member (text_pii scrubs content, q_k_anonymity
+    * audits quasi-identifiers, this op releases aggregate statistics
+    * with a formal guarantee): per-source document and token counts
+    * with truncated discrete-Laplace noise at ε = ln(4/3) per
+    * statistic. The token sum is CLIPPED per document at C = 1000 and
+    * QUANTIZED to multiples of C before noising (clip-then-noise, the
+    * standard recipe): one document then moves the quantized
+    * statistic by ≤ 1 unit, so the unit-sensitivity mechanism is
+    * valid — C·Z noise on the raw sum would be OFF-GRID for
+    * neighboring datasets and not DP at all. Noise seeds are pure
+    * md5 functions of (statistic, source) — rerunnable and
+    * cluster-size independent (the sample_stratified contract), which
+    * is exactly how production DP releases pin their noise for
+    * reproducible publications. Small sources can release slightly
+    * negative counts — the standard unbiased convention (clamping
+    * post-hoc would bias sums and is left to the consumer).
+    *
+    * Scale shape: ONE map-side-combined aggregate to |sources| rows;
+    * the noise inversion is a 128-literal array scan per released
+    * statistic on ≤|sources| rows. Zero additional passes at any
+    * corpus size. */
+  def dpRelease(s: SparkSession, dir: String): DataFrame = {
+    val C = 1000L
+    def u60(tag: String) = expr(
+      s"""CAST(conv(substring(md5(concat('dp:$tag:', source)), 1, 15),
+         16, 10) AS BIGINT)""")
+    Text.docToks(s, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs_true"),
+        sum(least(col("n_tok"), lit(C))).as("tok_clip"))
+      .select(col("source"),
+        (col("n_docs_true") + dpNoise(u60("docs"))).as("n_docs_dp"),
+        ((expr("(tok_clip + 500) DIV 1000") + dpNoise(u60("toks")))
+          * lit(C)).as("n_tok_dp"))
+      .orderBy("source")
+  }
+
+  val dpReleaseSql: String = {
+    val thr = dpThresholds.mkString(", ")
+    def u(tag: String) =
+      s"('0x' || substring(md5('dp:$tag:' || source), 1, 15))::UBIGINT::BIGINT"
+    def z(tag: String) =
+      s"(-64 + len(list_filter([$thr], t -> t <= ${u(tag)})))"
+    s"""
+    WITH d AS (
+      SELECT source, COUNT(*) AS n_docs_true,
+             SUM(LEAST(len(string_split(text, ' ')), 1000)) AS tok_clip
+      FROM documents GROUP BY 1)
+    SELECT source,
+           CAST(n_docs_true + ${z("docs")} AS BIGINT) AS n_docs_dp,
+           CAST(((tok_clip + 500) // 1000 + ${z("toks")}) * 1000
+             AS BIGINT) AS n_tok_dp
+    FROM d ORDER BY source"""
+  }
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("q_k_anonymity", kAnonymity, Some(kAnonymitySql)),
+    QueryDef("q_dp_release", dpRelease, Some(dpReleaseSql)),
     QueryDef("text_pii", textPii, Some(textPiiSql)))
 }

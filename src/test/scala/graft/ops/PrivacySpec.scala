@@ -43,4 +43,53 @@ class PrivacySpec extends SparkSpec {
     assert(p == 1)
     assert(clean == "id 9010-1234-56789 ok <PHONE>")
   }
+
+  test("q_dp_release: thresholds encode the exact discrete Laplace; " +
+    "the release replays from raw counts; noise bounded") {
+    import org.apache.spark.sql.functions._
+    val thr = Privacy.dpThresholds
+    val B = Privacy.DpB
+    assert(thr.length == 2 * B)
+    assert(thr.sameElements(thr.sorted), "inverse CDF must ascend")
+    // symmetry of the two-sided geometric: P(z) = P(−z) — threshold
+    // gaps mirror around the center (1-ulp floor slack)
+    val scale = math.pow(2, 60)
+    for (k <- 1 until B) {
+      val pNeg = (thr(B - k) - thr(B - k - 1)).toDouble
+      val pPos = (thr(B + k) - thr(B + k - 1)).toDouble
+      assert(math.abs(pNeg - pPos) <= 2, s"P(-$k) != P($k)")
+    }
+    // mass at zero is exactly (1−α)/(1+α) = 1/7
+    assert(math.abs((thr(B) - thr(B - 1)) / scale - 1.0 / 7) < 1e-12)
+
+    // independent replay: same md5 seeds, same thresholds, driver-side
+    def u60(tag: String, src: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      val hex = d.digest(s"dp:$tag:$src".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def z(tag: String, src: String): Long =
+      -B + thr.count(_ <= u60(tag, src))
+    val raw = graft.Tables.load(spark, sfDir, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("nd"),
+        sum(least(size(split(col("text"), " ")), lit(1000))).as("tc"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    val out = Privacy.dpRelease(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet == raw.keySet)
+    var anyNoise = false
+    out.foreach { case (src, (nd, nt)) =>
+      val (rnd, rtc) = raw(src)
+      assert(nd == rnd + z("docs", src), s"$src: docs release mismatch")
+      assert(nt == ((rtc + 500) / 1000 + z("toks", src)) * 1000,
+        s"$src: token release mismatch")
+      assert(math.abs(nd - rnd) <= B, s"$src: docs noise out of range")
+      if (nd != rnd) anyNoise = true
+    }
+    assert(anyNoise, "fixture must exercise nonzero noise")
+  }
 }
