@@ -276,6 +276,74 @@ object VectorOps {
     SELECT qid, cid, ROUND(cos, 6) AS score, rn
     FROM ranked WHERE rn <= $K ORDER BY qid, rn"""
 
+  /** FILTERED vector search (ann_filtered) — the production
+    * vector-store query shape ann_ivf alone under-serves: top-k among
+    * candidates that PASS A METADATA PREDICATE, here "same language
+    * as the query's own document" (the tenant/partition filter whose
+    * per-query selectivity makes naive post-filtering return short
+    * lists). The filter column attaches to the session-frozen IVF
+    * assignment ONCE (the "attach metadata at ingest" pass a vector
+    * store runs — a co-keyed doc_id = vec_id join), probes carry the
+    * query's own filter value, and candidates are filtered BEFORE any
+    * cosine evaluates — pre-filtering inside the index probe, never
+    * score-then-discard. Same frozen artifact, same probe discipline,
+    * same (cos DESC, cid) total order as ann_ivf; the oracle replays
+    * the identical filtered-probe algorithm so the gate certifies the
+    * distributed implementation exactly. */
+  def annFiltered(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val (assigned, cents) = ivfAssign(s, dir)
+    val meta = graft.Tables.load(s, dir, "documents")
+      .select(col("doc_id").as("vec_id"), col("lang"))
+    val am = assigned.join(meta, "vec_id")
+    val qProbes = e.filter(expr(QueryFilter))
+      .join(meta, "vec_id").join(cents)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("lang").as("qlang"), col("cent_id"),
+        l2(col("v"), col("cv")).as("cd"))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cd"), col("cent_id"))))
+      .filter(col("crk") <= NProbe)
+      .select("qid", "qv", "qlang", "cent_id")
+    val wTop = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    am.join(broadcast(qProbes), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("qid") && col("lang") === col("qlang"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        Vec.cosine(col("qv"), col("v")).as("cos"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= K)
+      .select(col("qid"), col("cid"), round(col("cos"), 6).as("score"),
+        col("rn"))
+      .orderBy("qid", "rn")
+  }
+
+  val annFilteredSql: String = s"""
+    WITH ${ivfAssignCtes.trim},
+    meta AS (SELECT doc_id AS vec_id, lang FROM documents),
+    qp_ranked AS (
+      SELECT e.vec_id AS qid, e.v AS qv, m.lang AS qlang, c.cent_id,
+        ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+          list_sum(list_transform(generate_series(1, len(e.v)),
+            i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))), c.cent_id) AS crk
+      FROM e JOIN meta m USING (vec_id) CROSS JOIN cents c
+      WHERE $QueryFilter),
+    qprobes AS (
+      SELECT qid, qv, qlang, cent_id FROM qp_ranked WHERE crk <= $NProbe),
+    pairs AS (
+      SELECT q.qid, a.vec_id AS cid,
+        list_dot_product(q.qv, a.v) /
+          (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(a.v, a.v))) AS cos
+      FROM qprobes q
+      JOIN assigned a ON a.cent_id = q.cent_id
+      JOIN meta m ON a.vec_id = m.vec_id
+      WHERE a.vec_id != q.qid AND m.lang = q.qlang),
+    ranked AS (
+      SELECT qid, cid, cos,
+        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+      FROM pairs)
+    SELECT qid, cid, ROUND(cos, 6) AS score, rn
+    FROM ranked WHERE rn <= $K ORDER BY qid, rn"""
+
   // ---- embedding-cosine near-dup (semantic dedup) ---------------------
   // k-NN-graph threshold dedup: per vector, bounded top-k cosine
   // neighbors (map-side collect_list+slice partial aggregation — no
@@ -1480,6 +1548,7 @@ object VectorOps {
     QueryDef("ann_pq", annPq, Some(annPqSql)),
     QueryDef("ann_lsh", annLsh, Some(annLshSql)),
     QueryDef("ann_ivf", annIvf, Some(annIvfSql)),
+    QueryDef("ann_filtered", annFiltered, Some(annFilteredSql)),
     QueryDef("dedup_embed", dedupEmbed, Some(dedupEmbedSql)),
     QueryDef("dedup_embed_ivf", dedupEmbedIvf, Some(dedupEmbedIvfSql)),
     QueryDef("embed_quantize", embedQuantize, Some(embedQuantizeSql)),

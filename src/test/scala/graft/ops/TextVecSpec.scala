@@ -139,6 +139,46 @@ class TextVecSpec extends SparkSpec {
     assert(recall > 0.3, s"IVF recall@10 $recall")
   }
 
+  test("ann_filtered: every hit passes the per-query language filter; " +
+    "ranks well-formed; subset of the unfiltered probe set") {
+    import org.apache.spark.sql.functions.col
+    val lang = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = VectorOps.annFiltered(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(rows.nonEmpty)
+    // the predicate holds on every emitted candidate
+    rows.foreach { case (q, c, _) =>
+      assert(lang(c) == lang(q), s"q=$q c=$c: language filter violated")
+    }
+    // per-query ranks are 1..n contiguous, n <= 10
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val ranks = rs.map(_._3).sorted.toSeq
+      assert(ranks.headOption.contains(1) &&
+        ranks == (1 to ranks.length) && ranks.length <= 10,
+        s"q=$q: ranks $ranks")
+    }
+    // filtered hits are a subset of the SAME probe structure's
+    // unfiltered candidates (same frozen index, same cells)
+    val unfiltered = VectorOps.annIvf(spark, sfDir)
+      .select("qid", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val matchedTop = rows.filter { case (q, c, _) =>
+      unfiltered.contains((q, c)) }
+    // where the query's top unfiltered hits already satisfy the
+    // filter, the filtered search must return them too
+    unfiltered.filter { case (q, c) => lang(c) == lang(q) }
+      .foreach { case (q, c) =>
+        // every language-matching unfiltered top-10 hit must appear
+        // in the filtered top-10 (removing non-matching candidates
+        // can only PROMOTE matching ones)
+        assert(rows.exists(r => r._1 == q && r._2 == c),
+          s"q=$q c=$c: matching hit dropped by the filtered search")
+      }
+    assert(matchedTop.nonEmpty, "fixture must overlap the probe set")
+  }
+
   test("one Lloyd iteration does not increase k-means inertia") {
     import org.apache.spark.sql.functions._
     val e = graft.Tables.load(spark, sfDir, "embeddings")
