@@ -915,40 +915,72 @@ object Graph {
     // the EDGE table is static and hot ONCE; only the tiny surviving
     // VERTEX set iterates (broadcast per round, the graph_triangles
     // vertex-state memory bound). Rewriting + checkpointing the edge
-    // set per round cost 7 full-edge materializations — this shape
-    // scans the one hot edge table per round and materializes ~16 B
-    // per surviving vertex instead (measured 84 → 57 CPU-s at sf0.1).
+    // set per round cost 7 full-edge materializations (measured 84 →
+    // 57 CPU-s at sf0.1); recomputing full degrees per round (2m-row
+    // union + hash aggregate + two keep-set semi joins, every round)
+    // cost another ~20 — this DELTA-PEELING shape carries the live
+    // (v, deg) state across rounds and subtracts, per round, only the
+    // edges incident to THAT round's removed set: deg over the live
+    // subgraph after removing R equals deg_prev(v) − |{(v,u) ∈ E :
+    // u ∈ R}| for every survivor v, because each such static edge was
+    // live in the previous round (both endpoints were) and edges to
+    // earlier-removed vertices were already subtracted in their own
+    // round. Each round is one scan of the hot edge table with two
+    // tiny routed probes (R is small after round 1) + vertex-sized
+    // aggregates — the 2m-row degree recompute disappears.
     val e = coEdgesHot(s, dir)
-    // size-adaptive per round: each round's survivor count (already in
-    // hand from hotCount) routes the semi joins broadcast vs shuffle —
-    // the shuffle route semi-joins the edges on each endpoint key (two
-    // edge shuffles/round; a persistent deployment at that scale
-    // buckets the edge table on (a) and (b) once to amortize them)
-    def liveEdges(keep: DataFrame, rows: Long) =
-      e.join(routeState("graph_kcore.keep", keep, rows)
-          .withColumnRenamed("v", "a"), Seq("a"), "left_semi")
-        .join(routeState("graph_kcore.keep", keep, rows)
-          .withColumnRenamed("v", "b"), Seq("b"), "left_semi")
-    def degOf(edges: DataFrame) =
-      edges.select(col("a").as("v")).unionAll(edges.select(col("b").as("v")))
-        .groupBy("v").agg(count(lit(1)).as("deg"))
-    var (keep, cnt) = Tables.hotCount(
-      e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
-        .distinct())
+    // round-0 degrees = the session-frozen directed-degree artifact
+    // (shared with pagerank/triangles; undirected degree ≡ directed
+    // out-degree of the both-direction edge list)
+    val (deg0, nVerts) = degFrozen(s, dir)
+    var d = deg0            // (v, deg): live vertices, live-subgraph degrees
+    var cnt = nVerts
     var prev = -1L
     var rounds = 0
     while (cnt != prev && rounds < maxRounds) {
       prev = cnt
-      val (h, c) = Tables.hotCount(
-        degOf(liveEdges(keep, cnt)).filter(col("deg") >= k).select("v"))
-      keep = h
-      cnt = c
+      // this round's simultaneous-removal set and its per-survivor
+      // degree delta; routing is size-adaptive off the live count
+      // (an upper bound for both R and the touched-neighbor set)
+      val rA = routeState("graph_kcore.removed",
+        d.filter(col("deg") < k).select(col("v").as("a"), lit(1).as("ra")),
+        cnt)
+      val rB = routeState("graph_kcore.removed",
+        d.filter(col("deg") < k).select(col("v").as("b"), lit(1).as("rb")),
+        cnt)
+      val delta = e.join(rA, Seq("a"), "left").join(rB, Seq("b"), "left")
+        .select(when(col("ra").isNotNull && col("rb").isNull, col("b"))
+          .when(col("rb").isNotNull && col("ra").isNull, col("a"))
+          .as("v"))
+        .filter(col("v").isNotNull)
+        .groupBy("v").agg(count(lit(1)).as("dl"))
+      val (d2, c2) = Tables.hotCount(
+        d.filter(col("deg") >= k)
+          .join(routeState("graph_kcore.delta", delta, cnt),
+            Seq("v"), "left")
+          .select(col("v"),
+            (col("deg") - coalesce(col("dl"), lit(0L))).as("deg")))
+      d = d2
+      cnt = c2
       rounds += 1
     }
     require(cnt == prev,
       s"graph_kcore: still peeling after $rounds rounds — raise maxRounds " +
         "(and the oracle unroll) for this graph")
-    degOf(liveEdges(keep, cnt)).orderBy("v")
+    // final pass: recompute the surviving degrees FROM THE EDGES (one
+    // full pass, once — not per round). Provably equal to the carried
+    // state; keeps the returned plan carrying the routed semi joins
+    // the audits pin, and re-derives the answer from the edge table
+    // rather than trusting the iterated arithmetic.
+    val keep = d.select("v")
+    val live = e
+      .join(routeState("graph_kcore.keep", keep, cnt)
+        .withColumnRenamed("v", "a"), Seq("a"), "left_semi")
+      .join(routeState("graph_kcore.keep", keep, cnt)
+        .withColumnRenamed("v", "b"), Seq("b"), "left_semi")
+    live.select(col("a").as("v")).unionAll(live.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+      .orderBy("v")
   }
 
   private val KcoreUnroll = 12

@@ -75,20 +75,68 @@ object Relational3 {
     * loudly. AccuracySpec additionally bounds the raw sketch error. */
   def qApprox(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(s, dir, "lineitem")
-    // two aggregates + a 3-row join ON PURPOSE: folding the distinct
-    // leg in with the sketch/percentile aggregates plans an Expand
-    // that re-feeds the percentile sort-aggregates the duplicated
-    // input (measured 11 s vs 3.4 s at sf0.1)
+    // separate legs ON PURPOSE: folding the distinct leg in with the
+    // sketch/percentile aggregates plans an Expand that re-feeds the
+    // percentile sort-aggregates the duplicated input (measured 11 s
+    // vs 3.4 s at sf0.1)
     val apx = li.groupBy("l_returnflag")
       .agg(
         approx_count_distinct(col("l_partkey"), 0.01).as("apx_parts"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
           .as("apx_med"))
-    val exact = li.groupBy("l_returnflag")
-      .agg(countDistinct(col("l_partkey")).as("exact_parts"),
-        expr("percentile(l_extendedprice, 0.49)").as("med_lo"),
-        expr("percentile(l_extendedprice, 0.51)").as("med_hi"))
-    apx.join(exact, "l_returnflag")
+    // exact countDistinct as a TWO-LEVEL aggregate (the q_profile /
+    // multi-countDistinct precedent): the single-shot form planned the
+    // distinct rewrite that also dragged percentile() buffers through
+    // a per-(flag, partkey) ObjectHashAggregate — ~200k OpenHashMap
+    // buffers built and merged per pass
+    val exactParts = li.filter(col("l_partkey").isNotNull)
+      .select("l_returnflag", "l_partkey").distinct()
+      .groupBy("l_returnflag").agg(count(lit(1)).as("exact_parts"))
+    // exact percentiles WITHOUT percentile()'s value-map buffers:
+    // count-by-value (map-side-combinable codegen HashAggregate), one
+    // flag-partitioned sort, cumulative + total counts as two window
+    // sums over the SAME exchange, then Spark's own interpolation
+    // (Percentile.getPercentile: pos = p·(n−1); lower/higher =
+    // floor/ceil; (hi−pos)·v_lo + (pos−lo)·v_hi with the two equal-key
+    // short-circuits) replayed bit-exactly on the ≤4 covering rows per
+    // flag. Value v covers 0-indexed rank r iff cum−c ≤ r < cum.
+    val byVal = li.filter(col("l_extendedprice").isNotNull)
+      .groupBy(col("l_returnflag"), col("l_extendedprice").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("l_returnflag").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("l_returnflag")
+    val cum = byVal.select(col("l_returnflag"), col("v"), col("c"),
+        sum("c").over(wCum).as("cum"), sum("c").over(wAll).as("n"))
+      .select(col("l_returnflag"), col("v"), col("c"), col("cum"),
+        (lit(0.49) * (col("n") - lit(1L)).cast("double")).as("pos49"),
+        (lit(0.51) * (col("n") - lit(1L)).cast("double")).as("pos51"))
+      .select(col("*"),
+        floor(col("pos49")).as("lo49"), ceil(col("pos49")).as("hi49"),
+        floor(col("pos51")).as("lo51"), ceil(col("pos51")).as("hi51"))
+    def covers(r: String) =
+      col("cum") - col("c") <= col(r) && col(r) < col("cum")
+    def vAt(r: String) = max(when(covers(r), col("v")))
+    val hits = cum
+      .filter(covers("lo49") || covers("hi49") ||
+              covers("lo51") || covers("hi51"))
+      .groupBy("l_returnflag")
+      .agg(vAt("lo49").as("v_lo49"), vAt("hi49").as("v_hi49"),
+        vAt("lo51").as("v_lo51"), vAt("hi51").as("v_hi51"),
+        max(col("pos49")).as("pos49"), max(col("pos51")).as("pos51"),
+        max(col("lo49")).as("lo49"), max(col("hi49")).as("hi49"),
+        max(col("lo51")).as("lo51"), max(col("hi51")).as("hi51"))
+    def interp(pos: String, lo: String, hi: String,
+               vlo: String, vhi: String) =
+      when(col(hi) === col(lo), col(vlo))
+        .when(col(vhi) === col(vlo), col(vlo))
+        .otherwise(
+          (col(hi).cast("double") - col(pos)) * col(vlo) +
+          (col(pos) - col(lo).cast("double")) * col(vhi))
+    val meds = hits.select(col("l_returnflag"),
+      interp("pos49", "lo49", "hi49", "v_lo49", "v_hi49").as("med_lo"),
+      interp("pos51", "lo51", "hi51", "v_lo51", "v_hi51").as("med_hi"))
+    apx.join(exactParts, "l_returnflag").join(meds, "l_returnflag")
       .select(col("l_returnflag"), col("exact_parts"),
         (abs(col("apx_parts") - col("exact_parts"))
           <= col("exact_parts") * lit(0.05)).as("parts_within_5pct"),
