@@ -537,10 +537,24 @@ object Graph {
         .join(routeState("graph_pagerank.deg", degT, nVerts)
           .withColumnRenamed("v", "src"), "src")
         .select(col("src"), col("dst"), degGuard.as("deg"))
-      Tables.hotPinned(
-        if (route) adjRaw else adjRaw.repartition(col("src")))
+      Tables.hotPinned(adjRaw)
     }
-    (degT, nVerts, adj)
+    // Layout on top of the frozen blocks, keyed by route (the
+    // checkpoint boundary reports UnknownPartitioning — measured with
+    // a probe — so the layout exchange must live INSIDE the consumer
+    // plan where ReuseExchange collapses the per-round references to
+    // ONE materialization per query; guide §2.4 "two operations keyed
+    // the same way share one exchange"). BROADCAST route: lay out on
+    // the GROUPING key dst — the state join is free (build side
+    // broadcasts) and every round's contribution/label aggregate runs
+    // exchange-free on the shared layout (pagerank: 5 per-round 2m-row
+    // exchanges → 1 reused; label propagation: 4 → 1). SHUFFLE route:
+    // lay out on the state-probe key src so the per-round co-partitioned
+    // state joins move nothing but the state.
+    val laid =
+      if (willBroadcast(s, nVerts)) adj.repartition(col("dst"))
+      else adj.repartition(col("src"))
+    (degT, nVerts, laid)
   }
 
   def pageRank(s: SparkSession, dir: String): DataFrame = {
