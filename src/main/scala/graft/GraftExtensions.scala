@@ -159,13 +159,25 @@ object GraftFunctions {
           args.mkString(", "))
     })
 
+  val sortedCommonFn: Fn = (
+    FunctionIdentifier("sorted_common"),
+    new ExpressionInfo(classOf[functions.SortedCommon].getName,
+      "sorted_common"),
+    (args: Seq[Expression]) => functions.SortedCommon(args(0), args(1)))
+
+  val sortedIntersectFn: Fn = (
+    FunctionIdentifier("sorted_intersect"),
+    new ExpressionInfo(classOf[functions.SortedIntersect].getName,
+      "sorted_intersect"),
+    (args: Seq[Expression]) => functions.SortedIntersect(args(0), args(1)))
+
   val all: Seq[Fn] =
     Seq(clippedSegmentLengthFn, hilbertIndexFn, pointInPolygonFn,
       normalizeTextFn, clippedPolygonAreaFn, vecDotFn, vecL2Fn,
       minHashSignatureFn, bigramRunStatsFn, wktPartsFn, dsum128Fn,
       qsum128Fn, rollingHashWindowsFn, ffdBinsFn, md5MinHashFn,
       cdcChunksFn, shingleHashesFn, md5ShinglesFn, charNgramsFn,
-      wordNgramsFn, pairCodesFn)
+      wordNgramsFn, pairCodesFn, sortedCommonFn, sortedIntersectFn)
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (id, info, builder) =>

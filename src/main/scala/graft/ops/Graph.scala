@@ -434,7 +434,11 @@ object Graph {
       .join(adjB.select(col("v").as("src"), col("nbr").as("nu")), Seq("src"))
       .join(adjB.select(col("v").as("dst"), col("nbr").as("nv")), Seq("dst"))
       .select(col("src").as("u"), col("dst").as("v1"),
-        explode(array_intersect(col("nu"), col("nv"))).as("v2"))
+        // sorted_intersect: zero-allocation two-pointer merge over the
+        // sorted distinct adjacency arrays — element-identical to
+        // array_intersect here, without its per-edge hash-set build
+        explode(call_function("sorted_intersect",
+          col("nu"), col("nv"))).as("v2"))
     tris.select(explode(array(col("u"), col("v1"), col("v2"))).as("part"))
       .groupBy("part").agg(count(lit(1)).as("n_tri"))
       .orderBy("part")
@@ -711,7 +715,12 @@ object Graph {
     val scored = e
       .join(adj.select(col("v").as("a"), col("nbr").as("na")), Seq("a"))
       .join(adj.select(col("v").as("b"), col("nbr").as("nb")), Seq("b"))
-      .select(size(array_intersect(col("na"), col("nb"))).as("common"),
+      // sorted_common: |N(a) ∩ N(b)| as a zero-allocation two-pointer
+      // merge count (the arrays are sorted distinct by construction) —
+      // value-identical to size(array_intersect(...)), minus its
+      // per-edge hash-set build AND the intersection materialization
+      .select(call_function("sorted_common", col("na"), col("nb"))
+          .cast("int").as("common"),
         (size(col("na")) + size(col("nb")) - 2).as("others"))
       .select(when(col("others") > col("common"),
         col("common").cast("double") / (col("others") - col("common")))
