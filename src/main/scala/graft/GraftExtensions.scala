@@ -171,13 +171,19 @@ object GraftFunctions {
       "sorted_intersect"),
     (args: Seq[Expression]) => functions.SortedIntersect(args(0), args(1)))
 
+  val winnowFpFn: Fn = (
+    FunctionIdentifier("winnow_fp"),
+    new ExpressionInfo(classOf[functions.WinnowFp].getName, "winnow_fp"),
+    (args: Seq[Expression]) => functions.WinnowFp(args))
+
   val all: Seq[Fn] =
     Seq(clippedSegmentLengthFn, hilbertIndexFn, pointInPolygonFn,
       normalizeTextFn, clippedPolygonAreaFn, vecDotFn, vecL2Fn,
       minHashSignatureFn, bigramRunStatsFn, wktPartsFn, dsum128Fn,
       qsum128Fn, rollingHashWindowsFn, ffdBinsFn, md5MinHashFn,
       cdcChunksFn, shingleHashesFn, md5ShinglesFn, charNgramsFn,
-      wordNgramsFn, pairCodesFn, sortedCommonFn, sortedIntersectFn)
+      wordNgramsFn, pairCodesFn, sortedCommonFn, sortedIntersectFn,
+      winnowFpFn)
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (id, info, builder) =>

@@ -837,21 +837,18 @@ object TextDedup {
     * set. Separated so the k+w−1 match guarantee is spec-testable on
     * constructed documents. */
   private[graft] def winnowFp(docsDf: DataFrame): DataFrame =
+    // winnow_fp: the whole per-doc HOF chain (one interpreted
+    // md5→hex→conv lambda per gram + one slice-allocating array_min
+    // lambda per window) as ONE compiled kernel — gram hashes
+    // bit-identical to the conv(substring(md5(...))) chain, selection
+    // identical (WinnowFp Scaladoc; the k+w−1 guarantee stays
+    // spec-tested through this same entry point)
     docsDf
       .select(col("doc_id"), col("source"),
-        split(col("text"), " ").as("t"))
-      .select(col("doc_id"), col("source"), expr(
-        """CASE WHEN size(t) >= 3
-             THEN transform(sequence(1, size(t) - 2),
-               i -> CAST(conv(substring(md5(concat_ws(' ',
-                      t[i-1], t[i], t[i+1])), 1, 15), 16, 10) AS BIGINT))
-             ELSE CAST(array() AS ARRAY<BIGINT>) END""").as("g"))
-      .select(col("doc_id"), col("source"), size(col("g")).as("n_grams"),
-        expr(
-          """CASE WHEN size(g) >= 4
-               THEN array_distinct(transform(sequence(1, size(g) - 3),
-                      j -> array_min(slice(g, j, 4))))
-               ELSE CAST(array() AS ARRAY<BIGINT>) END""").as("fp"))
+        call_function("winnow_fp",
+          split(col("text"), " "), lit(3), lit(4)).as("wf"))
+      .select(col("doc_id"), col("source"),
+        col("wf.n_grams").as("n_grams"), col("wf.fp").as("fp"))
 
   def textWinnow(s: SparkSession, dir: String): DataFrame = {
     val fps = Tables.hot(winnowFp(

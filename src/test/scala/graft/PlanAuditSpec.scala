@@ -370,6 +370,18 @@ class PlanAuditSpec extends SparkSpec {
         "fold shape is gone")
     assert(!dsAll.exists(_.nodeName.contains("Generate")),
       "dedup_substrings: a token explode appeared in the final plan")
+    // text_winnow (round 16): the whole per-doc fingerprint chain is
+    // ONE native winnow_fp kernel — no interpreted md5-conv transform
+    // per gram, no slice-allocating window-min lambda (pinned on the
+    // pre-checkpoint stage; the registered query reads the hot blocks)
+    val wf = collectAll(ops.TextDedup.winnowFp(
+      graft.Tables.load(spark, sfDir, "documents"))
+      .queryExecution.executedPlan)
+    assert(hasExpr(wf, _.isInstanceOf[graft.functions.WinnowFp]),
+      "text_winnow: native winnow_fp kernel missing")
+    assert(!hasExpr(wf, e => e.prettyName == "slice" ||
+        e.prettyName == "transform"),
+      "text_winnow: the interpreted HOF fingerprint chain is back")
     // pack_sequences: the sequential FFD runs INSIDE one expression
     // per (source, bucket) group — no per-item plan loop, no window
     val psAll = collectAll(initialPlan("pack_sequences"))
