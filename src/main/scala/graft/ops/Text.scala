@@ -36,15 +36,15 @@ object Text {
           .withColumn("n_tok", size(col("toks"))))
     }
 
-  /** n-gram array over `toks`, guarded for short documents: Spark's
-    * sequence(1, b) counts DOWN when b < 1 (a <n-token doc would yield
-    * [1, 0] and slice() throws), while the DuckDB oracle's
-    * generate_series(1, 0) is empty — so emit an empty array for docs
-    * shorter than n tokens, which both engines then treat identically
-    * (explode drops the row; array_min yields NULL). */
+  /** n-gram array over `toks` — the native `word_ngrams` kernel
+    * (functions/ShingleHashes.scala), gram-for-gram BIT-IDENTICAL to
+    * the `transform(sequence(…), i -> concat_ws(' ', slice(toks, i,
+    * n)))` HOF chain it replaces (certified in TextVecSpec): Catalyst
+    * ran that lambda INTERPRETED per position with a slice allocation
+    * + string build each; the kernel emits the same strings through
+    * `UTF8String.concatWs` in one compiled pass. Docs shorter than n
+    * tokens yield the empty array (the short-doc guard both the old
+    * CASE and the DuckDB oracle's generate_series(1, 0) encode). */
   def grams(n: Int): Column =
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
+    call_function("word_ngrams", toks, lit(n))
 }
