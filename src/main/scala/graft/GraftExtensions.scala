@@ -171,6 +171,41 @@ object GraftFunctions {
       "sorted_intersect"),
     (args: Seq[Expression]) => functions.SortedIntersect(args(0), args(1)))
 
+  val minMd5Fn: Fn = (
+    FunctionIdentifier("min_md5"),
+    new ExpressionInfo(classOf[functions.MinMd5].getName, "min_md5"),
+    (args: Seq[Expression]) => functions.MinMd5(args(0), args(1)))
+
+  val wktPointTextFn: Fn = (
+    FunctionIdentifier("wkt_point_text"),
+    new ExpressionInfo(classOf[functions.WktPointText].getName,
+      "wkt_point_text"),
+    (args: Seq[Expression]) => functions.WktPointText(args(0), args(1)))
+
+  val wktLineTextFn: Fn = (
+    FunctionIdentifier("wkt_line_text"),
+    new ExpressionInfo(classOf[functions.WktLineText].getName,
+      "wkt_line_text"),
+    (args: Seq[Expression]) => functions.WktLineText(args(0), args(1)))
+
+  val wktPolyTextFn: Fn = (
+    FunctionIdentifier("wkt_poly_text"),
+    new ExpressionInfo(classOf[functions.WktPolyText].getName,
+      "wkt_poly_text"),
+    (args: Seq[Expression]) => functions.WktPolyText(args(0), args(1)))
+
+  val wktRingsTextFn: Fn = (
+    FunctionIdentifier("wkt_rings_text"),
+    new ExpressionInfo(classOf[functions.WktRingsText].getName,
+      "wkt_rings_text"),
+    (args: Seq[Expression]) => functions.WktRingsText(args(0), args(1)))
+
+  val wktMultiTextFn: Fn = (
+    FunctionIdentifier("wkt_multi_text"),
+    new ExpressionInfo(classOf[functions.WktMultiText].getName,
+      "wkt_multi_text"),
+    (args: Seq[Expression]) => functions.WktMultiText(args(0)))
+
   val winnowFpFn: Fn = (
     FunctionIdentifier("winnow_fp"),
     new ExpressionInfo(classOf[functions.WinnowFp].getName, "winnow_fp"),
@@ -183,7 +218,8 @@ object GraftFunctions {
       qsum128Fn, rollingHashWindowsFn, ffdBinsFn, md5MinHashFn,
       cdcChunksFn, shingleHashesFn, md5ShinglesFn, charNgramsFn,
       wordNgramsFn, pairCodesFn, sortedCommonFn, sortedIntersectFn,
-      winnowFpFn)
+      winnowFpFn, minMd5Fn, wktPointTextFn, wktLineTextFn, wktPolyTextFn,
+      wktRingsTextFn, wktMultiTextFn)
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (id, info, builder) =>

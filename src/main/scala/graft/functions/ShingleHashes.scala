@@ -72,6 +72,16 @@ object ShingleMath {
     new GenericArrayData(out.toArray)
   }
 
+  /** Distinct xxhash64 shingle hashes, SORTED ascending (since round
+    * 17). The sort is one primitive Arrays.sort per document; it
+    * enables the zero-allocation `sorted_common` two-pointer
+    * verification of candidate pairs (dedup_minhash / containment /
+    * incremental) in place of per-pair OpenHashSet array_intersects.
+    * Every consumer is order-free: explode feeds set-semantics
+    * joins/aggregates, minhash_signature is a pure min over elements,
+    * and the containment prefix sketch sorts anyway (now for free).
+    * The VALUES are unchanged — still the distinct xxhash64(gram)
+    * set (TextVecSpec pins the sorted-distinct equality). */
   def shingles(toks: ArrayData, n: Int): ArrayData = {
     val cnt = toks.numElements()
     if (cnt < n) return new GenericArrayData(Array.empty[Any])
@@ -80,18 +90,23 @@ object ShingleMath {
     var i = 0
     while (i < cnt) { ts(i) = toks.getUTF8String(i); i += 1 }
     val seen = new java.util.HashSet[java.lang.Long](ng * 2)
-    val out = new scala.collection.mutable.ArrayBuffer[Any](ng)
+    val out = new Array[Long](ng)
+    var m = 0
     val window = new Array[UTF8String](n)
     i = 0
     while (i < ng) {
       var j = 0
       while (j < n) { window(j) = ts(i + j); j += 1 }
       val g = UTF8String.concatWs(Sep, window: _*)
-      val h = java.lang.Long.valueOf(XXH64.hashUTF8String(g, 42L))
-      if (seen.add(h)) out += h.longValue()
+      val h = XXH64.hashUTF8String(g, 42L)
+      if (seen.add(h)) { out(m) = h; m += 1 }
       i += 1
     }
-    new GenericArrayData(out.toArray)
+    java.util.Arrays.sort(out, 0, m)
+    val boxed = new Array[Any](m)
+    i = 0
+    while (i < m) { boxed(i) = out(i); i += 1 }
+    new GenericArrayData(boxed)
   }
 }
 

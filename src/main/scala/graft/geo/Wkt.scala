@@ -208,16 +208,52 @@ object Wkt {
       xy.getField("x"), xy.getField("y"), Proj.epsg(other), Proj.Epsg5179)
   }
 
+  /** Shared native-parse entry for the single-kind ingest paths: the
+    * `wkt_parts` kernel (one compiled static call — the same parser
+    * `geometries` certifies end-to-end on identical text) behind a
+    * cheap prefix guard that keeps each path's loud kind rejection,
+    * landed through ONE posexplode so the parse runs exactly once per
+    * row (a `when`-wrapped parse referenced per output column blocks
+    * codegen subexpression elimination and re-parses per reference —
+    * the parsePolygon codegen note). Every part of every kind is an
+    * ARRAY of ring STRUCT(xs, ys); single-part kinds keep their row.
+    * The composed column parsers above are retained for reference and
+    * spec coverage, but the hot ingest paths no longer pay their
+    * interpreted per-vertex HOF/regex trees (~1 ms/row) or their
+    * multi-second planning/codegen tax. */
+  private def nativeParts(df: DataFrame, wktCol: String,
+                          prefix: String, kind: String): DataFrame = {
+    graft.GraftFunctions.register(df.sparkSession)
+    val guarded = when(trim(col(wktCol)).startsWith(prefix),
+      call_function("wkt_parts", col(wktCol)))
+      .otherwise(fail(kind, col(wktCol)))
+    // posexplode_OUTER, deliberately: valid parses always yield >= 1
+    // part and malformed input raises, so outer vs inner explode is
+    // value-identical — but the inner variant plans an implicit
+    // `size(..) > 0 AND isnotnull(..)` Filter whose predicate INLINES
+    // the whole guarded parse twice AND gets pushed below the
+    // caller's fanout exchange, re-running the parse serialized on
+    // the single scan partition (measured: the stage plan's Filter(2)
+    // under Exchange(5)). Outer explode plans no filter: the parse
+    // runs exactly once per row, inside the distributed Generate.
+    df.withColumn("_parts", guarded)
+      .select(col("*"),
+        posexplode_outer(col("_parts")).as(Seq("_pi", "_part")))
+  }
+
   /** Ingest a POINT WKT column: adds planar `x`, `y` (reference CRS)
     * next to the existing columns — `GeoCalculator.fromXY`'s contract,
     * fed from WKT like duckpipe/core.py:138-152. */
   def points(df: DataFrame, wktCol: String, epsg: Int = 5179): DataFrame = {
-    val p = toRef(parsePoint(col(wktCol)), epsg)
-    // two-step projection: parse once, read twice
-    df.withColumn("_pt", p)
+    val v = element_at(col("_part"), 1)
+    val p = toRef(struct(
+      element_at(v.getField("xs"), 1).as("x"),
+      element_at(v.getField("ys"), 1).as("y")), epsg)
+    nativeParts(df, wktCol, "POINT", "POINT")
+      .withColumn("_pt", p)
       .withColumn("x", col("_pt.x"))
       .withColumn("y", col("_pt.y"))
-      .drop("_pt")
+      .drop("_parts", "_pi", "_part", "_pt")
   }
 
   /** Ingest a POLYGON WKT column: adds open vertex arrays `xs`, `ys`
@@ -232,8 +268,21 @@ object Wkt {
     * where a pipeline wants parse-once-land-columns semantics; the
     * fence materializes the parsed arrays on first use and truncates
     * lineage, same contract as Tables.hot but without an eager job. */
-  def polygons(df: DataFrame, wktCol: String, epsg: Int = 5179): DataFrame = {
-    val ring = parsePolygon(col(wktCol))
+  def polygons(df: DataFrame, wktCol: String, epsg: Int = 5179): DataFrame =
+    polygonsStage(df, wktCol, epsg).localCheckpoint(false)
+
+  /** `polygons` without its checkpoint fence — the parse stage the
+    * fence hides from the final plan, exposed so the plan audit and
+    * `graft.tools.ExplainStage` can pin it (substringWindows
+    * precedent). */
+  private[graft] def polygonsStage(df: DataFrame, wktCol: String,
+                                   epsg: Int): DataFrame = {
+    // single exterior ring only — the flat-vertex-array contract; a
+    // holed polygon fails as loudly as the composed parser did
+    val ring = when(size(col("_part")) === 1, element_at(col("_part"), 1))
+      .otherwise(fail(
+        "POLYGON (single exterior ring, >= 4 points incl. closing vertex)",
+        col(wktCol)))
     val proj = epsg match {
       case 5179 => ring
       case _ =>
@@ -244,19 +293,25 @@ object Wkt {
         struct(transform(prj, v => v.getField("x")).as("xs"),
           transform(prj, v => v.getField("y")).as("ys"))
     }
-    df.withColumn("_ring", proj)
+    nativeParts(df, wktCol, "POLYGON",
+        "POLYGON (single exterior ring, >= 4 points incl. closing vertex)")
+      .withColumn("_ring", proj)
       .withColumn("xs", col("_ring.xs"))
       .withColumn("ys", col("_ring.ys"))
-      .drop("_ring")
-      .localCheckpoint(false)
+      .drop("_parts", "_pi", "_part", "_ring")
   }
 
   /** Ingest a LINESTRING WKT column: adds vertex arrays `xs`, `ys`
     * (reference CRS). Same lazy-localCheckpoint fence as `polygons` —
     * the segment explode below references the arrays several times,
     * and without the fence each reference re-runs the parse tree. */
-  def lines(df: DataFrame, wktCol: String, epsg: Int = 5179): DataFrame = {
-    val line = parseLineString(col(wktCol))
+  def lines(df: DataFrame, wktCol: String, epsg: Int = 5179): DataFrame =
+    linesStage(df, wktCol, epsg).localCheckpoint(false)
+
+  /** `lines` without its checkpoint fence (plan-audit hook). */
+  private[graft] def linesStage(df: DataFrame, wktCol: String,
+                                epsg: Int): DataFrame = {
+    val line = element_at(col("_part"), 1)
     val proj = epsg match {
       case 5179 => line
       case _ =>
@@ -265,11 +320,11 @@ object Wkt {
         struct(transform(prj, v => v.getField("x")).as("xs"),
           transform(prj, v => v.getField("y")).as("ys"))
     }
-    df.withColumn("_line", proj)
+    nativeParts(df, wktCol, "LINESTRING", "LINESTRING (>= 2 points)")
+      .withColumn("_line", proj)
       .withColumn("xs", col("_line.xs"))
       .withColumn("ys", col("_line.ys"))
-      .drop("_line")
-      .localCheckpoint(false)
+      .drop("_parts", "_pi", "_part", "_line")
   }
 
   /** Reproject a parsed ring set struct(rxs, rys) vertex-wise. */
@@ -291,13 +346,20 @@ object Wkt {
     * `Polygons.containsRings` / `Polygons.clippedAreaRings` consume.
     * Same parse-once fence as `polygons`. */
   def polygonsRings(df: DataFrame, wktCol: String,
-                    epsg: Int = 5179): DataFrame = {
-    val rs = projRings(parsePolygonRings(col(wktCol)), epsg)
-    df.withColumn("_rs", rs)
+                    epsg: Int = 5179): DataFrame =
+    polygonsRingsStage(df, wktCol, epsg).localCheckpoint(false)
+
+  /** `polygonsRings` without its checkpoint fence (plan-audit hook). */
+  private[graft] def polygonsRingsStage(df: DataFrame, wktCol: String,
+                                        epsg: Int): DataFrame = {
+    val rs = projRings(struct(
+      transform(col("_part"), r => r.getField("xs")).as("rxs"),
+      transform(col("_part"), r => r.getField("ys")).as("rys")), epsg)
+    nativeParts(df, wktCol, "POLYGON", "POLYGON (ring list)")
+      .withColumn("_rs", rs)
       .withColumn("rxs", col("_rs.rxs"))
       .withColumn("rys", col("_rs.rys"))
-      .drop("_rs")
-      .localCheckpoint(false)
+      .drop("_parts", "_pi", "_part", "_rs")
   }
 
   /** Ingest a MULTIPOLYGON WKT column: one row PER PART with nested
@@ -306,14 +368,26 @@ object Wkt {
     * after the explode. */
   def multiPolygons(df: DataFrame, wktCol: String,
                     epsg: Int = 5179): DataFrame =
-    df.withColumn("_parts", parseMultiPolygon(col(wktCol)))
-      .select(col("*"),
-        posexplode(col("_parts")).as(Seq("_pi", "_part")))
+    multiPolygonsStage(df, wktCol, epsg).localCheckpoint(false)
+
+  /** `multiPolygons` without its checkpoint fence (plan-audit hook). */
+  private[graft] def multiPolygonsStage(df: DataFrame, wktCol: String,
+                                        epsg: Int): DataFrame = {
+    val split = nativeParts(df, wktCol, "MULTIPOLYGON", "MULTIPOLYGON")
       .withColumn("part_idx", col("_pi") + 1)
-      .withColumn("rxs", projRings(col("_part"), epsg).getField("rxs"))
-      .withColumn("rys", projRings(col("_part"), epsg).getField("rys"))
+      .withColumn("rxs", transform(col("_part"), r => r.getField("xs")))
+      .withColumn("rys", transform(col("_part"), r => r.getField("ys")))
+    val reproj =
+      if (epsg == 5179) split
+      else split
+        .withColumn("_rp", projRings(
+          struct(col("rxs").as("rxs"), col("rys").as("rys")), epsg))
+        .withColumn("rxs", col("_rp.rxs"))
+        .withColumn("rys", col("_rp.rys"))
+        .drop("_rp")
+    reproj
       .drop("_parts", "_pi", "_part")
-      .localCheckpoint(false)
+  }
 
   /** Generalized mixed-geometry ingest — the full analogue of the
     * reference's WKT registration (duckpipe/core.py:117-166 accepts
@@ -329,7 +403,12 @@ object Wkt {
     * CASE branches evaluate lazily per row, so each parser only runs
     * on its own geometry kind. */
   def geometries(df: DataFrame, wktCol: String,
-                 epsg: Int = 5179): DataFrame = {
+                 epsg: Int = 5179): DataFrame =
+    geometriesStage(df, wktCol, epsg).localCheckpoint(false)
+
+  /** `geometries` without its checkpoint fence (plan-audit hook). */
+  private[graft] def geometriesStage(df: DataFrame, wktCol: String,
+                                     epsg: Int): DataFrame = {
     val w = trim(col(wktCol))
     val kind = when(w.startsWith("POINT"), lit("point"))
       .when(w.startsWith("LINESTRING"), lit("line"))
@@ -353,7 +432,11 @@ object Wkt {
     val parts = call_function("wkt_parts", col(wktCol))
     val projected = df.withColumn("geom_type", kind)
       .withColumn("_parts", parts)
-      .select(col("*"), posexplode(col("_parts")).as(Seq("_pi", "_part")))
+      // outer explode: no implicit non-empty Filter to duplicate the
+      // parse below the fanout exchange (see nativeParts) — valid
+      // parses always yield >= 1 part, malformed input raises
+      .select(col("*"),
+        posexplode_outer(col("_parts")).as(Seq("_pi", "_part")))
       .withColumn("part_idx", col("_pi") + 1)
       // cheap splits over the landed struct array — no parse subtree
       .withColumn("rxs", transform(col("_part"), r => r.getField("xs")))
@@ -371,8 +454,13 @@ object Wkt {
         when(col("geom_type") === "point", col("rxs")(0)(0)))
       .withColumn("y",
         when(col("geom_type") === "point", col("rys")(0)(0)))
-      .drop("_parts", "_pi", "_part")
-      .localCheckpoint(false)
+      // the parsed ring arrays REPLACE the text: keeping the WKT
+      // string column would re-materialize every geometry's source
+      // text into the checkpoint blocks (measured ~half the
+      // checkpoint bytes on text-only ingest frames) for a column no
+      // consumer reads — a caller that needs the text keeps its own
+      // copy before ingest
+      .drop("_parts", "_pi", "_part", wktCol)
   }
 
   /** Polyline → consecutive-pair segment explode: each n-vertex line
@@ -391,49 +479,40 @@ object Wkt {
       .withColumn("y2", element_at(col(ysCol), col("seg_idx") + 1))
       .drop(xsCol, ysCol)
 
+  // ---- WKT text egress --------------------------------------------
+  // All egress routes through the compiled wkt_*_text kernels
+  // (functions/WktText.scala): the former zip_with/concat_ws column
+  // chains evaluated the vertex lambda INTERPRETED and paid three
+  // string copies per coordinate; the kernels append every coordinate
+  // into one StringBuilder whose append(double) IS the same
+  // Double.toString shortest-round-trip formatting the double→string
+  // cast bottoms out in, so the text — and the parse∘format
+  // roundtrip certification — is bit-identical (WktTextSpec pins each
+  // shape against the cast chain on real Derive geometries).
+  // Resolution relies on GraftExtensions (GraftSession installs it);
+  // foreign sessions call graft.GraftFunctions.register first.
+
   /** struct-free egress: (x, y) → `POINT (x y)` (shortest round-trip
     * double formatting — parse(format(v)) is bit-exact). */
   def toWktPoint(x: Column, y: Column): Column =
-    concat(lit("POINT ("), x.cast("string"), lit(" "),
-      y.cast("string"), lit(")"))
+    call_function("wkt_point_text", x, y)
 
   /** Vertex arrays → `LINESTRING (…)`, inverse of parseLineString. */
-  def toWktLineString(xs: Column, ys: Column): Column = {
-    val verts = zip_with(xs, ys,
-      (vx, vy) => concat(vx.cast("string"), lit(" "), vy.cast("string")))
-    concat(lit("LINESTRING ("), concat_ws(", ", verts), lit(")"))
-  }
+  def toWktLineString(xs: Column, ys: Column): Column =
+    call_function("wkt_line_text", xs, ys)
 
   /** Open vertex arrays → `POLYGON ((…))` with the ring closed
     * textually, inverse of `parsePolygon`. */
-  def toWktPolygon(xs: Column, ys: Column): Column = {
-    val verts = zip_with(xs, ys,
-      (vx, vy) => concat(vx.cast("string"), lit(" "), vy.cast("string")))
-    concat(lit("POLYGON (("), concat_ws(", ", verts), lit(", "),
-      element_at(verts, 1), lit("))"))
-  }
-
-  /** One open ring → "(x y, …, x y, x1 y1)" (closed textually). */
-  private def ringText(xs: Column, ys: Column): Column = {
-    val verts = zip_with(xs, ys,
-      (vx, vy) => concat(vx.cast("string"), lit(" "), vy.cast("string")))
-    concat(lit("("), concat_ws(", ", verts), lit(", "),
-      element_at(verts, 1), lit(")"))
-  }
+  def toWktPolygon(xs: Column, ys: Column): Column =
+    call_function("wkt_poly_text", xs, ys)
 
   /** Nested ring arrays → `POLYGON ((outer), (hole), …)`, inverse of
     * `parsePolygonRings`. */
   def toWktPolygonRings(rxs: Column, rys: Column): Column =
-    concat(lit("POLYGON ("),
-      concat_ws(", ", zip_with(rxs, rys, ringText)), lit(")"))
+    call_function("wkt_rings_text", rxs, rys)
 
   /** Array of struct(rxs, rys) parts → `MULTIPOLYGON (…)`, inverse of
     * `parseMultiPolygon`. */
   def toWktMultiPolygon(parts: Column): Column =
-    concat(lit("MULTIPOLYGON ("),
-      concat_ws(", ", transform(parts, p =>
-        concat(lit("("), concat_ws(", ",
-          zip_with(p.getField("rxs"), p.getField("rys"), ringText)),
-          lit(")")))),
-      lit(")"))
+    call_function("wkt_multi_text", parts)
 }

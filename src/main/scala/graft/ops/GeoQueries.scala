@@ -1076,8 +1076,17 @@ object GeoQueries {
     * its calculator chain. */
   def pipelineWkt(s: SparkSession, dir: String): DataFrame = {
     val W = graft.geo.Wkt
+    // Wkt.points — the api's fromWkt ingest (GeoCalculator.scala:211),
+    // the exact add_point_with_table path this query certifies. It
+    // parses through the same native wkt_parts kernel as the
+    // generalized `geometries` but lands x/y directly: the mixed-kind
+    // machinery checkpointed part_idx + nested one-vertex ring arrays
+    // for MILLIONS of point rows only for this caller to project them
+    // away (r16 detail: 25.3 CPU-s vs pipeline_wide's 6.96 on the same
+    // calculator chain — the roundtrip overhead was mostly that
+    // materialization, not the parse).
     def viaWkt(df: DataFrame, keep: Seq[String]): DataFrame =
-      W.geometries(
+      W.points(
         df.withColumn("wkt", W.toWktPoint(col("x"), col("y")))
           .drop("x", "y"), "wkt")
         .select(("x" +: "y" +: keep).map(col): _*)

@@ -44,23 +44,17 @@ object TextDedup {
       explode(call_function("shingle_hashes", toks, lit(3))).as("hs"))
   }
 
-  /** Exact-Jaccard pairs ≥ `minJ` from a hashed-shingle table, either
-    * over all co-occurring pairs (cands = None) or candidate-driven. */
-  private def jaccardPairs(sh: DataFrame, minJ: Double,
-                           cands: Option[DataFrame]): DataFrame = {
+  /** Exact-Jaccard pairs ≥ `minJ` from a hashed-shingle table over all
+    * co-occurring pairs — the exact small-scale mode (dedup_ngram);
+    * candidate-driven callers verify off the shingle ARRAYS instead
+    * (see dedupMinhash). */
+  private def jaccardPairs(sh: DataFrame, minJ: Double): DataFrame = {
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val common = cands match {
-      case None =>
-        sh.as("a").join(sh.as("b"),
-            col("a.hs") === col("b.hs") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-          .agg(count(lit(1)).as("c"))
-      case Some(cs) =>
-        cs.join(sh.as("sa"), col("da") === col("sa.doc_id"))
-          .join(sh.as("sb"),
-            col("db") === col("sb.doc_id") && col("sa.hs") === col("sb.hs"))
-          .groupBy("da", "db").agg(count(lit(1)).as("c"))
-    }
+    val common =
+      sh.as("a").join(sh.as("b"),
+          col("a.hs") === col("b.hs") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(count(lit(1)).as("c"))
     common
       .join(cnt.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
       .join(cnt.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
@@ -69,6 +63,31 @@ object TextDedup {
       .filter(col("j") >= minJ)
       .orderBy("da", "db")
   }
+
+  /** Exact-Jaccard verification of CANDIDATE pairs straight off the
+    * per-doc sorted distinct shingle-hash arrays: two joins fetch each
+    * pair's arrays, |A∩B| is one compiled zero-allocation two-pointer
+    * merge (`sorted_common` — shingle_hashes emits sorted arrays), and
+    * |A| / |B| are array sizes. The former exploded-row form re-keyed
+    * the ENTIRE (doc_id, hs) corpus by candidate doc twice and paid a
+    * full (da, db) hash aggregate over every matched shingle row; only
+    * the candidates pay anything here, and c / (na + nb − c) is the
+    * identical double arithmetic on identical integers. */
+  private def jaccardPairsArr(base: DataFrame, minJ: Double,
+                              cands: DataFrame): DataFrame =
+    cands
+      .join(base.select(col("doc_id").as("da"), col("harr").as("ha")),
+        Seq("da"))
+      .join(base.select(col("doc_id").as("db"), col("harr").as("hb")),
+        Seq("db"))
+      .select(col("da"), col("db"),
+        call_function("sorted_common", col("ha"), col("hb")).as("c"),
+        size(col("ha")).cast("long").as("na"),
+        size(col("hb")).cast("long").as("nb"))
+      .select(col("da"), col("db"),
+        (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("j"))
+      .filter(col("j") >= minJ)
+      .orderBy("da", "db")
 
   // ---- exact dedup ---------------------------------------------------
   def dedupExact(s: SparkSession, dir: String): DataFrame =
@@ -143,7 +162,7 @@ object TextDedup {
     require(n <= maxDocs,
       s"dedup_ngram is the small-scale exact mode ($n docs > cap $maxDocs); " +
         "use dedup_minhash: same pairs at threshold 0.5, LSH-pruned")
-    jaccardPairs(Tables.hot(shinglesHashed(d)), 0.5, None)
+    jaccardPairs(Tables.hot(shinglesHashed(d)), 0.5)
   }
 
   val dedupNgramSql: String = """
@@ -172,16 +191,16 @@ object TextDedup {
 
   def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
     graft.GraftFunctions.register(s)
-    // per-doc distinct shingle-hash ARRAY: signatures become a pure
-    // map stage (native minhash_signature computes all 64 permutation
-    // minima in one pass — bit-identical to the former explode +
-    // 64-column min aggregation, minus its shuffle), and the exploded
-    // (doc_id, hs) rows for exact verification come from the same
-    // materialized arrays
+    // per-doc SORTED distinct shingle-hash ARRAY: signatures become a
+    // pure map stage (native minhash_signature computes all 64
+    // permutation minima in one pass — bit-identical to the former
+    // explode + 64-column min aggregation, minus its shuffle), and the
+    // exact verification reads the same materialized arrays per
+    // candidate pair — the corpus is never exploded into (doc, hs)
+    // rows at all
     val base = Tables.hot(
       docs(s, dir).select(col("doc_id"),
         call_function("shingle_hashes", toks, lit(3)).as("harr")))
-    val sh = base.select(col("doc_id"), explode(col("harr")).as("hs"))
     // band keys: hash of each row-group of the signature. sig lives in
     // ONE projection chain off the checkpoint (never re-derived from
     // raw text — project-collapse would otherwise inline harr's gram
@@ -202,8 +221,9 @@ object TextDedup {
         "doc_id", target = 32)
       .select(col("_ida").as("da"), col("_idb").as("db"))
       .distinct()
-    // exact Jaccard verification, candidate-driven (no full self-join)
-    jaccardPairs(sh, 0.5, Some(cands))
+    // exact Jaccard verification, candidate-driven, off the sorted
+    // arrays (sorted_common two-pointer merge per pair)
+    jaccardPairsArr(base, 0.5, cands)
   }
 
   /** INCREMENTAL near-dedup — new documents against an EXISTING corpus,
@@ -281,18 +301,20 @@ object TextDedup {
       .select(col("key"), col("doc_id").as("db"))
     val cands = SkewJoin.saltedJoin(incoming, existing, "key", buckets = 8)
       .select("da", "db").distinct()
-    // exact Jaccard straight off the hot distinct-shingle ARRAYS: two
-    // joins fetch each candidate pair's arrays, |A∩B| is a per-pair
-    // array_intersect — the corpus is never re-exploded into
-    // (doc, shingle) rows and the common-shingle groupBy disappears
-    // (candidates are the only rows that pay anything). Same j: the
-    // arrays are the same distinct 64-bit shingle hashes jaccardPairs
-    // counts, c/(na+nb-c) is the identical double arithmetic.
+    // exact Jaccard straight off the hot SORTED distinct-shingle
+    // ARRAYS: two joins fetch each candidate pair's arrays, |A∩B| is a
+    // per-pair zero-allocation sorted_common merge — the corpus is
+    // never re-exploded into (doc, shingle) rows and the
+    // common-shingle groupBy disappears (candidates are the only rows
+    // that pay anything). Same j: the arrays are the same distinct
+    // 64-bit shingle hashes, c/(na+nb-c) is the identical double
+    // arithmetic.
     val dups = cands
       .join(base.select(col("doc_id").as("da"), col("harr").as("ha")), "da")
       .join(idx.harr.select(col("doc_id").as("db"), col("harr").as("hb")),
         "db")
-      .select(col("da"), size(array_intersect(col("ha"), col("hb"))).as("c"),
+      .select(col("da"),
+        call_function("sorted_common", col("ha"), col("hb")).as("c"),
         size(col("ha")).as("na"), size(col("hb")).as("nb"))
       .select(col("da"), (col("c").cast("double") /
         (col("na") + col("nb") - col("c")).cast("double")).as("j"))
@@ -496,10 +518,18 @@ object TextDedup {
     FROM c ORDER BY doc_id"""
 
   // ---- document fingerprint (min-shingle-hash, a 1-perm MinHash) -----
-  def textFingerprint(s: SparkSession, dir: String): DataFrame =
+  /** fp = the min md5 over 4-gram shingles — ONE native pass
+    * (`min_md5`, functions/MinMd5.scala): the former
+    * `array_min(transform(grams(4), md5))` ran the md5→hex chain
+    * INTERPRETED per gram and materialized every 32-char hex string
+    * only to discard all but the minimum. Bit-identical selection
+    * (unsigned digest order IS hex order — MinMd5Spec pins it). */
+  def textFingerprint(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(s)
     docs(s, dir).select(col("doc_id"),
-        array_min(transform(grams(4), g => md5(g))).as("fp"))
+        call_function("min_md5", toks, lit(4)).as("fp"))
       .orderBy("doc_id")
+  }
 
   val textFingerprintSql: String = """
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
@@ -593,25 +623,29 @@ object TextDedup {
     // with P(Bin(16, 0.8) ≤ 1) ≈ 2e-10 while the long tail of
     // single-shared-shingle accidents (most of the candidate mass)
     // drops before verification
+    // harr arrives sorted from the kernel — the 16-smallest sketch is
+    // a plain prefix slice, no per-doc array_sort
     val cands = base.select(col("doc_id").as("da"),
-        explode(slice(array_sort(col("harr")), 1, 16)).as("hk"))
+        explode(slice(col("harr"), 1, 16)).as("hk"))
       .join(sh.as("sb"),
         col("hk") === col("sb.hs") && col("da") =!= col("sb.doc_id"))
       .groupBy(col("da"), col("sb.doc_id").as("db"))
       .agg(count(lit(1)).as("hits"))
       .filter(col("hits") >= 2)
       .select("da", "db")
-    // exact verification per candidate PAIR via array_intersect over
-    // the materialized hash arrays — O(|A|+|B|) per pair with no
-    // row re-explosion (the exploded-join verify measured 4× the CPU)
+    // exact verification per candidate PAIR via the zero-allocation
+    // sorted_common merge over the sorted hash arrays — O(|A|+|B|) per
+    // pair with no row re-explosion (the exploded-join verify measured
+    // 4× the CPU; array_intersect additionally built an OpenHashSet
+    // per call)
     cands
       .join(base.select(col("doc_id").as("da"), col("harr").as("ha")),
         Seq("da"))
       .join(base.select(col("doc_id").as("db"), col("harr").as("hb")),
         Seq("db"))
       .select(col("da"), col("db"),
-        (size(array_intersect(col("ha"), col("hb"))).cast("double") /
-          size(col("ha"))).as("cont"))
+        (call_function("sorted_common", col("ha"), col("hb"))
+          .cast("double") / size(col("ha"))).as("cont"))
       .filter(col("cont") >= 0.8)
       .orderBy("da", "db")
   }

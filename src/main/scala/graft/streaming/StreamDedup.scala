@@ -90,7 +90,9 @@ object StreamDedup {
       .join(baseIdx, Seq("key"), "left")
       .select(col("doc_id").as("da"), col("db"), col("harr"), col("harr_b"))
       .dropDuplicates("da", "db")
-    val c = size(array_intersect(col("harr"), col("harr_b")))
+    // sorted_common over the kernel-sorted arrays — same count as the
+    // former array_intersect, minus its per-call OpenHashSet build
+    val c = call_function("sorted_common", col("harr"), col("harr_b"))
     val j = when(col("db").isNotNull, c.cast("double") /
       (size(col("harr")) + size(col("harr_b")) - c))
     pairs.withColumn("j", j)

@@ -32,15 +32,17 @@ class TextVecSpec extends SparkSpec {
 
   test("shingle_hashes is bit-identical to the HOF gram-hash chain") {
     graft.GraftFunctions.register(spark)
-    // the native kernel must reproduce array_distinct(transform(
-    // grams(3), xxhash64)) ELEMENT FOR ELEMENT (values and first-
-    // occurrence order), including the short-doc empty-array guard
+    // the native kernel must reproduce the distinct xxhash64 gram-hash
+    // SET, SORTED ascending (the round-17 contract: sorted output lets
+    // candidate verification run the zero-allocation sorted_common
+    // merge; every consumer is order-free — see ShingleMath.shingles),
+    // including the short-doc empty-array guard
     val both = graft.Tables.load(spark, sfDir, "documents")
       .limit(200)
       .select(
         call_function("shingle_hashes", Text.toks, lit(3)).as("native"),
-        array_distinct(transform(Text.grams(3),
-          g => xxhash64(g))).as("hof"))
+        array_sort(array_distinct(transform(Text.grams(3),
+          g => xxhash64(g)))).as("hof"))
       .collect()
     assert(both.nonEmpty)
     both.foreach { r =>
